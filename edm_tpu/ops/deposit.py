@@ -1,0 +1,260 @@
+"""Gaussian hill deposition — the hot kernel (reference
+``DimmedGaussGrid::add_value``, lib/gaussian_grid.h:176-372).
+
+The reference walks a per-hill "minigrid" (the truncated Gaussian support)
+point-by-point on the CPU.  Here the whole batch of hills is evaluated at
+once: the window is a *static* shape known at trace time from sigma/dx
+(gaussian_grid.h:559-569), every (hill, window-point) contribution is
+computed in parallel on the VPU, and a single scatter-add commits values and
+gradients.  Per-hill integrated bias ("bias_added", the invariant the bias
+limiter depends on — gaussian_grid.h:349,371) falls out as a masked row sum.
+
+Deposition is linear in hill height, so ``hill_windows`` computes unit-height
+window weights usable both for the capping prefix-pass (ops/prefix_cap) and
+the final scatter.
+
+McGovern–De Pablo boundary-corrected zero-force hills: the per-dim corrective
+loop (gaussian_grid.h:303-343) is replicated *exactly*, including its
+sequential running-denominator quirks across dims (the reference only claims
+correctness for 1-D boundaries; see README TODO noted in SURVEY.md Q8).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..gauss import (
+    BC_MAR,
+    BC_TABLE_SIZE,
+    GAUSS_SUPPORT,
+    GaussGrid,
+    ref_round,
+    sigmoid,
+    sigmoid_dx,
+)
+
+
+class HillWindows(NamedTuple):
+    idx: jax.Array  # (H, W, D) int32 wrapped/clipped grid indices
+    value_w: jax.Array  # (H, W) unit-height value contribution
+    deriv_w: jax.Array  # (H, W, D) unit-height gradient contribution
+    valid: jax.Array  # (H, W) bool
+
+
+def hill_windows(gg: GaussGrid, centers: jax.Array) -> HillWindows:
+    """Unit-height window contributions for a batch of hill centers (H, D)."""
+    spec = gg.spec
+    g = spec.grid
+    D = spec.dim
+    dtype = gg.dtype
+
+    gmin = jnp.asarray(g.min, dtype)
+    gdx = jnp.asarray(g.dx, dtype)
+    bmin = np.asarray(spec.boundary_min)
+    bmax = np.asarray(spec.boundary_max)
+    sigma = np.asarray(spec.sigma)
+
+    x = gg.remap(jnp.asarray(centers, dtype))  # (H, D)
+
+    # whole-hill rejection outside a non-periodic boundary (gaussian_grid.h:213-216)
+    hill_ok = jnp.ones(x.shape[:1], bool)
+    for d in range(D):
+        if not spec.boundary_periodic[d]:
+            hill_ok &= (x[:, d] >= bmin[d]) & (x[:, d] <= bmax[d])
+
+    # center index, possibly negative (gaussian_grid.h:222-224)
+    x_index = jnp.floor((x - gmin) / gdx).astype(jnp.int32)
+
+    # static window of offsets covering the Gaussian support
+    offs = np.stack(
+        np.meshgrid(*[np.arange(-m, m + 1) for m in spec.minisize], indexing="ij"),
+        axis=-1,
+    ).reshape(-1, D)
+    idx_raw = x_index[:, None, :] + jnp.asarray(offs, jnp.int32)[None]  # (H, W, D)
+
+    valid = jnp.broadcast_to(hill_ok[:, None], idx_raw.shape[:2])
+    idx_dims = []
+    for d in range(D):
+        r = idx_raw[..., d]
+        n = g.nbins[d]
+        if g.periodic[d]:
+            r = r % n  # periodic wrap (gaussian_grid.h:251-266)
+        else:
+            valid = valid & (r >= 0) & (r < n)
+            r = jnp.clip(r, 0, n - 1)
+        idx_dims.append(r)
+    idx = jnp.stack(idx_dims, axis=-1)
+
+    xx = gmin + gdx * idx.astype(dtype)  # (H, W, D)
+
+    # per-point boundary mask (gaussian_grid.h:272-276)
+    for d in range(D):
+        if not spec.boundary_periodic[d]:
+            valid = valid & (xx[..., d] >= bmin[d]) & (xx[..., d] <= bmax[d])
+
+    # sigma-scaled distances with periodic wrap (gaussian_grid.h:285-295)
+    dp_dims = []
+    for d in range(D):
+        dpd = xx[..., d] - x[:, None, d]
+        if g.periodic[d]:
+            L = g.max[d] - g.min[d]
+            dpd = dpd - ref_round(dpd / L) * L
+        dp_dims.append(dpd / sigma[d])
+    dp = jnp.stack(dp_dims, axis=-1)
+    dp2 = jnp.sum(dp * dp, axis=-1)
+
+    valid = valid & (dp2 < GAUSS_SUPPORT)
+    expo = jnp.exp(-dp2)
+
+    # McGovern–De Pablo boundary correction, sequential over dims
+    # (gaussian_grid.h:302-343 replicated exactly, running bc_denom included)
+    bc_denom = jnp.ones_like(expo)
+    bc_correction = jnp.zeros_like(expo)
+    bc_force = [None] * D
+    for d in range(D):
+        if not spec.boundary_periodic[d]:
+            sig = sigma[d]
+            span = bmax[d] - bmin[d]
+            bc_idx = jnp.clip(
+                ((BC_TABLE_SIZE - 1) * (xx[..., d] - bmin[d]) / span).astype(jnp.int32),
+                0,
+                BC_TABLE_SIZE - 1,
+            )
+            temp1 = jnp.exp(-((x[:, None, d] - bmin[d]) ** 2) / sig**2)
+            temp2 = sigmoid((xx[..., d] - bmin[d]) / (sig * BC_MAR))
+            temp3 = jnp.exp(-((x[:, None, d] - bmax[d]) ** 2) / sig**2)
+            temp4 = sigmoid((bmax[d] - xx[..., d]) / (sig * BC_MAR))
+            bc_correction = (temp1 - expo) * temp2 + (temp3 - expo) * temp4
+            bc_denom = bc_denom * gg.bc_denom[d][bc_idx]
+
+            temp5 = -2 * dp[..., d] / sig
+            temp6 = sigmoid_dx((xx[..., d] - bmin[d]) / (sig * BC_MAR)) / (BC_MAR * sig)
+            temp7 = -sigmoid_dx((bmax[d] - xx[..., d]) / (sig * BC_MAR)) / (BC_MAR * sig)
+            f = temp5 * expo
+            f = f + (temp1 - expo) * temp6 - temp5 * expo * temp2 + (temp3 - expo) * temp7 - temp5 * expo * temp4
+            f = f * bc_denom - gg.bc_denom_deriv[d][bc_idx] * (expo + bc_correction)
+            f = f / (bc_denom * bc_denom)
+            bc_correction = bc_correction / bc_denom
+            bc_force[d] = f
+        else:
+            bc_denom = bc_denom * (math.sqrt(math.pi) * sigma[d])
+
+    expo_f = expo / bc_denom
+
+    zero = jnp.zeros((), dtype)
+    value_w = jnp.where(valid, expo_f + bc_correction, zero)
+    deriv_dims = []
+    for d in range(D):
+        if spec.boundary_periodic[d]:
+            dd = -(2 * dp[..., d] / sigma[d] * expo_f)
+        else:
+            dd = bc_force[d]
+        deriv_dims.append(jnp.where(valid, dd, zero))
+    deriv_w = jnp.stack(deriv_dims, axis=-1)
+
+    return HillWindows(idx=idx, value_w=value_w, deriv_w=deriv_w, valid=valid)
+
+
+def hill_weights(gg: GaussGrid, centers: jax.Array) -> jax.Array:
+    """Per-hill integrated bias per unit height: s_k = sum_w value_w * prod(dx).
+
+    bias_added_k == height_k * s_k — the conservation invariant asserted by
+    the reference integral tests (tests/edm_test.cpp:537-628)."""
+    hw = hill_windows(gg, centers)
+    vol = float(np.prod(gg.spec.grid.dx))
+    return jnp.sum(hw.value_w, axis=-1) * vol
+
+
+def _duplication_assignments(spec):
+    """Static (outer, bound) single-point copies for zero-force boundary rows
+    (reference duplicate_boundary, gaussian_grid.h:571-630)."""
+    g = spec.grid
+    D = spec.dim
+    min_i, max_i = [], []
+    for d in range(D):
+        for which, b in (("lo", spec.boundary_min[d]), ("hi", spec.boundary_max[d])):
+            xi = b
+            if g.periodic[d]:
+                L = g.max[d] - g.min[d]
+                xi -= L * math.floor((xi - g.min[d]) / L)
+            i = int(math.floor((xi - g.min[d]) / g.dx[d]))
+            if which == "lo":
+                lo = i
+            else:
+                hi = i
+        while lo * g.dx[d] + g.min[d] < spec.boundary_min[d]:
+            lo += 1
+        while hi * g.dx[d] + g.min[d] > spec.boundary_max[d] or hi == g.nbins[d]:
+            hi -= 1
+        min_i.append(lo)
+        max_i.append(hi)
+
+    assignments = []
+    for combo in range(4**D):
+        temp = combo
+        outer, bound = [], []
+        skip = False
+        for d in range(D):
+            off = temp % 4
+            temp //= 4
+            if off == 0:
+                if spec.boundary_periodic[d] or min_i[d] == 0:
+                    skip = True
+                outer.append(min_i[d] - 1)
+                bound.append(min_i[d])
+            elif off == 1:
+                outer.append(min_i[d])
+                bound.append(min_i[d])
+            elif off == 2:
+                outer.append(max_i[d])
+                bound.append(max_i[d])
+            else:
+                if spec.boundary_periodic[d] or max_i[d] == g.nbins[d] - 1:
+                    skip = True
+                outer.append(max_i[d] + 1)
+                bound.append(max_i[d])
+        if not skip:
+            assignments.append((tuple(outer), tuple(bound)))
+    return assignments
+
+
+def duplicate_boundary(gg: GaussGrid) -> GaussGrid:
+    """Copy boundary values outward so out-of-boundary bias stays flat
+    (zero force).  Values only — gradients outside the boundary are never
+    deposited and stay 0, matching the reference."""
+    values = gg.grid.values
+    for outer, bound in _duplication_assignments(gg.spec):
+        values = values.at[outer].set(values[bound])
+    grid = dataclasses.replace(gg.grid, values=values)
+    return dataclasses.replace(gg, grid=grid)
+
+
+def deposit(gg: GaussGrid, centers: jax.Array, heights: jax.Array):
+    """Deposit hills; returns (new GaussGrid, per-hill bias_added (H,)).
+
+    Linear in height: sequential reference deposition of the same centers
+    and heights yields the same grid (scatter-add is order-free)."""
+    hw = hill_windows(gg, centers)
+    dtype = gg.dtype
+    heights = jnp.asarray(heights, dtype)
+    vol = np.asarray(np.prod(gg.spec.grid.dx), dtype)
+
+    contrib = heights[:, None] * hw.value_w  # (H, W)
+    bias_added = jnp.sum(contrib, axis=-1) * vol
+
+    gather = tuple(jnp.moveaxis(hw.idx, -1, 0))
+    values = gg.grid.values.at[gather].add(contrib)
+    dcontrib = heights[:, None, None] * hw.deriv_w
+    derivs = gg.grid.derivs.at[gather].add(dcontrib)
+
+    grid = dataclasses.replace(gg.grid, values=values, derivs=derivs)
+    out = dataclasses.replace(gg, grid=grid)
+    if any(not p for p in gg.spec.boundary_periodic):
+        out = duplicate_boundary(out)
+    return out, bias_added

@@ -1,0 +1,3 @@
+from .errors import EDMError, edm_error
+
+__all__ = ["EDMError", "edm_error"]
