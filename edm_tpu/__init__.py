@@ -15,6 +15,7 @@ Layering (cf. SURVEY.md §1):
 from .grid import Grid, GridSpec, grid_points
 from .gauss import GaussGrid, GaussSpec
 from .utils.errors import EDMError, edm_error
+from .api import EDMBias
 
 __version__ = "0.1.0"
 
@@ -24,6 +25,7 @@ __all__ = [
     "GaussGrid",
     "GaussSpec",
     "grid_points",
+    "EDMBias",
     "EDMError",
     "edm_error",
 ]

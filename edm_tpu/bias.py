@@ -1,0 +1,398 @@
+"""The EDM bias engine — TPU-native equivalent of the reference's ``EDMBias``
+(lib/edm_bias.{h,cpp}).
+
+The reference is a mutable singleton driven one hill at a time; here the
+engine is a pure state-transition function over an explicit ``BiasState``
+pytree, jit-compiled end to end:
+
+  update_forces:   batched CV lookup -> (energy, dU/dx)  (edm_bias.cpp:276-311)
+  add_hills_round: one pre/add/post hill cycle           (edm_bias.cpp:413-583)
+    1. global-tempering prefactor shrink                 (:422-426)
+    2. drain the deferred-hill buffer under the cap      (:432, :313-380)
+    3. skip-whole-round rule if leftovers remain         (:436-439)
+    4. stochastic accept + targeting + well-tempering + clamp (:543-558)
+    5. sequential bias_per_step capping via scalar scan  (ops/prefix_cap)
+    6. one vectorized deposit commit + overflow append
+    7. CV histogram bookkeeping and cum_bias update      (:586-612, :922-931)
+
+MPI-isms map to mesh collectives: update_height's Allreduce is a ``psum``
+over ``axis_name`` when running under shard_map; the hill send-buffer /
+neighbor-exchange protocol (edm_bias.cpp:614-920) is unnecessary — hills
+deposit locally into sharded/replicated device grids (see parallel/).
+
+Deliberate fixes vs the reference quirk ledger (SURVEY.md §5):
+  Q3: the overflow buffer uses proper FIFO append (the reference
+      pre-increments its right cursor, leaving slot 0 unused and replaying a
+      spurious zero-height hill on drain); capacity pressure compacts the
+      buffer instead of reverse-order left-insertion.
+  (MPI) out-of-bounds ranks contribute 0 to cum_bias, not -1 per round.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .gauss import GaussGrid
+from .grid import Grid, GridSpec
+from .ops.deposit import deposit_precomputed, hill_windows
+from .ops.prefix_cap import cap_scan, drain_scan
+from .utils.config import EDMConfig
+from .utils.errors import edm_error
+
+BIAS_CLAMP = 1.0  # edm_bias.h:14
+BIAS_BUFFER_SIZE = 2048  # edm_bias.h:15
+
+# hill-event type codes (edm_bias.h:20-25)
+NEIGH_HILL = "n"
+BUFF_HILL = "b"
+BUFF_UNDO_HILL = "v"
+ADD_HILL = "h"
+ADD_UNDO_HILL = "u"
+BUFF_ZERO_HILL = "z"
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BiasState:
+    bias: GaussGrid
+    cv_hist: Grid
+    cum_bias: jax.Array  # scalar
+    buf_pos: jax.Array  # (CAP, D) deferred hill centers
+    buf_h: jax.Array  # (CAP,) deferred hill heights
+    buf_left: jax.Array  # int32 scalar
+    buf_right: jax.Array  # int32 scalar
+    overflow_error: jax.Array  # bool scalar — host must check and raise
+    steps: jax.Array  # int64 scalar
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BiasParams:
+    """Per-simulation parameters; target/initial grids ride along as leaves."""
+
+    target: Optional[Grid]
+    expected_target: jax.Array  # scalar (0 when not targeting)
+    cfg: EDMConfig = dataclasses.field(metadata=dict(static=True))
+    boltzmann_factor: float = dataclasses.field(metadata=dict(static=True))
+    temperature: float = dataclasses.field(metadata=dict(static=True))
+    total_volume: float = dataclasses.field(metadata=dict(static=True))
+    b_outofbounds: bool = dataclasses.field(metadata=dict(static=True), default=False)
+
+
+def subdivide(
+    cfg: EDMConfig,
+    temperature: float,
+    boltzmann_constant: float,
+    sublo,
+    subhi,
+    boxlo,
+    boxhi,
+    b_periodic,
+    skin,
+    target: Optional[Grid] = None,
+    initial_bias: Optional[Grid] = None,
+    dtype=jnp.float32,
+    buffer_size: int = BIAS_BUFFER_SIZE,
+    n_replicas: int = 1,
+) -> Tuple[BiasParams, BiasState]:
+    """Build the local bias grid for this domain (edm_bias.cpp:98-222).
+
+    ``n_replicas`` stands in for mpi_size: total_volume is the sum over
+    replica subdomain volumes and (for spatially-identical replicas, the
+    edm_pair topology) hill_density/hill_prefactor are divided by it at
+    round time via cfg — see parallel/ for the sharded path.
+    """
+    D = cfg.dim
+    if temperature < 0:
+        edm_error("Must call setup before subdivide", "bias.py:subdivide")
+
+    b_periodic_boundary = []
+    for i in range(D):
+        match = abs(boxlo[i] - cfg.box_low[i]) < 1e-6 and abs(boxhi[i] - cfg.box_high[i]) < 1e-6
+        b_periodic_boundary.append(bool(b_periodic[i]) if match else False)
+
+    gmin, gmax, grid_period = [], [], []
+    bounds_flag = True
+    for i in range(D):
+        lo, hi = float(sublo[i]), float(subhi[i])
+        spans = abs(lo - cfg.box_low[i]) < 1e-6 and abs(hi - cfg.box_high[i]) < 1e-6
+        if spans:
+            grid_period.append(bool(b_periodic[i]))
+            bounds_flag = False
+        else:
+            grid_period.append(False)
+            lo -= skin[i]
+            hi += skin[i]
+        gmin.append(lo)
+        gmax.append(hi)
+        bounds_flag &= (lo >= cfg.box_high[i]) or (hi <= cfg.box_low[i])
+
+    bias = GaussGrid.create(
+        gmin,
+        gmax,
+        cfg.bias_dx,
+        grid_period,
+        cfg.bias_sigma,
+        interpolate=True,
+        dtype=dtype,
+    )
+    bias = bias.set_boundary(cfg.box_low, cfg.box_high, b_periodic_boundary)
+
+    cv_hist = Grid.zeros(
+        GridSpec.create(gmin, gmax, cfg.bias_sigma, grid_period), dtype=dtype
+    )
+
+    if initial_bias is not None:
+        bias = dataclasses.replace(bias, grid=bias.grid.add_grid(initial_bias, 1.0, 0.0))
+
+    total_volume = bias.spec.volume * n_replicas
+
+    expected_target = (
+        target.expected_bias() if target is not None else jnp.zeros((), dtype)
+    )
+
+    params = BiasParams(
+        target=target,
+        expected_target=jnp.asarray(expected_target, dtype),
+        cfg=cfg,
+        boltzmann_factor=float(boltzmann_constant * temperature),
+        temperature=float(temperature),
+        total_volume=float(total_volume),
+        b_outofbounds=bool(bounds_flag),
+    )
+    state = BiasState(
+        bias=bias,
+        cv_hist=cv_hist,
+        cum_bias=jnp.zeros((), dtype),
+        buf_pos=jnp.zeros((buffer_size, D), dtype),
+        buf_h=jnp.zeros((buffer_size,), dtype),
+        buf_left=jnp.zeros((), jnp.int32),
+        buf_right=jnp.zeros((), jnp.int32),
+        overflow_error=jnp.zeros((), bool),
+        steps=jnp.zeros((), jnp.int64),
+    )
+    return params, state
+
+
+# --------------------------------------------------------------------- forces
+
+
+def update_forces(params: BiasParams, state: BiasState, positions, mask=None):
+    """Batched bias energy/derivative lookup (edm_bias.cpp:276-311).
+
+    positions: (N, >=D) — only the first D components form the CV, as in the
+    LAMMPS fix.  Returns (total_energy, der (N, D)); the host applies
+    ``forces[:, :D] -= der``.
+    """
+    D = params.cfg.dim
+    x = jnp.asarray(positions)[..., :D]
+    if params.b_outofbounds:
+        return jnp.zeros((), state.bias.dtype), jnp.zeros_like(x, dtype=state.bias.dtype)
+    v, der = state.bias.get_value_deriv(x)
+    if mask is not None:
+        v = jnp.where(mask, v, 0)
+        der = jnp.where(mask[..., None], der, 0)
+    return jnp.sum(v), der
+
+
+# ---------------------------------------------------------------- hill rounds
+
+
+class RoundRecords(NamedTuple):
+    """Everything the hills log / histogram / tests need about one round."""
+
+    # drain phase (aligned with the pre-round overflow buffer slots)
+    drain_pos: jax.Array  # (CAP, D)
+    drain_h: jax.Array  # (CAP,) heights attempted
+    drain_dep_h: jax.Array  # (CAP,) effective deposited heights
+    drain_s: jax.Array  # (CAP,) integral per unit height
+    drain_processed: jax.Array  # (CAP,) bool
+    drain_straddled: jax.Array  # (CAP,) bool
+    # new-hill phase (aligned with the positions argument)
+    hill_h: jax.Array  # (H,) post-tempering heights
+    hill_dep_h: jax.Array  # (H,) effective deposited heights
+    hill_defer_h: jax.Array  # (H,) deferred remainder
+    hill_s: jax.Array  # (H,)
+    hill_called: jax.Array  # (H,) bool: do_add_hill invoked
+    hill_deposited: jax.Array  # (H,) bool
+    hill_straddled: jax.Array  # (H,) bool
+    skipped: jax.Array  # scalar bool: whole round skipped
+    round_bias: jax.Array  # scalar: temp_hill_cum at round end (this replica)
+    prefactor: jax.Array  # scalar: post-global-tempering prefactor
+
+
+def add_hills_round(
+    params: BiasParams,
+    state: BiasState,
+    positions,
+    runiform,
+    est_hill_count,
+    active=None,
+    axis_name: Optional[str] = None,
+) -> Tuple[BiasState, RoundRecords]:
+    """One full pre_add_hill / add_hill* / post_add_hill cycle."""
+    cfg = params.cfg
+    D = cfg.dim
+    dtype = state.bias.dtype
+    positions = jnp.asarray(positions, dtype)[..., :D]
+    runiform = jnp.asarray(runiform, dtype)
+    H = positions.shape[0]
+    CAP = state.buf_h.shape[0]
+    vol = float(np.prod(state.bias.spec.grid.dx))
+    kT = params.boltzmann_factor
+    cap_bias = cfg.bias_per_step
+
+    if active is None:
+        active = jnp.ones((H,), bool)
+
+    if params.b_outofbounds:
+        # passive replica: contributes 0 to the global reduction (fixes the
+        # reference's -1-per-round cum_bias leak from out-of-bounds ranks)
+        round_bias = jnp.zeros((), dtype)
+        if axis_name is not None:
+            round_bias = jax.lax.psum(round_bias, axis_name)
+        new_state = dataclasses.replace(
+            state, cum_bias=state.cum_bias + round_bias, steps=state.steps + 1
+        )
+        z = jnp.zeros
+        rec = RoundRecords(
+            drain_pos=state.buf_pos, drain_h=state.buf_h,
+            drain_dep_h=z((CAP,), dtype), drain_s=z((CAP,), dtype),
+            drain_processed=z((CAP,), bool), drain_straddled=z((CAP,), bool),
+            hill_h=z((H,), dtype), hill_dep_h=z((H,), dtype),
+            hill_defer_h=z((H,), dtype), hill_s=z((H,), dtype),
+            hill_called=z((H,), bool), hill_deposited=z((H,), bool),
+            hill_straddled=z((H,), bool), skipped=jnp.ones((), bool),
+            round_bias=round_bias, prefactor=jnp.asarray(cfg.hill_prefactor, dtype),
+        )
+        return new_state, rec
+
+    # ---- 1. global tempering (edm_bias.cpp:422-426)
+    pref = jnp.asarray(cfg.hill_prefactor, dtype)
+    if cfg.global_tempering > 0:
+        avg = state.cum_bias / params.total_volume
+        shrink = jnp.exp(
+            -(avg - cfg.global_tempering)
+            / (cfg.global_tempering * (cfg.bias_factor - 1) * kT)
+        )
+        pref = jnp.where(avg >= cfg.global_tempering, pref * shrink, pref)
+
+    # ---- 2. drain the deferred buffer (edm_bias.cpp:432, 313-380)
+    buf_hw = hill_windows(state.bias, state.buf_pos)
+    s_buf = jnp.sum(buf_hw.value_w, axis=-1) * vol
+    slots = jnp.arange(CAP, dtype=jnp.int32)
+    buf_active = (slots >= state.buf_left) & (slots < state.buf_right)
+    dr = drain_scan(state.buf_h, s_buf, buf_active, cap_bias)
+    bias1, _ = deposit_precomputed(state.bias, buf_hw, dr.dep_heights)
+
+    remaining = buf_active & ~dr.consumed
+    any_rem = jnp.any(remaining)
+    left1 = jnp.where(any_rem, jnp.argmax(remaining).astype(jnp.int32), 0)
+    right1 = jnp.where(any_rem, state.buf_right, 0)
+    skip = any_rem  # b_skip_hill_add_ (edm_bias.cpp:436-439)
+
+    # ---- 3. per-hill heights (edm_bias.cpp:528-563)
+    if cfg.hill_density < 0:
+        accept = active
+    else:
+        accept = active & (runiform < cfg.hill_density / est_hill_count)
+
+    h = jnp.full((H,), 1.0, dtype) * pref
+    if params.target is not None:
+        h = h * jnp.exp(params.target.get_value(positions) - params.expected_target)
+    if cfg.b_tempering and cfg.global_tempering < 0:
+        # NOTE strict `< 0` as in edm_bias.cpp:547: the reference enables
+        # well-tempering only when global_tempering is explicitly negative;
+        # with the key unset (0) neither tempering branch fires even though
+        # tempering=1 (README.md:92-95 documents different behavior — the
+        # code wins for parity).
+        # Well-tempering evaluates against the post-drain grid (the reference
+        # reads the live grid hill-by-hill; within a batch this is the same
+        # grid).
+        h = h * jnp.exp(-bias1.get_value(positions) / ((cfg.bias_factor - 1) * kT))
+    if cfg.hill_density < 0:
+        h = h / jnp.asarray(est_hill_count, dtype)
+    else:
+        h = h / cfg.hill_density
+    h = jnp.minimum(h, BIAS_CLAMP * cap_bias)
+
+    # ---- 4. sequential cap + one deposit commit
+    hills_hw = hill_windows(bias1, positions)
+    s_h = jnp.sum(hills_hw.value_w, axis=-1) * vol
+    called = accept & ~skip
+    cr = cap_scan(h, s_h, called, cap_bias, dr.bias_added)
+    bias2, _ = deposit_precomputed(bias1, hills_hw, cr.dep_heights)
+
+    # ---- 5. overflow append (FIFO, compacted; fixes reference Q3)
+    to_defer = called & (cr.defer_heights > 0)
+    n_def = jnp.sum(to_defer.astype(jnp.int32))
+    src = slots + left1
+    valid_src = src < right1
+    src_c = jnp.clip(src, 0, CAP - 1)
+    buf_pos2 = jnp.where(valid_src[:, None], state.buf_pos[src_c], 0)
+    buf_h2 = jnp.where(valid_src, dr.new_heights[src_c], 0)
+    size2 = right1 - left1
+    rank = jnp.cumsum(to_defer.astype(jnp.int32)) - 1
+    tgt = jnp.where(to_defer, size2 + rank, CAP)  # CAP -> dropped
+    buf_pos3 = buf_pos2.at[tgt].set(positions, mode="drop")
+    buf_h3 = buf_h2.at[tgt].set(cr.defer_heights, mode="drop")
+    overflow = (size2 + n_def) > CAP
+
+    # ---- 6. histogram (output_hill bookkeeping, edm_bias.cpp:601-610)
+    hist = state.cv_hist
+    drain_delta = dr.processed.astype(dtype) - dr.straddled.astype(dtype)
+    hist, _ = hist.add_value(state.buf_pos, drain_delta)
+    hill_delta = called.astype(dtype) - cr.straddled.astype(dtype)
+    hist, _ = hist.add_value(positions, hill_delta)
+
+    # ---- 7. cum_bias (update_height, edm_bias.cpp:922-931)
+    round_bias = cr.cum
+    if axis_name is not None:
+        round_bias = jax.lax.psum(round_bias, axis_name)
+
+    new_state = BiasState(
+        bias=bias2,
+        cv_hist=hist,
+        cum_bias=state.cum_bias + round_bias,
+        buf_pos=buf_pos3,
+        buf_h=buf_h3,
+        buf_left=jnp.zeros((), jnp.int32),
+        buf_right=jnp.minimum(size2 + n_def, CAP),
+        overflow_error=state.overflow_error | overflow,
+        steps=state.steps + 1,
+    )
+    rec = RoundRecords(
+        drain_pos=state.buf_pos,
+        drain_h=state.buf_h,
+        drain_dep_h=dr.dep_heights,
+        drain_s=s_buf,
+        drain_processed=dr.processed,
+        drain_straddled=dr.straddled,
+        hill_h=h,
+        hill_dep_h=cr.dep_heights,
+        hill_defer_h=cr.defer_heights,
+        hill_s=s_h,
+        hill_called=called,
+        hill_deposited=cr.deposited,
+        hill_straddled=cr.straddled,
+        skipped=skip,
+        round_bias=cr.cum,
+        prefactor=pref,
+    )
+    return new_state, rec
+
+
+def check_state(state: BiasState) -> None:
+    """Host-side invariant check (the reference aborts inside add_hill;
+    compiled programs surface the flag instead — edm_bias.cpp:501-507)."""
+    if bool(state.overflow_error):
+        edm_error(
+            "The bias overflow buffer is full. Too many hills. Either increase "
+            "buffer_size, lower hill_density, or lower bias",
+            "bias.py:add_hills_round",
+        )

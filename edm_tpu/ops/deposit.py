@@ -109,7 +109,12 @@ def hill_windows(gg: GaussGrid, centers: jax.Array) -> HillWindows:
     dp = jnp.stack(dp_dims, axis=-1)
     dp2 = jnp.sum(dp * dp, axis=-1)
 
-    valid = valid & (dp2 < GAUSS_SUPPORT)
+    # Support cutoff with an inclusive epsilon: when the support radius
+    # sqrt(8)*sigma/dx lands exactly on a grid offset (e.g. sigma=0.2,
+    # dx=0.01 -> 80 points), the reference's double arithmetic computes dp2
+    # a hair below 8 and includes the edge points; XLA's arithmetic can land
+    # a hair above and would drop them, shifting per-hill integrals by ~1e-5.
+    valid = valid & (dp2 < GAUSS_SUPPORT + 1e-12)
     expo = jnp.exp(-dp2)
 
     # McGovern–De Pablo boundary correction, sequential over dims
@@ -235,12 +240,13 @@ def duplicate_boundary(gg: GaussGrid) -> GaussGrid:
     return dataclasses.replace(gg, grid=grid)
 
 
-def deposit(gg: GaussGrid, centers: jax.Array, heights: jax.Array):
-    """Deposit hills; returns (new GaussGrid, per-hill bias_added (H,)).
+def deposit_precomputed(gg: GaussGrid, hw: HillWindows, heights: jax.Array):
+    """Scatter-commit precomputed unit windows scaled by per-hill heights.
 
-    Linear in height: sequential reference deposition of the same centers
-    and heights yields the same grid (scatter-add is order-free)."""
-    hw = hill_windows(gg, centers)
+    Splitting window evaluation from the scatter lets the bias-limiting
+    prefix pass (which needs per-hill integrals *before* choosing effective
+    heights) reuse one window evaluation — the windows depend only on
+    geometry, never on grid contents or heights."""
     dtype = gg.dtype
     heights = jnp.asarray(heights, dtype)
     vol = np.asarray(np.prod(gg.spec.grid.dx), dtype)
@@ -258,3 +264,11 @@ def deposit(gg: GaussGrid, centers: jax.Array, heights: jax.Array):
     if any(not p for p in gg.spec.boundary_periodic):
         out = duplicate_boundary(out)
     return out, bias_added
+
+
+def deposit(gg: GaussGrid, centers: jax.Array, heights: jax.Array):
+    """Deposit hills; returns (new GaussGrid, per-hill bias_added (H,)).
+
+    Linear in height: sequential reference deposition of the same centers
+    and heights yields the same grid (scatter-add is order-free)."""
+    return deposit_precomputed(gg, hill_windows(gg, centers), heights)

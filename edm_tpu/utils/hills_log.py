@@ -1,0 +1,86 @@
+"""Hills log — the reference's per-rank hill event trace
+(output_hill, lib/edm_bias.cpp:586-599).
+
+Line format (8-decimal fixed):
+  ``step type_char hills_added x... height bias_added cum_bias/volume``
+with event types: 'h' add, 'u' add-undo, 'b' buffered-add, 'v' buffer-undo,
+'n' neighbor, 'z' buffer-zero (edm_bias.h:20-25).
+
+The compiled round returns per-hill effective/deferred heights and integral
+weights (RoundRecords); this module reconstructs the reference's sequential
+event stream from them host-side — the counter/ordering semantics (straddlers
+emit an add followed by a partial undo; capped-out hills emit a zero-height
+'h' without incrementing the counter) are replicated exactly.
+"""
+
+from __future__ import annotations
+
+import io
+
+import numpy as np
+
+
+class HillsLog:
+    def __init__(self, filename: str, dim: int, total_volume: float):
+        self.filename = filename
+        self.dim = dim
+        self.total_volume = total_volume
+        self._f = open(filename, "w") if filename else None
+
+    def close(self):
+        if self._f:
+            self._f.close()
+            self._f = None
+
+    def _line(self, buf, step, type_char, counter, pos, height, bias_added, cum_over_vol):
+        buf.write(f"{step} {type_char} {counter} ")
+        for d in range(self.dim):
+            buf.write(f"{pos[d]:.8f} ")
+        buf.write(f"{height:.8f} {bias_added:.8f} {cum_over_vol:.8f}\n")
+
+    def log_round(self, step: int, cum_bias_before: float, rec, positions=None) -> None:
+        """Reconstruct and append the event stream for one hill round.
+
+        ``positions``: the (H, D) new-hill centers passed to the round (kept
+        out of RoundRecords to avoid duplicating a large array on device).
+        """
+        if self._f is None:
+            return
+        buf = io.StringIO()
+        cum = cum_bias_before / self.total_volume
+        counter = 0
+
+        drain_pos = np.asarray(rec.drain_pos)
+        drain_h = np.asarray(rec.drain_h)
+        drain_dep = np.asarray(rec.drain_dep_h)
+        drain_s = np.asarray(rec.drain_s)
+        for i in np.nonzero(np.asarray(rec.drain_processed))[0]:
+            counter += 1
+            self._line(buf, step, "b", counter, drain_pos[i], drain_h[i], drain_h[i] * drain_s[i], cum)
+            if rec.drain_straddled[i]:
+                undo = drain_dep[i] - drain_h[i]  # negative partial
+                counter += 1
+                self._line(buf, step, "v", counter, drain_pos[i], undo, undo * drain_s[i], cum)
+
+        hill_h = np.asarray(rec.hill_h)
+        hill_dep = np.asarray(rec.hill_dep_h)
+        hill_s = np.asarray(rec.hill_s)
+        called = np.asarray(rec.hill_called)
+        deposited = np.asarray(rec.hill_deposited)
+        straddled = np.asarray(rec.hill_straddled)
+        pos = None if positions is None else np.asarray(positions)
+        for i in np.nonzero(called)[0]:
+            p = pos[i] if pos is not None else np.zeros(self.dim)
+            if deposited[i]:
+                counter += 1
+                self._line(buf, step, "h", counter, p, hill_h[i], hill_h[i] * hill_s[i], cum)
+                if straddled[i]:
+                    undo = hill_dep[i] - hill_h[i]
+                    counter += 1
+                    self._line(buf, step, "u", counter, p, undo, undo * hill_s[i], cum)
+            else:
+                # capped out: logged with zero height, counter not bumped
+                self._line(buf, step, "h", counter, p, 0.0, 0.0, cum)
+
+        self._f.write(buf.getvalue())
+        self._f.flush()

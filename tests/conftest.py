@@ -9,7 +9,9 @@ use float32/bfloat16.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# explicit assignment: the parent env presets JAX_PLATFORMS=axon (TPU
+# tunnel) and setdefault would NOT override it
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
