@@ -67,7 +67,7 @@ class BiasState:
     buf_left: jax.Array  # int32 scalar
     buf_right: jax.Array  # int32 scalar
     overflow_error: jax.Array  # bool scalar — host must check and raise
-    steps: jax.Array  # int64 scalar
+    steps: jax.Array  # int32 scalar (hill-round counter)
 
 
 @jax.tree_util.register_dataclass
@@ -174,7 +174,7 @@ def subdivide(
         buf_left=jnp.zeros((), jnp.int32),
         buf_right=jnp.zeros((), jnp.int32),
         overflow_error=jnp.zeros((), bool),
-        steps=jnp.zeros((), jnp.int64),
+        steps=jnp.zeros((), jnp.int32),
     )
     return params, state
 
@@ -362,7 +362,7 @@ def add_hills_round(
         buf_pos=buf_pos3,
         buf_h=buf_h3,
         buf_left=jnp.zeros((), jnp.int32),
-        buf_right=jnp.minimum(size2 + n_def, CAP),
+        buf_right=jnp.minimum(size2 + n_def, CAP).astype(jnp.int32),
         overflow_error=state.overflow_error | overflow,
         steps=state.steps + 1,
     )

@@ -1,0 +1,122 @@
+"""Coordinate-CV EDM host — the TPU-native equivalent of LAMMPS ``fix edm``
+(reference lammps/fix_edm.cpp): biases raw particle coordinates (1-3 dims)
+during a Langevin MD run.
+
+The LAMMPS hooks map to a single jit-compiled MD step under ``lax.scan``:
+  post_force  -> bias gradient lookup fused into the force function
+  hill stride -> a ``lax.cond``-gated add_hills_round with jax.random
+                 uniforms standing in for RanMars (fix_edm.cpp:145-151)
+  write stride-> host-side segment boundary (bias/histogram writers)
+
+The whole inner loop — integrate, CV lookup, hill deposition — is one XLA
+program; per-step host traffic is zero within a write segment.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import bias as B
+from .langevin import LangevinParams, baoab_step
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CoordEDMState:
+    x: jax.Array  # (N, ndim_space)
+    v: jax.Array
+    f: jax.Array
+    key: jax.Array
+    bias: B.BiasState
+    step: jax.Array  # int64
+    energy: jax.Array  # last bias energy
+
+
+def make_step(
+    params: B.BiasParams,
+    lp: LangevinParams,
+    hill_stride: int,
+    external_force: Optional[Callable] = None,
+    axis_name: Optional[str] = None,
+):
+    """Build the jitted single-step transition.
+
+    ``external_force(x) -> (energy, force)`` adds a physical potential on
+    top of the bias (None = free particle, the reference's sanity setup).
+    """
+    D = params.cfg.dim
+
+    def force_fn(bias_state):
+        def fn(x):
+            e_b, der = B.update_forces(params, bias_state, x)
+            f = jnp.zeros_like(x)
+            f = f.at[..., :D].add(-der)
+            e = e_b
+            if external_force is not None:
+                e_ext, f_ext = external_force(x)
+                f = f + f_ext
+                e = e + e_ext
+            return e, f
+
+        return fn
+
+    def step(state: CoordEDMState, _) -> Tuple[CoordEDMState, jax.Array]:
+        x, v, f, energy, key = baoab_step(
+            lp, state.x, state.v, state.f, state.key, force_fn(state.bias)
+        )
+
+        do_hills = (state.step % hill_stride) == 0
+        key, sub = jax.random.split(key)
+        runiform = jax.random.uniform(sub, (x.shape[0],), x.dtype)
+
+        def with_hills(bs):
+            new_bs, _ = B.add_hills_round(
+                params, bs, x[..., :D], runiform, x.shape[0], axis_name=axis_name
+            )
+            return new_bs
+
+        def without_hills(bs):
+            # keep steps aligned with the reference convention: steps_ counts
+            # hill rounds, not MD steps (edm_bias.cpp:582)
+            return bs
+
+        bias_state = jax.lax.cond(do_hills, with_hills, without_hills, state.bias)
+
+        return (
+            CoordEDMState(
+                x=x, v=v, f=f, key=key, bias=bias_state,
+                step=state.step + 1, energy=energy,
+            ),
+            energy,
+        )
+
+    return step
+
+
+def init_state(
+    params: B.BiasParams,
+    bias_state: B.BiasState,
+    x0,
+    key,
+    lp: LangevinParams,
+) -> CoordEDMState:
+    x0 = jnp.asarray(x0)
+    return CoordEDMState(
+        x=x0,
+        v=jnp.zeros_like(x0),
+        f=jnp.zeros_like(x0),
+        key=key,
+        bias=bias_state,
+        step=jnp.zeros((), jnp.int32),
+        energy=jnp.zeros((), x0.dtype),
+    )
+
+
+def run_segment(step_fn, state: CoordEDMState, n_steps: int):
+    """Run ``n_steps`` MD steps as one compiled scan; returns final state and
+    the per-step bias energies."""
+    return jax.lax.scan(step_fn, state, None, length=n_steps)

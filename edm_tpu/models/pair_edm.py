@@ -1,0 +1,173 @@
+"""Pairwise-distance EDM host — TPU-native equivalent of LAMMPS
+``fix edm_pair`` (reference lammps/fix_edm_pair.cpp): biases the pair-distance
+CV of a LJ fluid toward a target RDF-derived PMF.
+
+Reference mapping:
+  half-neighbor-list loop           -> dense minimum-image pair matrix; each
+                                       ordered pair (i,j) contributes its own
+                                       force row, so the equal/opposite pair
+                                       forces (fix_edm_pair.cpp:219-227) and
+                                       the 2-hills-per-pair rule (:229-237,
+                                       both atoms local on one device) emerge
+                                       from symmetry; energy is halved.
+  per-pair RanMars uniforms         -> jax.random uniforms per ordered pair
+  est_hill_count = last ncalls      -> carried per-step pair count
+                                       (fix_edm_pair.cpp:105,243-246)
+  bias domain [0, cutoff+skin]      -> the .edm box; grid replicated per
+                                       device, psum-merged under shard_map
+
+TPU-native hill compaction: with ``hill_density`` set, only
+~hill_density hills are accepted per round out of O(N^2) candidate pairs, so
+accepted pairs are compacted (stable argsort on the accept mask) into a
+fixed-capacity hill batch before the expensive window evaluation — the
+deposit cost scales with accepted hills, not candidate pairs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import bias as B
+from .langevin import LangevinParams, baoab_step
+from .lj import LJParams, lj_energy_forces, pair_displacements
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PairEDMState:
+    x: jax.Array  # (N, 3)
+    v: jax.Array
+    f: jax.Array
+    key: jax.Array
+    bias: B.BiasState
+    step: jax.Array
+    last_calls: jax.Array  # est_hill_count for the next round
+    energy: jax.Array  # bias energy of the last step
+    hills_truncated: jax.Array  # bool: accepted hills exceeded capacity
+
+
+def make_step(
+    params: B.BiasParams,
+    lp: LangevinParams,
+    lj: LJParams,
+    box,
+    hill_stride: int,
+    hill_capacity: int = 2048,
+    axis_name: Optional[str] = None,
+):
+    """Build the jitted pairwise-EDM MD step."""
+
+    def bias_pair_force(bias_state, disp, r):
+        rb = r[..., None]  # (N, N, 1) as 1-D CV points
+        val, der = bias_state.bias.get_value_deriv(rb)
+        # force on i from pair (i,j): -dU/dr * r_hat (fix_edm_pair.cpp:216-222)
+        inr = jnp.where(jnp.isfinite(r), 1.0 / r, 0.0)
+        fvec = (-der[..., 0] * inr)[..., None] * disp
+        forces = jnp.sum(fvec, axis=1)
+        energy = 0.5 * jnp.sum(jnp.where(jnp.isfinite(r), val, 0.0))
+        return energy, forces
+
+    def step(state: PairEDMState, _) -> Tuple[PairEDMState, jax.Array]:
+        bias_state = state.bias
+
+        def force_fn(x):
+            disp, r = pair_displacements(x, box)
+            e_lj, f_lj = lj_energy_forces(lj, disp, r)
+            e_b, f_b = bias_pair_force(bias_state, disp, r)
+            return e_b, f_lj + f_b
+
+        x, v, f, e_bias, key = baoab_step(
+            lp, state.x, state.v, state.f, state.key, force_fn
+        )
+
+        do_hills = (state.step % hill_stride) == 0
+
+        def with_hills(args):
+            bs, key, last_calls = args
+            disp, r = pair_displacements(x, box)
+            rflat = r.reshape(-1)
+            # candidate = ordered in-range pair, like every add_hill call in
+            # the reference's neighbor loop
+            bmax = params.cfg.box_high[0]
+            candidate = jnp.isfinite(rflat) & (rflat < bmax)
+            ncalls = jnp.sum(candidate.astype(jnp.int32)).astype(jnp.int32)
+
+            key, sub = jax.random.split(key)
+            runif = jax.random.uniform(sub, rflat.shape, rflat.dtype)
+            if params.cfg.hill_density < 0:
+                accept = candidate
+            else:
+                accept = candidate & (
+                    runif < params.cfg.hill_density / last_calls.astype(rflat.dtype)
+                )
+
+            # compact accepted pairs to fixed capacity (stable: preserves
+            # pair-index deposit order for the capping scan)
+            order = jnp.argsort(jnp.logical_not(accept), stable=True)[:hill_capacity]
+            hills = rflat[order][:, None]
+            active = accept[order]
+            truncated = jnp.sum(accept.astype(jnp.int32)) > hill_capacity
+
+            new_bs, _ = B.add_hills_round(
+                params,
+                bs,
+                hills,
+                runif[order],
+                last_calls.astype(rflat.dtype),
+                active=active,
+                axis_name=axis_name,
+            )
+            return new_bs, key, ncalls, truncated
+
+        def without_hills(args):
+            bs, key, last_calls = args
+            return bs, key, last_calls, jnp.zeros((), bool)
+
+        bias_state, key, last_calls, truncated = jax.lax.cond(
+            do_hills, with_hills, without_hills, (bias_state, key, state.last_calls)
+        )
+
+        return (
+            PairEDMState(
+                x=x,
+                v=v,
+                f=f,
+                key=key,
+                bias=bias_state,
+                step=state.step + 1,
+                last_calls=last_calls,
+                energy=e_bias,
+                hills_truncated=state.hills_truncated | truncated,
+            ),
+            e_bias,
+        )
+
+    return step
+
+
+def init_state(
+    bias_state: B.BiasState, x0, key, n_est: Optional[int] = None
+) -> PairEDMState:
+    """``n_est``: initial est_hill_count, the reference's conservative
+    atom->nmax guess (fix_edm_pair.cpp:105)."""
+    x0 = jnp.asarray(x0)
+    n = x0.shape[0] if n_est is None else n_est
+    return PairEDMState(
+        x=x0,
+        v=jnp.zeros_like(x0),
+        f=jnp.zeros_like(x0),
+        key=key,
+        bias=bias_state,
+        step=jnp.zeros((), jnp.int32),
+        last_calls=jnp.asarray(n, jnp.int32),
+        energy=jnp.zeros((), x0.dtype),
+        hills_truncated=jnp.zeros((), bool),
+    )
+
+
+def run_segment(step_fn, state: PairEDMState, n_steps: int):
+    return jax.lax.scan(step_fn, state, None, length=n_steps)

@@ -56,9 +56,11 @@ def hill_windows(gg: GaussGrid, centers: jax.Array) -> HillWindows:
 
     gmin = jnp.asarray(g.min, dtype)
     gdx = jnp.asarray(g.dx, dtype)
-    bmin = np.asarray(spec.boundary_min)
-    bmax = np.asarray(spec.boundary_max)
-    sigma = np.asarray(spec.sigma)
+    # plain python floats: weak-typed under jnp so an f32 grid stays f32
+    # even when jax_enable_x64 is on (np scalars would promote to f64)
+    bmin = spec.boundary_min
+    bmax = spec.boundary_max
+    sigma = spec.sigma
 
     x = gg.remap(jnp.asarray(centers, dtype))  # (H, D)
 
