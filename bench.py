@@ -1,0 +1,140 @@
+"""Driver benchmark — runs on one real TPU chip; prints ONE JSON line.
+
+Primary metric (BASELINE.json): MD steps/sec at 10k-atom pairwise EDM.
+The full MD step is measured: LJ forces + pairwise-CV bias forces over all
+minimum-image pairs + strided hill rounds — i.e. strictly MORE work per step
+than the reference baseline, which was measured on the EDM-side work alone
+(synthetic 20-neighbor half list, no LJ, no integration).
+
+Baseline provenance: reference serial build at -O2 on this machine's CPU
+(/root/reference, MPI stubbed), 10k atoms x 20 neighbors, hill stride 10,
+hill_density 250: 124.47 steps/s.  Hill deposition on a 1e6-point grid
+(sigma 0.01, dx 1e-5): 3333.5 hills/s.  See BASELINE.md.
+
+Usage: python bench.py [--quick] [--all]
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+REF_STEPS_PER_SEC = 124.47  # reference CPU, see module docstring
+REF_HILLS_PER_SEC = 3333.5
+
+
+def bench_pairwise(n_atoms=10000, block=500, steps=100, hill_stride=10, dtype=None):
+    import jax
+    import jax.numpy as jnp
+
+    from edm_tpu import bias as B
+    from edm_tpu.models import pair_edm
+    from edm_tpu.models.langevin import LangevinParams
+    from edm_tpu.models.lj import LJParams
+    from edm_tpu.models.pair_edm_blocked import make_step_blocked
+    from edm_tpu.utils.config import parse_edm_text
+
+    dtype = dtype or jnp.float32
+    cfg = parse_edm_text(
+        "tempering 0\nhill_prefactor 0.1\nbias_per_step 1.0\nhill_density 250\n"
+        "dimension 1\nbox_low 0\nbox_high 3.0\nbias_spacing 0.02\nbias_sigma 0.1\n"
+    )
+    params, bias_state = B.subdivide(
+        cfg, 1.0, 1.0, [0], [3.0], [0], [3.0], [False], [0], dtype=dtype
+    )
+    # LJ fluid at density ~0.5
+    side = int(np.ceil(n_atoms ** (1 / 3)))
+    a = 1.26
+    pts = (
+        np.stack(np.meshgrid(*[np.arange(side)] * 3, indexing="ij"), -1).reshape(-1, 3)[
+            :n_atoms
+        ]
+        * a
+        + 0.5 * a
+    )
+    box = [side * a] * 3
+    lp = LangevinParams(dt=0.002, friction=1.0, kT=0.8)
+    lj = LJParams(epsilon=1.0, sigma=1.0, rcut=2.5)
+
+    step = make_step_blocked(
+        params, lp, lj, box, hill_stride=hill_stride,
+        hill_capacity=2048, block_size=block,
+    )
+    state = pair_edm.init_state(
+        bias_state, jnp.asarray(pts, dtype), jax.random.PRNGKey(0), n_est=n_atoms * 40
+    )
+
+    seg = jax.jit(lambda s: jax.lax.scan(step, s, None, length=steps))
+    # warmup/compile
+    state, _ = seg(state)
+    jax.block_until_ready(state.x)
+    t0 = time.perf_counter()
+    state, e = seg(state)
+    jax.block_until_ready(state.x)
+    dt_s = time.perf_counter() - t0
+    assert bool(jnp.isfinite(e).all()), "non-finite energies in bench"
+    return steps / dt_s
+
+
+def bench_deposition(grid_points=1_000_000, hills=200, dtype=None):
+    import jax
+    import jax.numpy as jnp
+
+    from edm_tpu import GaussGrid
+
+    dtype = dtype or jnp.float32
+    dx = 10.0 / grid_points
+    g = GaussGrid.create([0], [10], [dx], [True], [0.01], dtype=dtype)
+    rng = np.random.default_rng(3)
+    centers = jnp.asarray(rng.uniform(0, 10, (hills, 1)), dtype)
+    heights = jnp.full((hills,), 0.1, dtype)
+
+    dep = jax.jit(lambda gg, c, h: gg.add_value(c, h))
+    out, added = dep(g, centers, heights)  # compile
+    jax.block_until_ready(out.grid.values)
+    t0 = time.perf_counter()
+    out, added = dep(g, centers, heights)
+    jax.block_until_ready(out.grid.values)
+    dt_s = time.perf_counter() - t0
+    return hills / dt_s
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="smaller sizes")
+    ap.add_argument("--all", action="store_true", help="print secondary metrics")
+    args = ap.parse_args()
+
+    if args.quick:
+        n_atoms = 1000
+        sps = bench_pairwise(n_atoms=n_atoms, block=250, steps=20)
+    else:
+        n_atoms = 10000
+        sps = bench_pairwise()
+
+    result = {
+        "metric": f"MD steps/sec, {n_atoms}-atom pairwise EDM (full LJ+bias MD step)",
+        "value": round(sps, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(sps / REF_STEPS_PER_SEC, 2),
+    }
+
+    if args.all:
+        hps = bench_deposition()
+        print(
+            json.dumps(
+                {
+                    "metric": "hill depositions/sec, 1e6-point grid",
+                    "value": round(hps, 1),
+                    "unit": "hills/s",
+                    "vs_baseline": round(hps / REF_HILLS_PER_SEC, 2),
+                }
+            )
+        )
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -3,24 +3,35 @@
 Multi-chip TPU hardware is not available in CI; sharding correctness is
 validated on a host-platform device mesh exactly as the driver's
 ``dryrun_multichip`` does.  x64 is enabled so physics invariants can be
-checked at reference (double) precision where needed; production TPU runs
-use float32/bfloat16.
+checked at reference (double) precision; production TPU runs use
+float32/bfloat16.
+
+Platform forcing: this image's sitecustomize registers the axon TPU PJRT
+plugin at interpreter startup and programmatically sets
+``jax_platforms="axon,cpu"`` — env vars alone cannot override it, so we
+update the jax config directly (before any backend is touched).  Without
+this, "CPU" tests silently run on the tunneled TPU chip, where float64 is
+f32-pair emulated (~49-bit mantissa) and reference-parity pins fail.
 """
 
 import os
 
-# explicit assignment: the parent env presets JAX_PLATFORMS=axon (TPU
-# tunnel) and setdefault would NOT override it
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+assert jax.default_backend() == "cpu", (
+    f"tests must run on CPU, got {jax.default_backend()}"
+)
+assert len(jax.devices()) >= 8, "expected 8 virtual CPU devices"
 
 import pathlib
 
