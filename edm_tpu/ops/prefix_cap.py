@@ -1,6 +1,6 @@
 """Bias-per-step capping — the sequential hill-limiter semantics of the
 reference (do_add_hill, lib/edm_bias.cpp:444-526; flush_bias_buffer,
-lib/edm_bias.cpp:313-380) expressed as cheap scalar ``lax.scan``s.
+lib/edm_bias.cpp:313-380) computed by parallel prefix sums.
 
 The reference deposits hills one at a time, tracking the cumulative bias
 added this step (``temp_hill_cum_``); the hill that crosses ``bias_per_step``
@@ -9,12 +9,19 @@ the remainder (plus every later hill) is deferred to an overflow buffer —
 dropping instead of deferring would bias the sampling (README.md:20-24).
 
 Deposition is linear in hill height and the per-hill integral-per-unit-height
-``s_k`` depends only on geometry, so the sequential decision reduces to a
-scalar recurrence over (h_k, s_k): a ~5-flop scan over the batch, after which
-one vectorized scatter commits all effective heights at once.  This
-reproduces the reference's exact order-dependent semantics (including the
-s_k != 1 round-off behavior its regression test guards, edm_test.cpp:823)
-without sequential grid mutation.
+``s_k`` depends only on geometry, so the sequential decision reduces to
+locating the prefix-sum crossing of the cap: everything before the crossing
+deposits in full, the straddler gets the partial undo, everything after
+defers.  One wrinkle keeps this from being a single pass: when the
+straddler's s_k > 1 (possible from grid round-off — the case the reference's
+regression test guards, edm_test.cpp:823), the post-undo cumulative dips
+back *below* the cap and the next hill deposits again; a ``while_loop`` of
+parallel passes handles each crossing (virtually always exactly one pass).
+
+A naive ``lax.scan`` over hills is semantically identical but costs ~40 us
+per element on TPU (sequential scalar iterations) — 80+ ms per hill round at
+the reference's 2048-hill buffer size; the prefix form is a few fused
+cumsum/where passes.
 """
 
 from __future__ import annotations
@@ -40,27 +47,78 @@ def cap_scan(heights, weights, active, cap, cum0) -> CapResult:
     bias already added this step (from the buffer drain).
     """
     dtype = heights.dtype
+    N = heights.shape[0]
     cap = jnp.asarray(cap, dtype)
+    cum0 = jnp.asarray(cum0, dtype)
+    idxs = jnp.arange(N, dtype=jnp.int32)
+    contrib_all = jnp.where(active, heights * weights, 0)
 
-    def body(cum, inp):
-        h, s, a = inp
-        can_add = cum < cap
-        cum_full = cum + h * s
-        straddle = can_add & (cum_full > cap)
-        # round-off guard: never undo more than the hill itself (edm_bias.cpp:479)
-        h_undo = jnp.maximum(cap - cum_full, -h)
-        dep = jnp.where(can_add, h + jnp.where(straddle, h_undo, 0.0), 0.0)
-        defer = jnp.where(can_add, jnp.where(straddle, -h_undo, 0.0), h)
-        new_cum = jnp.where(can_add, cum_full + jnp.where(straddle, h_undo * s, 0.0), cum)
-        dep = jnp.where(a, dep, 0.0)
-        defer = jnp.where(a, defer, 0.0)
-        new_cum = jnp.where(a, new_cum, cum)
-        return new_cum, (dep, defer, a & can_add, a & straddle)
+    class _St(NamedTuple):
+        cum: jax.Array
+        start: jax.Array
+        dep: jax.Array
+        defer: jax.Array
+        deposited: jax.Array
+        straddled: jax.Array
+        done: jax.Array
 
-    cum, (dep, defer, deposited, straddled) = jax.lax.scan(
-        body, jnp.asarray(cum0, dtype), (heights, weights, active)
+    # cum0 already at/over the cap: every active hill defers whole
+    init_done = cum0 >= cap
+    st0 = _St(
+        cum=cum0,
+        start=jnp.zeros((), jnp.int32),
+        dep=jnp.zeros((N,), dtype),
+        defer=jnp.where(active & init_done, heights, jnp.zeros((N,), dtype)),
+        deposited=jnp.zeros((N,), bool),
+        straddled=jnp.zeros((N,), bool),
+        done=init_done,
     )
-    return CapResult(dep, defer, deposited, straddled, cum)
+
+    def cond(st):
+        return ~st.done
+
+    def body(st):
+        undec = active & (idxs >= st.start)
+        c = jnp.where(undec, contrib_all, 0)
+        prefix = st.cum + jnp.cumsum(c)
+        prev = prefix - c
+
+        full = undec & (prev < cap) & (prefix <= cap)
+        crossing = undec & (prev < cap) & (prefix > cap)
+        any_cross = jnp.any(crossing)
+        k_star = jnp.argmax(crossing).astype(jnp.int32)
+
+        dep = jnp.where(full, heights, st.dep)
+        deposited = st.deposited | full
+
+        h_k = heights[k_star]
+        s_k = weights[k_star]
+        pre_k = prefix[k_star]
+        h_undo = jnp.maximum(cap - pre_k, -h_k)
+        is_k = any_cross & (idxs == k_star)
+        dep = jnp.where(is_k, h_k + h_undo, dep)
+        defer = jnp.where(is_k, -h_undo, st.defer)
+        deposited = deposited | is_k
+        straddled = st.straddled | is_k
+
+        cum_after = jnp.where(any_cross, pre_k + h_undo * s_k, st.cum + jnp.sum(c))
+        done = ~any_cross | (cum_after >= cap)
+        # cap saturated: everything after the straddler defers whole
+        post = undec & (idxs > k_star) & any_cross
+        defer = jnp.where(post & done, heights, defer)
+
+        return _St(
+            cum=cum_after,
+            start=jnp.where(any_cross, k_star + 1, jnp.int32(N)),
+            dep=dep,
+            defer=defer,
+            deposited=deposited,
+            straddled=straddled,
+            done=done,
+        )
+
+    st = jax.lax.while_loop(cond, body, st0)
+    return CapResult(st.dep, st.defer, st.deposited, st.straddled, st.cum)
 
 
 class DrainResult(NamedTuple):
@@ -76,26 +134,26 @@ def drain_scan(heights, weights, active, max_bias) -> DrainResult:
     """Overflow-buffer drain (flush_bias_buffer, edm_bias.cpp:313-380).
 
     Differs from cap_scan: the loop *stops* at the straddling slot, which
-    stays in the buffer holding the un-deposited remainder.
+    stays in the buffer holding the un-deposited remainder — a single
+    parallel pass (the reference always breaks at the first crossing).
     """
     dtype = heights.dtype
     max_bias = jnp.asarray(max_bias, dtype)
+    contrib = jnp.where(active, heights * weights, 0)
+    prefix = jnp.cumsum(contrib)
+    prev = prefix - contrib
 
-    def body(carry, inp):
-        cum, stopped = carry
-        h, s, a = inp
-        run = a & ~stopped
-        cum_full = cum + h * s
-        straddle = run & (cum_full > max_bias)
-        h_undo = jnp.maximum(max_bias - cum_full, -h)
-        dep = jnp.where(run, h + jnp.where(straddle, h_undo, 0.0), 0.0)
-        new_h = jnp.where(run, jnp.where(straddle, -h_undo, 0.0), h)
-        new_cum = jnp.where(run, cum_full + jnp.where(straddle, h_undo * s, 0.0), cum)
-        return (new_cum, stopped | straddle), (dep, new_h, run & ~straddle, run, straddle)
+    # slot processed iff the running total had not yet exceeded max_bias
+    # BEFORE it (strict >: equality continues, edm_bias.cpp:334)
+    processed = active & (prev <= max_bias)
+    straddled = processed & (prefix > max_bias)
+    consumed = processed & ~straddled
 
-    (cum, _), (dep, new_h, consumed, processed, straddled) = jax.lax.scan(
-        body,
-        (jnp.zeros((), dtype), jnp.zeros((), bool)),
-        (heights, weights, active),
-    )
-    return DrainResult(dep, new_h, consumed, processed, straddled, cum)
+    h_undo = jnp.maximum(max_bias - prefix, -heights)
+    dep = jnp.where(consumed, heights, jnp.where(straddled, heights + h_undo, 0))
+    new_h = jnp.where(consumed, 0, jnp.where(straddled, -h_undo, heights))
+
+    undo_term = jnp.sum(jnp.where(straddled, h_undo * weights, 0))
+    bias_added = jnp.sum(jnp.where(processed, contrib, 0)) + undo_term
+
+    return DrainResult(dep, new_h, consumed, processed, straddled, bias_added)

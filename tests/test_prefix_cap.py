@@ -1,0 +1,128 @@
+"""Parallel-prefix capping vs a literal sequential reimplementation of the
+reference recurrence (do_add_hill / flush_bias_buffer)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from edm_tpu.ops.prefix_cap import cap_scan, drain_scan
+
+
+def seq_cap(heights, weights, active, cap, cum0):
+    """Literal port of edm_bias.cpp:465-523 per-hill logic."""
+    n = len(heights)
+    dep = np.zeros(n)
+    defer = np.zeros(n)
+    deposited = np.zeros(n, bool)
+    straddled = np.zeros(n, bool)
+    cum = cum0
+    for k in range(n):
+        if not active[k]:
+            continue
+        h, s = heights[k], weights[k]
+        if cum < cap:
+            cum += h * s
+            dep[k] = h
+            deposited[k] = True
+            if cum > cap:
+                h_undo = max(cap - cum, -h)
+                dep[k] = h + h_undo
+                cum += h_undo * s
+                defer[k] = -h_undo
+                straddled[k] = True
+        else:
+            defer[k] = h
+    return dep, defer, deposited, straddled, cum
+
+
+def seq_drain(heights, weights, active, max_bias):
+    """Literal port of edm_bias.cpp:313-380 (break at first crossing)."""
+    n = len(heights)
+    dep = np.zeros(n)
+    new_h = heights.copy()
+    consumed = np.zeros(n, bool)
+    processed = np.zeros(n, bool)
+    straddled = np.zeros(n, bool)
+    cum = 0.0
+    for k in range(n):
+        if not active[k]:
+            continue
+        h, s = heights[k], weights[k]
+        cum += h * s
+        dep[k] = h
+        processed[k] = True
+        if cum > max_bias:
+            h_undo = max(max_bias - cum, -h)
+            dep[k] = h + h_undo
+            new_h[k] = -h_undo
+            cum += h_undo * s
+            straddled[k] = True
+            break
+        consumed[k] = True
+        new_h[k] = 0.0
+    return dep, new_h, consumed, processed, straddled, cum
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_cap_matches_sequential(seed):
+    rng = np.random.default_rng(seed)
+    n = 64
+    heights = rng.uniform(0.01, 0.3, n)
+    # include s>1 cases (grid round-off regime) so the multi-crossing
+    # while_loop path is exercised
+    weights = rng.uniform(0.9, 1.05, n)
+    active = rng.random(n) < 0.8
+    cap = 1.0
+    cum0 = rng.uniform(0, 0.5)
+
+    want = seq_cap(heights, weights, active, cap, cum0)
+    got = cap_scan(
+        jnp.asarray(heights), jnp.asarray(weights), jnp.asarray(active), cap, cum0
+    )
+    np.testing.assert_allclose(np.asarray(got.dep_heights), want[0], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.defer_heights), want[1], atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(got.deposited), want[2])
+    np.testing.assert_array_equal(np.asarray(got.straddled), want[3])
+    assert abs(float(got.cum) - want[4]) < 1e-12
+
+
+def test_cap_initial_over_cap():
+    heights = np.full(8, 0.1)
+    weights = np.ones(8)
+    active = np.ones(8, bool)
+    got = cap_scan(jnp.asarray(heights), jnp.asarray(weights), jnp.asarray(active), 1.0, 1.5)
+    np.testing.assert_allclose(np.asarray(got.dep_heights), 0.0)
+    np.testing.assert_allclose(np.asarray(got.defer_heights), heights)
+    assert float(got.cum) == 1.5
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_drain_matches_sequential(seed):
+    rng = np.random.default_rng(100 + seed)
+    n = 32
+    heights = rng.uniform(0.01, 0.5, n)
+    weights = rng.uniform(0.9, 1.05, n)
+    left, right = 3, 20
+    active = (np.arange(n) >= left) & (np.arange(n) < right)
+    max_bias = 1.0
+
+    want = seq_drain(heights, weights, active, max_bias)
+    got = drain_scan(
+        jnp.asarray(heights), jnp.asarray(weights), jnp.asarray(active), max_bias
+    )
+    np.testing.assert_allclose(np.asarray(got.dep_heights), want[0], atol=1e-12)
+    # untouched slots keep their heights; consumed go to 0
+    np.testing.assert_allclose(np.asarray(got.new_heights), want[1], atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(got.consumed), want[2])
+    np.testing.assert_array_equal(np.asarray(got.processed), want[3])
+    np.testing.assert_array_equal(np.asarray(got.straddled), want[4])
+    assert abs(float(got.bias_added) - want[5]) < 1e-12
+
+
+def test_drain_empty_buffer():
+    heights = np.zeros(16)
+    got = drain_scan(
+        jnp.asarray(heights), jnp.ones(16), jnp.zeros(16, bool), 1.0
+    )
+    assert float(got.bias_added) == 0.0
+    assert not np.asarray(got.processed).any()
