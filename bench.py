@@ -62,7 +62,8 @@ def bench_pairwise(n_atoms=10000, block=500, steps=100, hill_stride=10, dtype=No
         hill_capacity=2048, block_size=block,
     )
     state = pair_edm.init_state(
-        bias_state, jnp.asarray(pts, dtype), jax.random.PRNGKey(0), n_est=n_atoms * 40
+        bias_state, jnp.asarray(pts, dtype), jax.random.PRNGKey(0),
+        n_est=n_atoms * 40, pair_lookup="chebyshev",
     )
 
     seg = jax.jit(lambda s: jax.lax.scan(step, s, None, length=steps))

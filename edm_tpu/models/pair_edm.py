@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import bias as B
+from ..ops.chebyshev import ChebTable, fit_gauss_grid
 from .langevin import LangevinParams, baoab_step
 from .lj import LJParams, lj_energy_forces, pair_displacements
 
@@ -48,6 +49,7 @@ class PairEDMState:
     last_calls: jax.Array  # est_hill_count for the next round
     energy: jax.Array  # bias energy of the last step
     hills_truncated: jax.Array  # bool: accepted hills exceeded capacity
+    cheb: Optional[ChebTable]  # spectral pair-force table (None = exact interp)
 
 
 def make_step(
@@ -58,15 +60,25 @@ def make_step(
     hill_stride: int,
     hill_capacity: int = 2048,
     axis_name: Optional[str] = None,
+    cheb_deg: int = 64,
 ):
-    """Build the jitted pairwise-EDM MD step."""
+    """Build the jitted pairwise-EDM MD step.
 
-    def bias_pair_force(bias_state, disp, r):
-        rb = r[..., None]  # (N, N, 1) as 1-D CV points
-        val, der = bias_state.bias.get_value_deriv(rb)
+    If the state carries a ``cheb`` table (see init_state pair_lookup), the
+    per-pair bias lookup uses the gather-free spectral form (ops/chebyshev);
+    otherwise the exact cubic-Hermite grid interpolation."""
+
+    def bias_pair_force(state, disp, r):
+        if state.cheb is not None:
+            val, d = state.cheb.value_deriv(jnp.where(jnp.isfinite(r), r, -1.0))
+            der0 = d
+        else:
+            rb = r[..., None]  # (N, N, 1) as 1-D CV points
+            val, der = state.bias.bias.get_value_deriv(rb)
+            der0 = der[..., 0]
         # force on i from pair (i,j): -dU/dr * r_hat (fix_edm_pair.cpp:216-222)
         inr = jnp.where(jnp.isfinite(r), 1.0 / r, 0.0)
-        fvec = (-der[..., 0] * inr)[..., None] * disp
+        fvec = (-der0 * inr)[..., None] * disp
         forces = jnp.sum(fvec, axis=1)
         energy = 0.5 * jnp.sum(jnp.where(jnp.isfinite(r), val, 0.0))
         return energy, forces
@@ -77,7 +89,7 @@ def make_step(
         def force_fn(x):
             disp, r = pair_displacements(x, box)
             e_lj, f_lj = lj_energy_forces(lj, disp, r)
-            e_b, f_b = bias_pair_force(bias_state, disp, r)
+            e_b, f_b = bias_pair_force(state, disp, r)
             return e_b, f_lj + f_b
 
         x, v, f, e_bias, key = baoab_step(
@@ -121,13 +133,18 @@ def make_step(
                 active=active,
                 axis_name=axis_name,
             )
-            return new_bs, key, ncalls, truncated
+            new_cheb = (
+                fit_gauss_grid(new_bs.bias, cheb_deg)
+                if state.cheb is not None
+                else state.cheb
+            )
+            return new_bs, key, ncalls, truncated, new_cheb
 
         def without_hills(args):
             bs, key, last_calls = args
-            return bs, key, last_calls, jnp.zeros((), bool)
+            return bs, key, last_calls, jnp.zeros((), bool), state.cheb
 
-        bias_state, key, last_calls, truncated = jax.lax.cond(
+        bias_state, key, last_calls, truncated, cheb = jax.lax.cond(
             do_hills, with_hills, without_hills, (bias_state, key, state.last_calls)
         )
 
@@ -142,6 +159,7 @@ def make_step(
                 last_calls=last_calls,
                 energy=e_bias,
                 hills_truncated=state.hills_truncated | truncated,
+                cheb=cheb,
             ),
             e_bias,
         )
@@ -150,12 +168,22 @@ def make_step(
 
 
 def init_state(
-    bias_state: B.BiasState, x0, key, n_est: Optional[int] = None
+    bias_state: B.BiasState,
+    x0,
+    key,
+    n_est: Optional[int] = None,
+    pair_lookup: str = "interp",
+    cheb_deg: int = 64,
 ) -> PairEDMState:
     """``n_est``: initial est_hill_count, the reference's conservative
-    atom->nmax guess (fix_edm_pair.cpp:105)."""
+    atom->nmax guess (fix_edm_pair.cpp:105).
+
+    ``pair_lookup``: 'interp' (exact cubic-Hermite grid lookup) or
+    'chebyshev' (gather-free spectral table, refit after each hill round;
+    the fast path for large pair counts)."""
     x0 = jnp.asarray(x0)
     n = x0.shape[0] if n_est is None else n_est
+    cheb = fit_gauss_grid(bias_state.bias, cheb_deg) if pair_lookup == "chebyshev" else None
     return PairEDMState(
         x=x0,
         v=jnp.zeros_like(x0),
@@ -166,6 +194,7 @@ def init_state(
         last_calls=jnp.asarray(n, jnp.int32),
         energy=jnp.zeros((), x0.dtype),
         hills_truncated=jnp.zeros((), bool),
+        cheb=cheb,
     )
 
 

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import bias as B
+from ..ops.chebyshev import fit_gauss_grid
 from .langevin import LangevinParams, baoab_step
 from .lj import LJParams
 from .pair_edm import PairEDMState
@@ -36,6 +37,7 @@ def make_step_blocked(
     hill_capacity: int = 2048,
     block_size: int = 512,
     axis_name: Optional[str] = None,
+    cheb_deg: int = 64,
 ):
     box_arr = jnp.asarray(box)
 
@@ -51,7 +53,9 @@ def make_step_blocked(
         r = jnp.sqrt(jnp.where(self_mask, jnp.inf, r2))
         return disp, r
 
-    def force_fn_for(bias_state):
+    def force_fn_for(state):
+        bias_state = state.bias
+
         def force_fn(x):
             dtype = x.dtype
             n = x.shape[0]
@@ -65,9 +69,15 @@ def make_step_blocked(
                 fmag = 4 * lj.epsilon * (12 * sr6 * sr6 - 6 * sr6) * inr * inr
                 f_rows = jnp.sum(fmag[..., None] * disp, axis=1)
 
-                val, der = bias_state.bias.get_value_deriv(r[..., None])
+                if state.cheb is not None:
+                    val, der0 = state.cheb.value_deriv(
+                        jnp.where(jnp.isfinite(r), r, -1.0)
+                    )
+                else:
+                    val, der = bias_state.bias.get_value_deriv(r[..., None])
+                    der0 = der[..., 0]
                 binr = jnp.where(jnp.isfinite(r), 1.0 / r, 0.0)
-                f_rows = f_rows + jnp.sum((-der[..., 0] * binr)[..., None] * disp, axis=1)
+                f_rows = f_rows + jnp.sum((-der0 * binr)[..., None] * disp, axis=1)
                 e_b = jnp.sum(jnp.where(jnp.isfinite(r), val, 0.0))
                 return f_rows, e_lj, e_b
 
@@ -118,7 +128,7 @@ def make_step_blocked(
     def step(state: PairEDMState, _) -> Tuple[PairEDMState, jax.Array]:
         bias_state = state.bias
         x, v, f, e_bias, key = baoab_step(
-            lp, state.x, state.v, state.f, state.key, force_fn_for(bias_state)
+            lp, state.x, state.v, state.f, state.key, force_fn_for(state)
         )
 
         do_hills = (state.step % hill_stride) == 0
@@ -139,13 +149,18 @@ def make_step_blocked(
                 active=active,
                 axis_name=axis_name,
             )
-            return new_bs, key, ncalls.astype(jnp.int32), truncated
+            new_cheb = (
+                fit_gauss_grid(new_bs.bias, cheb_deg)
+                if state.cheb is not None
+                else state.cheb
+            )
+            return new_bs, key, ncalls.astype(jnp.int32), truncated, new_cheb
 
         def without_hills(args):
             bs, key, last_calls = args
-            return bs, key, last_calls, jnp.zeros((), bool)
+            return bs, key, last_calls, jnp.zeros((), bool), state.cheb
 
-        bias_state, key, last_calls, truncated = jax.lax.cond(
+        bias_state, key, last_calls, truncated, cheb = jax.lax.cond(
             do_hills, with_hills, without_hills, (bias_state, key, state.last_calls)
         )
 
@@ -155,6 +170,7 @@ def make_step_blocked(
                 step=state.step + 1, last_calls=last_calls,
                 energy=e_bias,
                 hills_truncated=state.hills_truncated | truncated,
+                cheb=cheb,
             ),
             e_bias,
         )

@@ -1,0 +1,152 @@
+"""Gather-free spectral evaluation of the 1-D bias table — the TPU-native
+answer to the reference's per-pair spline table lookup (lib/grid.h:95-137).
+
+Why: XLA TPU gathers cost ~9 ns/element (measured on v5e); the pairwise-CV
+force path needs millions of table lookups per MD step, making gathers the
+dominant cost of the entire simulation.  The bias field is a sum of smooth
+Gaussians (analytic), so a Chebyshev interpolant of the current bias grid
+evaluates value AND derivative with ~4*deg flops per point and ZERO memory
+indirection — pure VPU work that XLA fuses into the pair pass.
+
+Protocol: after every hill round (the only time the grid changes) the host
+step refits coefficients by sampling the exact cubic-Hermite interpolant at
+Chebyshev nodes (a tiny static-size gather) and applying a precomputed
+node->coefficient matrix (a (deg+1)x(deg+1) matmul).  The grid remains the
+source of truth — file I/O, get_value_deriv, tempering, and deposition are
+bit-exact; only the MD pair-force evaluation uses the spectral form
+(switchable back to exact interpolation via ``pair_lookup='interp'``).
+
+Accuracy: for sigma/dx-resolved grids the fit error is spectral in
+deg/(range/sigma); degree ~2.5x range/sigma gives ~1e-6 relative force
+error — far below the thermostat noise floor.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def chebyshev_nodes(deg: int, lo: float, hi: float) -> np.ndarray:
+    """Chebyshev-Gauss-Lobatto nodes mapped to [lo, hi]."""
+    k = np.arange(deg + 1)
+    t = np.cos(np.pi * k / deg)  # [-1, 1], descending
+    return 0.5 * (lo + hi) + 0.5 * (hi - lo) * t
+
+
+def interpolation_matrix(deg: int) -> np.ndarray:
+    """Static matrix M s.t. coeffs = M @ f(nodes) (Clenshaw-Curtis / DCT-I).
+
+    c_j = (2 - [j==0] - [j==deg]) / deg * sum_k'' f(x_k) cos(pi j k / deg)
+    with the double-prime sum halving the endpoint terms.
+    """
+    k = np.arange(deg + 1)
+    j = k[:, None]
+    M = np.cos(np.pi * j * k[None, :] / deg)
+    w = np.ones(deg + 1)
+    w[0] = w[-1] = 0.5
+    M = M * w[None, :]
+    scale = 2.0 / deg * np.ones(deg + 1)
+    scale[0] = 1.0 / deg
+    scale[-1] = 1.0 / deg
+    return scale[:, None] * M
+
+
+def derivative_coeffs(c: jax.Array, lo: float, hi: float) -> jax.Array:
+    """Chebyshev coefficients of the derivative (standard recurrence),
+    including the chain-rule factor 2/(hi-lo)."""
+    deg = c.shape[0] - 1
+    # c'_k = c'_{k+2} + 2 (k+1) c_{k+1}, computed by reverse scan
+    def body(carry, k):
+        cp_kp2, cp_kp1 = carry
+        cp_k = cp_kp2 + 2.0 * (k + 1) * c[k + 1]
+        return (cp_kp1, cp_k), cp_k
+
+    ks = jnp.arange(deg - 1, -1, -1)
+    (_, _), outs = jax.lax.scan(
+        body, (jnp.zeros((), c.dtype), jnp.zeros((), c.dtype)), ks
+    )
+    cp = jnp.concatenate([outs[::-1], jnp.zeros((1,), c.dtype)])
+    # the recurrence produces the doubled-c0 convention; our Clenshaw uses
+    # the plain series, so halve c'_0
+    cp = cp.at[0].multiply(0.5)
+    return cp * (2.0 / (hi - lo))
+
+
+def clenshaw(c: jax.Array, x: jax.Array, lo: float, hi: float) -> jax.Array:
+    """Evaluate the Chebyshev series at x (any shape), c: (deg+1,).
+
+    Statically unrolled: a ``lax.scan`` here would materialize the full-size
+    b1/b2 carries in HBM on every one of deg iterations (memory-bound, ~100x
+    slower at MD pair counts); the unrolled chain fuses into one VPU kernel.
+    """
+    t = (2.0 * x - (lo + hi)) / (hi - lo)
+    t2 = 2.0 * t
+    deg = c.shape[0] - 1
+    b1 = jnp.zeros_like(t)
+    b2 = jnp.zeros_like(t)
+    for k in range(deg, 0, -1):
+        b0 = c[k] + t2 * b1 - b2
+        b2 = b1
+        b1 = b0
+    return c[0] + t * b1 - b2
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ChebTable:
+    """Fitted spectral form of a 1-D bias grid: value + derivative series."""
+
+    cval: jax.Array  # (deg+1,)
+    cder: jax.Array  # (deg+1,)
+    lo: float = dataclasses.field(metadata=dict(static=True))
+    hi: float = dataclasses.field(metadata=dict(static=True))
+
+    def value_deriv(self, r: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """Evaluate (value, dU/dr) with out-of-domain clamped to 0."""
+        ok = (r >= self.lo) & (r <= self.hi)
+        rc = jnp.clip(r, self.lo, self.hi)
+        v = clenshaw(self.cval, rc, self.lo, self.hi)
+        d = clenshaw(self.cder, rc, self.lo, self.hi)
+        zero = jnp.zeros((), v.dtype)
+        return jnp.where(ok, v, zero), jnp.where(ok, d, zero)
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _ls_fit_matrix(grid_key, deg: int) -> np.ndarray:
+    """Static least-squares fit matrix P (deg+1, G): coeffs = P @ grid_values.
+
+    Chebyshev-Vandermonde at the uniform grid points, pseudo-inverted in
+    float64 once per (spec, deg).  Fitting the *node values* (exact samples
+    of the analytic Gaussian sum) rather than the C^1 spline gives true
+    spectral accuracy — the spline's curvature kinks otherwise floor the
+    error at ~1e-3."""
+    lo, hi, dx, n = grid_key
+    xs = lo + dx * np.arange(n)
+    t = np.clip((2.0 * xs - (lo + hi)) / (hi - lo), -1.0, 1.0)
+    V = np.polynomial.chebyshev.chebvander(t, deg)
+    return np.linalg.pinv(V)
+
+
+def fit_gauss_grid(gauss_grid, deg: int = 96) -> ChebTable:
+    """Fit the current 1-D bias grid's node values by least squares.
+
+    Stable for deg up to ~(2/pi)*G uniform samples; callers should keep
+    deg <= 0.6 * grid points."""
+    spec = gauss_grid.spec
+    assert spec.dim == 1, "spectral table is for 1-D CV grids"
+    g = spec.grid
+    lo, hi = g.min[0], g.min[0] + g.dx[0] * (g.nbins[0] - 1)
+    P = jnp.asarray(
+        _ls_fit_matrix((g.min[0], hi, g.dx[0], g.nbins[0]), deg), gauss_grid.dtype
+    )
+    cval = P @ gauss_grid.grid.values
+    cder = derivative_coeffs(cval, lo, hi)
+    return ChebTable(cval=cval, cder=cder, lo=float(lo), hi=float(hi))

@@ -38,6 +38,7 @@ from .. import bias as B
 from ..models.langevin import LangevinParams, baoab_step
 from ..models.lj import LJParams, lj_energy_forces
 from ..models.pair_edm import PairEDMState
+from ..ops.chebyshev import fit_gauss_grid
 from .mesh import DATA_AXIS
 
 
@@ -62,6 +63,7 @@ def shard_pair_state(state: PairEDMState, mesh) -> PairEDMState:
         last_calls=place(state.last_calls, repl),
         energy=place(state.energy, repl),
         hills_truncated=place(state.hills_truncated, repl),
+        cheb=None if state.cheb is None else jax.tree.map(lambda l: place(l, repl), state.cheb),
     )
 
 
@@ -73,6 +75,7 @@ def make_sharded_pair_step(
     hill_stride: int,
     mesh,
     hill_capacity: int = 2048,
+    cheb_deg: int = 64,
 ):
     """Jit-compiled sharded MD step over ``mesh``; drives PairEDMState whose
     atom arrays are sharded on axis 0.
@@ -105,10 +108,13 @@ def make_sharded_pair_step(
             x_full = jax.lax.all_gather(x_local, axis, tiled=True)
             disp, r = local_pair_math(x_local, x_full, dtype)
             e_lj, f_lj = lj_energy_forces(lj, disp, r)
-            rb = r[..., None]
-            val, der = bias_state.bias.get_value_deriv(rb)
+            if state.cheb is not None:
+                val, der0 = state.cheb.value_deriv(jnp.where(jnp.isfinite(r), r, -1.0))
+            else:
+                val, der = bias_state.bias.get_value_deriv(r[..., None])
+                der0 = der[..., 0]
             inr = jnp.where(jnp.isfinite(r), 1.0 / r, 0.0)
-            f_b = jnp.sum((-der[..., 0] * inr)[..., None] * disp, axis=1)
+            f_b = jnp.sum((-der0 * inr)[..., None] * disp, axis=1)
             e_b = 0.5 * jax.lax.psum(
                 jnp.sum(jnp.where(jnp.isfinite(r), val, 0.0)), axis
             )
@@ -165,13 +171,18 @@ def make_sharded_pair_step(
             new_bs, _ = B.add_hills_round(
                 params, bs, hills_g, runif_g, last_calls.astype(dtype), active=active_g
             )
-            return new_bs, ncalls, truncated
+            new_cheb = (
+                fit_gauss_grid(new_bs.bias, cheb_deg)
+                if state.cheb is not None
+                else state.cheb
+            )
+            return new_bs, ncalls, truncated, new_cheb
 
         def without_hills(args):
             bs, last_calls = args
-            return bs, last_calls, jnp.zeros((), bool)
+            return bs, last_calls, jnp.zeros((), bool), state.cheb
 
-        bias_state, last_calls, truncated = jax.lax.cond(
+        bias_state, last_calls, truncated, cheb = jax.lax.cond(
             do_hills, with_hills, without_hills, (bias_state, state.last_calls)
         )
 
@@ -181,16 +192,18 @@ def make_sharded_pair_step(
                 step=state.step + 1, last_calls=last_calls,
                 energy=e_bias,
                 hills_truncated=state.hills_truncated | truncated,
+                cheb=cheb,
             ),
             e_bias,
         )
 
     def _state_specs(state):
         bias_specs = jax.tree.map(lambda _: P(), state.bias)
+        cheb_specs = None if state.cheb is None else jax.tree.map(lambda _: P(), state.cheb)
         return PairEDMState(
             x=P(DATA_AXIS), v=P(DATA_AXIS), f=P(DATA_AXIS), key=P(),
             bias=bias_specs, step=P(), last_calls=P(), energy=P(),
-            hills_truncated=P(),
+            hills_truncated=P(), cheb=cheb_specs,
         )
 
     def one_step(state):
