@@ -117,6 +117,25 @@ def hill_windows(gg: GaussGrid, centers: jax.Array) -> HillWindows:
     # a hair below 8 and includes the edge points; XLA's arithmetic can land
     # a hair above and would drop them, shifting per-hill integrals by ~1e-5.
     valid = valid & (dp2 < GAUSS_SUPPORT + 1e-12)
+    value_w, deriv_w = _pointwise_contrib(gg, xx, x[:, None, :], dp, dp2, valid)
+    return HillWindows(idx=idx, value_w=value_w, deriv_w=deriv_w, valid=valid)
+
+
+def _pointwise_contrib(gg: GaussGrid, xx, x, dp, dp2, valid):
+    """Unit-height (value, gradient) contribution of a hill centered at x to
+    a grid point xx, given sigma-scaled dp and dp2 — the Gaussian +
+    McGovern–De Pablo correction block of gaussian_grid.h:299-355, shared by
+    the windowed scatter path and the dense 1-D path.
+
+    All arrays broadcast: xx (..., D), x (..., D), dp (..., D), dp2/valid (...).
+    """
+    spec = gg.spec
+    D = spec.dim
+    dtype = gg.dtype
+    bmin = spec.boundary_min
+    bmax = spec.boundary_max
+    sigma = spec.sigma
+
     expo = jnp.exp(-dp2)
 
     # McGovern–De Pablo boundary correction, sequential over dims
@@ -133,9 +152,9 @@ def hill_windows(gg: GaussGrid, centers: jax.Array) -> HillWindows:
                 0,
                 BC_TABLE_SIZE - 1,
             )
-            temp1 = jnp.exp(-((x[:, None, d] - bmin[d]) ** 2) / sig**2)
+            temp1 = jnp.exp(-((x[..., d] - bmin[d]) ** 2) / sig**2)
             temp2 = sigmoid((xx[..., d] - bmin[d]) / (sig * BC_MAR))
-            temp3 = jnp.exp(-((x[:, None, d] - bmax[d]) ** 2) / sig**2)
+            temp3 = jnp.exp(-((x[..., d] - bmax[d]) ** 2) / sig**2)
             temp4 = sigmoid((bmax[d] - xx[..., d]) / (sig * BC_MAR))
             bc_correction = (temp1 - expo) * temp2 + (temp3 - expo) * temp4
             bc_denom = bc_denom * gg.bc_denom[d][bc_idx]
@@ -164,8 +183,7 @@ def hill_windows(gg: GaussGrid, centers: jax.Array) -> HillWindows:
             dd = bc_force[d]
         deriv_dims.append(jnp.where(valid, dd, zero))
     deriv_w = jnp.stack(deriv_dims, axis=-1)
-
-    return HillWindows(idx=idx, value_w=value_w, deriv_w=deriv_w, valid=valid)
+    return value_w, deriv_w
 
 
 def hill_weights(gg: GaussGrid, centers: jax.Array) -> jax.Array:
@@ -268,9 +286,89 @@ def deposit_precomputed(gg: GaussGrid, hw: HillWindows, heights: jax.Array):
     return out, bias_added
 
 
+def deposit_dense_1d(gg: GaussGrid, centers: jax.Array, heights: jax.Array,
+                     grid_chunk: int = 131072):
+    """Scatter-free 1-D deposition: evaluate every hill's contribution at
+    every grid point and reduce over hills with a matmul — the TPU-native
+    formulation for large 1-D grids where window scatter-adds would
+    serialize (the reference's minigrid exists only because CPU scalar loops
+    made dense evaluation unaffordable).
+
+    Equivalent to the windowed path for grids whose periodic images don't
+    overlap within the Gaussian support (window < domain), because the
+    support mask dp2 < GAUSS_SUPPORT governs both.
+    """
+    spec = gg.spec
+    g = spec.grid
+    assert spec.dim == 1
+    dtype = gg.dtype
+    centers = jnp.asarray(centers, dtype)
+    heights = jnp.asarray(heights, dtype)
+    H = centers.shape[0]
+    G = g.nbins[0]
+    vol = np.asarray(g.dx[0], dtype)
+
+    x = gg.remap(centers)  # (H, 1)
+    hill_ok = jnp.ones((H,), bool)
+    if not spec.boundary_periodic[0]:
+        hill_ok &= (x[:, 0] >= spec.boundary_min[0]) & (x[:, 0] <= spec.boundary_max[0])
+
+    # pad the grid axis to a chunk multiple; padded points are masked out
+    n_chunks = -(-G // grid_chunk)
+    Gp = n_chunks * grid_chunk
+    gxs = g.min[0] + g.dx[0] * jnp.arange(Gp, dtype=dtype)
+    point_ok = jnp.arange(Gp) < G
+    if not spec.boundary_periodic[0]:
+        point_ok &= (gxs >= spec.boundary_min[0]) & (gxs <= spec.boundary_max[0])
+
+    def one_chunk(ci):
+        xx = jax.lax.dynamic_slice_in_dim(gxs, ci * grid_chunk, grid_chunk)[:, None]
+        pok = jax.lax.dynamic_slice_in_dim(point_ok, ci * grid_chunk, grid_chunk)
+        dpd = xx[:, None, 0] - x[None, :, 0]  # (C, H)
+        if g.periodic[0]:
+            L = g.max[0] - g.min[0]
+            dpd = dpd - ref_round(dpd / L) * L
+        dp = (dpd / spec.sigma[0])[..., None]
+        dp2 = dp[..., 0] * dp[..., 0]
+        valid = pok[:, None] & hill_ok[None, :] & (dp2 < GAUSS_SUPPORT + 1e-12)
+        value_w, deriv_w = _pointwise_contrib(
+            gg, xx[:, None, :], x[None, :, :], dp, dp2, valid
+        )  # (C, H), (C, H, 1)
+        dv = value_w @ heights  # (C,) — MXU reduction over hills
+        dd = deriv_w[..., 0] @ heights
+        s_part = jnp.sum(value_w, axis=0)  # per-hill integral contribution
+        return dv, dd, s_part
+
+    dvs, dds, s_parts = jax.lax.map(one_chunk, jnp.arange(n_chunks))
+    dv = dvs.reshape(Gp)[:G]
+    dd = dds.reshape(Gp)[:G]
+    s = jnp.sum(s_parts, axis=0) * vol  # per-hill integral per unit height
+    bias_added = heights * s
+
+    grid_new = dataclasses.replace(
+        gg.grid,
+        values=gg.grid.values + dv,
+        derivs=gg.grid.derivs + dd[:, None],
+    )
+    out = dataclasses.replace(gg, grid=grid_new)
+    if not spec.boundary_periodic[0]:
+        out = duplicate_boundary(out)
+    return out, bias_added
+
+
 def deposit(gg: GaussGrid, centers: jax.Array, heights: jax.Array):
     """Deposit hills; returns (new GaussGrid, per-hill bias_added (H,)).
 
     Linear in height: sequential reference deposition of the same centers
-    and heights yields the same grid (scatter-add is order-free)."""
+    and heights yields the same grid (scatter-add is order-free).
+
+    1-D grids route to the dense matmul formulation whenever the support
+    window covers a significant fraction of the grid (window scatter wins
+    only for very wide grids with narrow hills)."""
+    spec = gg.spec
+    if spec.dim == 1:
+        W = spec.window_shape[0]
+        G = spec.grid.nbins[0]
+        if G <= 32 * W:
+            return deposit_dense_1d(gg, centers, heights)
     return deposit_precomputed(gg, hill_windows(gg, centers), heights)
