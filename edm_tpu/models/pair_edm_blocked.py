@@ -88,42 +88,117 @@ def make_step_blocked(
         return force_fn
 
     def collect_hills(x, key, last_calls, dtype):
-        """Blocked stochastic hill collection -> fixed-capacity batch."""
+        """Two-level stochastic hill collection.
+
+        Acceptance is ultra-sparse (~hill_density accepts out of O(N^2)
+        candidates), and XLA TPU scatters cost ~5 ns per SOURCE element, so
+        compacting accepted pairs directly from the candidate stream would
+        cost ~0.5 s at 1e8 candidates.  Instead:
+
+          pass 1 (blocked, reduction-only): per-row accepted counts and the
+                 global candidate count — no scatter;
+          row compaction: scatter over N rows (not N^2 candidates);
+          pass 2: recompute the selected rows' pair distances, regenerate
+                 the same per-row uniforms (deterministic fold_in streams),
+                 and extract each row's accepted entries by iterated argmax
+                 (first-j order preserved, matching the reference's pair
+                 iteration order).
+        """
         n = x.shape[0]
         nblocks = n // block_size
         bmax = params.cfg.box_high[0]
+        ROW_CAP = min(n, max(256, hill_capacity))
+        M_PER_ROW = 32
 
-        hills0 = jnp.zeros((hill_capacity,), dtype)
-        runif0 = jnp.ones((hill_capacity,), dtype)
+        def row_uniform(row_ids):
+            # deterministic per-row streams: same draw in both passes
+            keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(row_ids)
+            return jax.vmap(lambda k: jax.random.uniform(k, (n,), dtype))(keys)
 
-        def body(carry, bi):
-            hills, runifs, count, ncalls = carry
-            _, r = block_rows(x, bi * block_size, dtype)
-            rflat = r.reshape(-1)
-            candidate = jnp.isfinite(rflat) & (rflat < bmax)
-            bkey = jax.random.fold_in(key, bi)
-            runif = jax.random.uniform(bkey, rflat.shape, dtype)
+        def accept_of(r, runif):
+            candidate = jnp.isfinite(r) & (r < bmax)
             if params.cfg.hill_density < 0:
-                accept = candidate
+                acc = candidate
             else:
-                accept = candidate & (
+                acc = candidate & (
                     runif < params.cfg.hill_density / last_calls.astype(dtype)
                 )
-            ranks = count + jnp.cumsum(accept.astype(jnp.int32)) - 1
-            tgt = jnp.where(accept, ranks, hill_capacity)  # capacity -> dropped
-            hills = hills.at[tgt].set(rflat, mode="drop")
-            runifs = runifs.at[tgt].set(runif, mode="drop")
-            count = count + jnp.sum(accept.astype(jnp.int32))
-            ncalls = ncalls + jnp.sum(candidate.astype(jnp.int32))
-            return (hills, runifs, count, ncalls), None
+            return candidate, acc
 
-        (hills, runifs, count, ncalls), _ = jax.lax.scan(
-            body,
-            (hills0, runif0, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)),
+        # ---- pass 1: per-row accepted counts + global candidate count
+        def p1_block(carry, bi):
+            row_counts, ncalls = carry
+            _, r = block_rows(x, bi * block_size, dtype)
+            rows = bi * block_size + jnp.arange(block_size)
+            runif = row_uniform(rows)
+            candidate, acc = accept_of(r, runif)
+            rc = jnp.sum(acc.astype(jnp.int32), axis=1).astype(jnp.int32)
+            row_counts = jax.lax.dynamic_update_slice_in_dim(
+                row_counts, rc, bi * block_size, axis=0
+            )
+            ncalls = (ncalls + jnp.sum(candidate.astype(jnp.int32))).astype(jnp.int32)
+            return (row_counts, ncalls), None
+
+        (row_counts, ncalls), _ = jax.lax.scan(
+            p1_block,
+            (jnp.zeros((n,), jnp.int32), jnp.zeros((), jnp.int32)),
             jnp.arange(nblocks),
         )
+
+        # ---- row compaction: scatter over N rows only
+        has = row_counts > 0
+        rranks = jnp.cumsum(has.astype(jnp.int32)) - 1
+        rtgt = jnp.where(has, rranks, ROW_CAP)
+        rows_sel = jnp.full((ROW_CAP,), n, jnp.int32).at[rtgt].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop"
+        )
+        n_rows = jnp.sum(has.astype(jnp.int32)).astype(jnp.int32)
+
+        # ---- pass 2: selected rows only
+        rows_c = jnp.clip(rows_sel, 0, n - 1)
+        xi = x[rows_c]  # (ROW_CAP, 3) — tiny gather
+        b = box_arr.astype(dtype)
+        disp = xi[:, None, :] - x[None, :, :]
+        disp = disp - jnp.round(disp / b) * b
+        r2 = jnp.sum(disp * disp, axis=-1)
+        self_mask = rows_c[:, None] == jnp.arange(n)[None, :]
+        row_valid = rows_sel < n
+        r = jnp.sqrt(jnp.where(self_mask | ~row_valid[:, None], jnp.inf, r2))
+        runif = row_uniform(rows_c)
+        _, acc = accept_of(r, runif)
+
+        # iterated argmax extraction, ascending j per row
+        hills_rows = jnp.zeros((ROW_CAP, M_PER_ROW), dtype)
+        runif_rows = jnp.ones((ROW_CAP, M_PER_ROW), dtype)
+        valid_rows = jnp.zeros((ROW_CAP, M_PER_ROW), bool)
+        work = acc
+        for m in range(M_PER_ROW):
+            j = jnp.argmax(work, axis=1)
+            found = jnp.take_along_axis(work, j[:, None], axis=1)[:, 0]
+            hills_rows = hills_rows.at[:, m].set(
+                jnp.take_along_axis(r, j[:, None], axis=1)[:, 0]
+            )
+            runif_rows = runif_rows.at[:, m].set(
+                jnp.take_along_axis(runif, j[:, None], axis=1)[:, 0]
+            )
+            valid_rows = valid_rows.at[:, m].set(found)
+            work = work.at[jnp.arange(ROW_CAP), j].set(False)
+        # rows with more accepts than M_PER_ROW would silently drop hills —
+        # flag them (the reference never drops accepted hills)
+        row_overflow = jnp.any(jnp.clip(row_counts, 0) > M_PER_ROW)
+
+        # final compaction (ROW_CAP*M_PER_ROW sources — cheap)
+        hflat = hills_rows.reshape(-1)
+        uflat = runif_rows.reshape(-1)
+        vflat = valid_rows.reshape(-1)
+        ranks = jnp.cumsum(vflat.astype(jnp.int32)) - 1
+        tgt = jnp.where(vflat, ranks, hill_capacity)
+        hills = jnp.zeros((hill_capacity,), dtype).at[tgt].set(hflat, mode="drop")
+        runifs = jnp.ones((hill_capacity,), dtype).at[tgt].set(uflat, mode="drop")
+        count = jnp.sum(vflat.astype(jnp.int32)).astype(jnp.int32)
         active = jnp.arange(hill_capacity) < count
-        return hills[:, None], runifs, active, count, ncalls
+        truncated = (count > hill_capacity) | (n_rows > ROW_CAP) | row_overflow
+        return hills[:, None], runifs, active, count, ncalls, truncated
 
     def step(state: PairEDMState, _) -> Tuple[PairEDMState, jax.Array]:
         bias_state = state.bias
@@ -136,10 +211,9 @@ def make_step_blocked(
         def with_hills(args):
             bs, key, last_calls = args
             key, sub = jax.random.split(key)
-            hills, runifs, active, count, ncalls = collect_hills(
+            hills, runifs, active, count, ncalls, truncated = collect_hills(
                 x, sub, last_calls, x.dtype
             )
-            truncated = count > hill_capacity
             new_bs, _ = B.add_hills_round(
                 params,
                 bs,

@@ -91,6 +91,48 @@ def test_pairwise_lj_edm():
     assert int(st.last_calls) > 0
 
 
+def test_pairwise_blocked_matches_dense():
+    """Blocked large-N path: same physics as the dense path (statistical
+    agreement on accumulated bias; identical force law)."""
+    from edm_tpu.models import pair_edm
+    from edm_tpu.models.pair_edm_blocked import make_step_blocked
+    from edm_tpu.models.lj import LJParams
+    from edm_tpu.utils.config import parse_edm_text
+
+    cfg = parse_edm_text(
+        "tempering 0\nhill_prefactor 0.1\nbias_per_step 1.0\nhill_density 20\n"
+        "dimension 1\nbox_low 0\nbox_high 3.0\nbias_spacing 0.02\nbias_sigma 0.1\n"
+    )
+    params, state = B.subdivide(
+        cfg, 1.0, 1.0, [0], [3.0], [0], [3.0], [False], [0], dtype=jnp.float32
+    )
+    a = 1.26
+    pts = (
+        np.stack(np.meshgrid(*[np.arange(4)] * 3, indexing="ij"), -1).reshape(-1, 3)
+        * a + 0.5 * a
+    )
+    box = [4 * a] * 3
+    lp = LangevinParams(dt=0.002, friction=1.0, kT=0.8)
+    lj = LJParams()
+
+    st_d = pair_edm.init_state(state, jnp.asarray(pts, jnp.float32), jax.random.PRNGKey(0))
+    step_d = pair_edm.make_step(params, lp, lj, box, hill_stride=2, hill_capacity=2048)
+    run_d = jax.jit(lambda s: pair_edm.run_segment(step_d, s, 20))
+    st_d, _ = run_d(st_d)
+
+    st_b = pair_edm.init_state(state, jnp.asarray(pts, jnp.float32), jax.random.PRNGKey(0))
+    step_b = make_step_blocked(params, lp, lj, box, hill_stride=2, hill_capacity=2048, block_size=16)
+    run_b = jax.jit(lambda s: jax.lax.scan(step_b, s, None, length=20))
+    st_b, e_b = run_b(st_b)
+
+    assert np.isfinite(np.asarray(e_b)).all()
+    assert not bool(st_b.hills_truncated)
+    cd, cb = float(st_d.bias.cum_bias), float(st_b.bias.cum_bias)
+    assert cb > 0
+    assert abs(cd - cb) / max(cd, cb) < 0.5  # different RNG streams
+    assert int(st_b.last_calls) == int(st_d.last_calls)  # deterministic count
+
+
 def test_flat_histogram_convergence():
     """The physics end-to-end check: with enough bias the CV distribution
     flattens (free particle + EDM -> uniform sampling). We verify the bias
