@@ -57,25 +57,43 @@ def bench_pairwise(n_atoms=10000, block=500, steps=100, hill_stride=10, dtype=No
     lp = LangevinParams(dt=0.002, friction=1.0, kT=0.8)
     lj = LJParams(epsilon=1.0, sigma=1.0, rcut=2.5)
 
-    step = make_step_blocked(
-        params, lp, lj, box, hill_stride=hill_stride,
-        hill_capacity=2048, block_size=block,
-    )
-    state = pair_edm.init_state(
+    from edm_tpu.models.cells import CellSpec
+    from edm_tpu.models.pair_edm_cells import init_cell_state, make_cell_step
+
+    core = pair_edm.init_state(
         bias_state, jnp.asarray(pts, dtype), jax.random.PRNGKey(0),
         n_est=n_atoms * 40, pair_lookup="chebyshev",
     )
+    spec = CellSpec.create(box, cutoff=3.05, n_atoms=n_atoms)
+    if min(spec.ncells) >= 3:
+        state = init_cell_state(spec, core)
+        step = make_cell_step(
+            params, lp, lj, spec, hill_stride=hill_stride,
+            rebuild_stride=10, hill_capacity=2048,
+        )
+    else:
+        state = core
+        step = make_step_blocked(
+            params, lp, lj, box, hill_stride=hill_stride,
+            hill_capacity=2048, block_size=block,
+        )
 
     seg = jax.jit(lambda s: jax.lax.scan(step, s, None, length=steps))
     # warmup/compile; NB on this stack block_until_ready does not reliably
     # block through the remote relay — force a host scalar fetch to time
+    def atoms_of(s):
+        return s.core.x if hasattr(s, "core") else s.x
+
     state, _ = seg(state)
-    _ = float(jnp.sum(state.x))
+    _ = float(jnp.sum(atoms_of(state)))
     t0 = time.perf_counter()
     state, e = seg(state)
-    finite = bool(jnp.isfinite(jnp.sum(state.x) + jnp.sum(e)))
+    finite = bool(jnp.isfinite(jnp.sum(atoms_of(state)) + jnp.sum(e)))
     dt_s = time.perf_counter() - t0
     assert finite, "non-finite state in bench"
+    if hasattr(state, "core"):
+        assert not bool(state.table_overflow), "cell table overflow in bench"
+        assert not bool(state.core.hills_truncated), "hill truncation in bench"
     return steps / dt_s
 
 

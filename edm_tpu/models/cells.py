@@ -1,0 +1,104 @@
+"""Cell lists for short-range pair interactions — the TPU-native neighbor
+structure (stands in for LAMMPS's neighbor lists, which the reference
+consumes in fix_edm_pair.cpp:166-206).
+
+Design: atoms are binned into cells of edge >= the interaction range, so
+all interacting pairs live within a 27-cell stencil.  Per-cell storage is a
+fixed-capacity (C, cap) slot table; the pair pass fetches each cell's 27
+stencil blocks with *contiguous block gathers* (cheap DMA) and evaluates a
+dense (cap, 27*cap) pair tile — no per-pair index gathers, which cost
+~8 ns/element on TPU and would otherwise dominate the step.
+
+Everything is jit-compatible: the binning (argsort + segment ranks) runs
+in-graph under a rebuild-stride ``lax.cond``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_static
+@dataclasses.dataclass(frozen=True)
+class CellSpec:
+    ncells: Tuple[int, int, int]
+    edge: Tuple[float, float, float]
+    box: Tuple[float, float, float]
+    cap: int  # atom slots per cell
+    n_atoms: int
+
+    @classmethod
+    def create(cls, box, cutoff: float, n_atoms: int, cap: int | None = None):
+        box = tuple(float(b) for b in box)
+        nc = tuple(max(1, int(math.floor(b / cutoff))) for b in box)
+        edge = tuple(b / n for b, n in zip(box, nc))
+        if cap is None:
+            density = n_atoms / (box[0] * box[1] * box[2])
+            mean = density * edge[0] * edge[1] * edge[2]
+            cap = max(4, int(math.ceil(mean + 6 * math.sqrt(max(mean, 1.0)))))
+        return cls(ncells=nc, edge=edge, box=box, cap=int(cap), n_atoms=int(n_atoms))
+
+    @property
+    def n_cells(self) -> int:
+        return self.ncells[0] * self.ncells[1] * self.ncells[2]
+
+    @property
+    def n_slots(self) -> int:
+        return self.n_cells * self.cap
+
+    def stencil(self) -> np.ndarray:
+        """(C, 27) neighbor-cell ids with periodic wrap (static table)."""
+        nx, ny, nz = self.ncells
+        cid = np.arange(self.n_cells)
+        cx, cy, cz = cid // (ny * nz), (cid // nz) % ny, cid % nz
+        out = np.empty((self.n_cells, 27), np.int32)
+        k = 0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dz in (-1, 0, 1):
+                    out[:, k] = (
+                        ((cx + dx) % nx) * ny * nz + ((cy + dy) % ny) * nz + ((cz + dz) % nz)
+                    )
+                    k += 1
+        return out
+
+
+class CellTable(NamedTuple):
+    aid: jax.Array  # (C*cap,) atom id per slot; n_atoms marks empty
+    overflow: jax.Array  # bool: a cell exceeded cap
+
+
+def cell_of(spec: CellSpec, x: jax.Array) -> jax.Array:
+    """Per-atom flat cell index from wrapped positions."""
+    box = jnp.asarray(spec.box, x.dtype)
+    edge = jnp.asarray(spec.edge, x.dtype)
+    nc = jnp.asarray(spec.ncells, jnp.int32)
+    xw = x - box * jnp.floor(x / box)
+    c = jnp.clip(jnp.floor(xw / edge).astype(jnp.int32), 0, nc - 1)
+    ny, nz = spec.ncells[1], spec.ncells[2]
+    return c[:, 0] * (ny * nz) + c[:, 1] * nz + c[:, 2]
+
+
+def build_table(spec: CellSpec, x: jax.Array) -> CellTable:
+    """Bin atoms into slots (argsort + segment ranks); jit-compatible."""
+    n = spec.n_atoms
+    cid = cell_of(spec, x)
+    order = jnp.argsort(cid)  # stable
+    cid_s = cid[order]
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), cid_s[1:] != cid_s[:-1]]
+    )
+    seg_start = jax.lax.cummax(jnp.where(first, jnp.arange(n), 0))
+    rank = jnp.arange(n) - seg_start
+    overflow = jnp.any(rank >= spec.cap)
+    slot = cid_s * spec.cap + jnp.clip(rank, 0, spec.cap - 1)
+    aid = jnp.full((spec.n_slots,), n, jnp.int32).at[slot].set(
+        order.astype(jnp.int32), mode="drop"
+    )
+    return CellTable(aid=aid, overflow=overflow)

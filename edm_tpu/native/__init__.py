@@ -1,0 +1,82 @@
+"""Native (C++) runtime components, bound via ctypes — no pybind11.
+
+Currently: fast Plumed-1 grid text I/O (gridio.cpp).  The shared library is
+built on demand with the system toolchain and cached next to the source;
+all callers fall back to the pure-Python implementations when the
+toolchain is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+import threading
+
+_HERE = pathlib.Path(__file__).parent
+_LOCK = threading.Lock()
+_LIB = None
+_TRIED = False
+
+
+def _build() -> pathlib.Path | None:
+    src = _HERE / "gridio.cpp"
+    so = _HERE / "_gridio.so"
+    if so.exists() and so.stat().st_mtime >= src.stat().st_mtime:
+        return so
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-o", str(so), str(src)],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return so
+    except Exception:
+        return None
+
+
+def load():
+    """Return the loaded native library, or None if unavailable."""
+    global _LIB, _TRIED
+    with _LOCK:
+        if _TRIED:
+            return _LIB
+        _TRIED = True
+        if os.environ.get("EDM_TPU_NO_NATIVE"):
+            return None
+        so = _build()
+        if so is None:
+            return None
+        try:
+            lib = ctypes.CDLL(str(so))
+        except OSError:
+            return None
+        lib.edm_write_grid.restype = ctypes.c_int
+        lib.edm_write_grid.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_long),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_long),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int,
+        ]
+        lib.edm_read_grid_data.restype = ctypes.c_long
+        lib.edm_read_grid_data.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int,
+            ctypes.c_long,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        _LIB = lib
+        return _LIB

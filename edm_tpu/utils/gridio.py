@@ -55,7 +55,11 @@ def _header_lines(spec: GridSpec, has_derivs: bool) -> str:
 
 
 def write_grid(grid: Grid, filename: str) -> None:
-    """Write a grid in Plumed-1 format (reference grid.h:448-503)."""
+    """Write a grid in Plumed-1 format (reference grid.h:448-503).
+
+    Uses the native C++ writer (edm_tpu.native) when available — the text
+    formatting of large (1e6-point) grids is the slow host-side path — with
+    a pure-Python fallback."""
     spec = grid.spec
     D = spec.dim
     values = np.asarray(grid.values, dtype=np.float64)
@@ -63,6 +67,47 @@ def write_grid(grid: Grid, filename: str) -> None:
     if grid.has_derivatives:
         derivs = np.asarray(grid.derivs, dtype=np.float64)
         dflat = derivs.reshape(-1, D, order="F")
+
+    from .. import native
+
+    lib = native.load()
+    if lib is not None:
+        import ctypes
+
+        nbins_file = np.asarray(
+            [spec.nbins[d] if spec.periodic[d] else spec.nbins[d] - 1 for d in range(D)],
+            np.int64,
+        )
+        min_file = np.asarray(spec.min, np.float64)
+        max_file = np.asarray(
+            [spec.max[d] if spec.periodic[d] else spec.max[d] - spec.dx[d] for d in range(D)],
+            np.float64,
+        )
+        pbc = np.asarray([1 if p else 0 for p in spec.periodic], np.int32)
+        dx = np.asarray(spec.dx, np.float64)
+        gmin = np.asarray(spec.min, np.float64)
+        nbins_mem = np.asarray(spec.nbins, np.int64)
+        vals = np.ascontiguousarray(flat)
+        ders = (
+            np.ascontiguousarray(dflat.reshape(-1))
+            if grid.has_derivatives
+            else np.zeros(1)
+        )
+
+        def p(a, t):
+            return a.ctypes.data_as(ctypes.POINTER(t))
+
+        rc = lib.edm_write_grid(
+            filename.encode(), D,
+            p(nbins_file, ctypes.c_long), p(min_file, ctypes.c_double),
+            p(max_file, ctypes.c_double), p(pbc, ctypes.c_int),
+            p(dx, ctypes.c_double), p(gmin, ctypes.c_double),
+            flat.size, p(nbins_mem, ctypes.c_long),
+            p(vals, ctypes.c_double), p(ders, ctypes.c_double),
+            1 if grid.has_derivatives else 0,
+        )
+        if rc == 0:
+            return
 
     with open(filename, "w") as f:
         f.write(_header_lines(spec, grid.has_derivatives))
@@ -120,13 +165,32 @@ def read_grid_file(filename: str, dim: int = None, interpolate: bool = False, dt
     size = spec.grid_size
     flat = np.zeros(size, dtype=np.float64)
     dflat = np.zeros((size, D), dtype=np.float64) if has_derivs else None
-    for i in range(size):
-        for _ in range(D):
-            next(it)  # skip coordinates
-        flat[i] = float(next(it))
-        if has_derivs:
-            for d in range(D):
-                dflat[i, d] = -float(next(it))  # sign flip on read (grid.h:828)
+
+    from .. import native
+
+    lib = native.load()
+    done = False
+    if lib is not None:
+        import ctypes
+
+        dbuf = dflat.reshape(-1) if has_derivs else np.zeros(1)
+        got = lib.edm_read_grid_data(
+            filename.encode(), D, size, 1 if has_derivs else 0,
+            flat.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            dbuf.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+        if got == size:
+            if has_derivs:
+                dflat = dbuf.reshape(size, D)
+            done = True
+    if not done:
+        for i in range(size):
+            for _ in range(D):
+                next(it)  # skip coordinates
+            flat[i] = float(next(it))
+            if has_derivs:
+                for d in range(D):
+                    dflat[i, d] = -float(next(it))  # sign flip on read (grid.h:828)
 
     values = flat.reshape(spec.nbins, order="F").astype(dtype)
     derivs = (

@@ -155,3 +155,67 @@ def test_flat_histogram_convergence():
         last_cum = cum
     # histogram recorded visits
     assert float(jnp.sum(st.bias.cv_hist.values)) > 0
+
+
+def test_cell_list_host_matches_blocked():
+    """Cell-list host: identical force law to the dense chebyshev path
+    (same first-step trajectory), stable over many steps, no overflows."""
+    from edm_tpu.models import pair_edm
+    from edm_tpu.models.cells import CellSpec
+    from edm_tpu.models.pair_edm_cells import init_cell_state, make_cell_step
+    from edm_tpu.models.lj import LJParams
+    from edm_tpu.utils.config import parse_edm_text
+
+    cfg = parse_edm_text(
+        "tempering 0\nhill_prefactor 0.1\nbias_per_step 1.0\nhill_density 20\n"
+        "dimension 1\nbox_low 0\nbox_high 3.0\nbias_spacing 0.02\nbias_sigma 0.1\n"
+    )
+    params, state = B.subdivide(
+        cfg, 1.0, 1.0, [0], [3.0], [0], [3.0], [False], [0], dtype=jnp.float32
+    )
+    side, a = 8, 1.26
+    pts = (
+        np.stack(np.meshgrid(*[np.arange(side)] * 3, indexing="ij"), -1).reshape(-1, 3)
+        * a + 0.5 * a
+    )
+    box = [side * a] * 3
+    lp = LangevinParams(dt=0.002, friction=1.0, kT=0.8)
+    lj = LJParams()
+    x0 = jnp.asarray(pts, jnp.float32)
+
+    # dense path with chebyshev lookup (same force law)
+    core_d = pair_edm.init_state(
+        state, x0, jax.random.PRNGKey(0), pair_lookup="chebyshev"
+    )
+    step_d = pair_edm.make_step(params, lp, lj, box, hill_stride=10**6)
+    new_d, _ = step_d(core_d, None)
+
+    # cell-list path
+    spec = CellSpec.create(box, cutoff=3.0, n_atoms=x0.shape[0])
+    assert min(spec.ncells) >= 3
+    core_c = pair_edm.init_state(
+        state, x0, jax.random.PRNGKey(0), pair_lookup="chebyshev"
+    )
+    cstate = init_cell_state(spec, core_c)
+    assert not bool(cstate.table_overflow)
+    step_c = make_cell_step(
+        params, lp, lj, spec, hill_stride=10**6, rebuild_stride=5
+    )
+    new_c, _ = step_c(cstate, None)
+
+    np.testing.assert_allclose(
+        np.asarray(new_c.core.x), np.asarray(new_d.x), rtol=2e-4, atol=2e-5
+    )
+
+    # with hills on, run a stretch: finite, hills land, no overflow
+    core_c = pair_edm.init_state(
+        state, x0, jax.random.PRNGKey(1), pair_lookup="chebyshev"
+    )
+    cstate = init_cell_state(spec, core_c)
+    step_c = make_cell_step(params, lp, lj, spec, hill_stride=5, rebuild_stride=5)
+    run = jax.jit(lambda s: jax.lax.scan(step_c, s, None, length=30))
+    cstate, e = run(cstate)
+    assert np.isfinite(np.asarray(cstate.core.x)).all()
+    assert float(cstate.core.bias.cum_bias) > 0
+    assert not bool(cstate.core.hills_truncated)
+    assert not bool(cstate.table_overflow)
