@@ -62,14 +62,17 @@ def bench_pairwise(n_atoms=10000, block=500, steps=100, hill_stride=10, dtype=No
 
     core = pair_edm.init_state(
         bias_state, jnp.asarray(pts, dtype), jax.random.PRNGKey(0),
-        n_est=n_atoms * 40, pair_lookup="chebyshev",
+        n_est=n_atoms * 40, pair_lookup="chebyshev", cheb_deg=48,
     )
     spec = CellSpec.create(box, cutoff=3.05, n_atoms=n_atoms)
     if min(spec.ncells) >= 3:
         state = init_cell_state(spec, core)
+        # deg 48 / chunk 81 tuned on-chip (see docs/algorithms.md for the
+        # accuracy budget; profile in git history)
         step = make_cell_step(
             params, lp, lj, spec, hill_stride=hill_stride,
             rebuild_stride=10, hill_capacity=2048,
+            cell_chunk=81, cheb_deg=48,
         )
     else:
         state = core
