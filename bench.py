@@ -89,11 +89,14 @@ def bench_pairwise(n_atoms=10000, block=500, steps=100, hill_stride=10, dtype=No
 
     state, _ = seg(state)
     _ = float(jnp.sum(atoms_of(state)))
-    t0 = time.perf_counter()
-    state, e = seg(state)
-    finite = bool(jnp.isfinite(jnp.sum(atoms_of(state)) + jnp.sum(e)))
-    dt_s = time.perf_counter() - t0
-    assert finite, "non-finite state in bench"
+    dt_s = None
+    for _ in range(3):  # best of 3: the remote relay adds run-to-run noise
+        t0 = time.perf_counter()
+        state, e = seg(state)
+        finite = bool(jnp.isfinite(jnp.sum(atoms_of(state)) + jnp.sum(e)))
+        dt = time.perf_counter() - t0
+        assert finite, "non-finite state in bench"
+        dt_s = dt if dt_s is None else min(dt_s, dt)
     if hasattr(state, "core"):
         assert not bool(state.table_overflow), "cell table overflow in bench"
         assert not bool(state.core.hills_truncated), "hill truncation in bench"
