@@ -369,6 +369,17 @@ def deposit(gg: GaussGrid, centers: jax.Array, heights: jax.Array):
     if spec.dim == 1:
         W = spec.window_shape[0]
         G = spec.grid.nbins[0]
-        if G <= 32 * W:
+        # scatter elements cost ~17k flop-equivalents on TPU (measured);
+        # the dense hills-matmul wins until the grid is ~500x wider than
+        # the support window
+        if G <= 512 * W:
+            from . import deposit_pallas
+
+            if (
+                G >= 16384
+                and deposit_pallas.supported(gg)
+                and jax.default_backend() == "tpu"
+            ):
+                return deposit_pallas.deposit_dense_1d_pallas(gg, centers, heights)
             return deposit_dense_1d(gg, centers, heights)
     return deposit_precomputed(gg, hill_windows(gg, centers), heights)

@@ -267,3 +267,31 @@ def test_deposit_linearity_matches_sequential():
     np.testing.assert_allclose(
         np.asarray(gb.grid.derivs), np.asarray(gs.grid.derivs), rtol=1e-10, atol=1e-12
     )
+
+
+def test_pallas_deposit_matches_dense():
+    """The Pallas dense-deposition kernel (interpret mode on CPU) matches
+    the XLA dense path bit-closely on a periodic 1-D grid."""
+    import jax
+
+    from edm_tpu.ops.deposit import deposit_dense_1d
+    from edm_tpu.ops.deposit_pallas import deposit_dense_1d_pallas, supported
+
+    g = GaussGrid.create([0], [10], [0.002], [True], [0.05], dtype=jnp.float32)
+    assert supported(g)
+    rng = np.random.default_rng(9)
+    centers = jnp.asarray(rng.uniform(0, 10, (64, 1)), jnp.float32)
+    heights = jnp.asarray(rng.uniform(0.1, 1.0, (64,)), jnp.float32)
+
+    g_x, added_x = deposit_dense_1d(g, centers, heights)
+    g_p, added_p = deposit_dense_1d_pallas(g, centers, heights, interpret=True)
+
+    np.testing.assert_allclose(
+        np.asarray(added_p), np.asarray(added_x), rtol=2e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_p.grid.values), np.asarray(g_x.grid.values), rtol=2e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_p.grid.derivs), np.asarray(g_x.grid.derivs), rtol=2e-4, atol=1e-4
+    )
