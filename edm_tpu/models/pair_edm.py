@@ -61,14 +61,30 @@ def make_step(
     hill_capacity: int = 2048,
     axis_name: Optional[str] = None,
     cheb_deg: int = 64,
+    types=None,
+    type_pair: Optional[Tuple[int, int]] = None,
 ):
     """Build the jitted pairwise-EDM MD step.
 
     If the state carries a ``cheb`` table (see init_state pair_lookup), the
     per-pair bias lookup uses the gather-free spectral form (ops/chebyshev);
-    otherwise the exact cubic-Hermite grid interpolation."""
+    otherwise the exact cubic-Hermite grid interpolation.
+
+    ``types`` (N,) int array + ``type_pair`` (i, j) restrict the biased CV
+    to i-j type pairs, the reference's ``rdf type pair`` arguments
+    (fix_edm_pair.cpp:39-44,177-202); None biases all pairs."""
+    if types is not None and type_pair is not None:
+        t = jnp.asarray(types, jnp.int32)
+        ti, tj = int(type_pair[0]), int(type_pair[1])
+        pair_mask = ((t[:, None] == ti) & (t[None, :] == tj)) | (
+            (t[:, None] == tj) & (t[None, :] == ti)
+        )
+    else:
+        pair_mask = None
 
     def bias_pair_force(state, disp, r):
+        if pair_mask is not None:
+            r = jnp.where(pair_mask, r, jnp.inf)
         if state.cheb is not None:
             val, d = state.cheb.value_deriv(jnp.where(jnp.isfinite(r), r, -1.0))
             der0 = d
@@ -102,6 +118,8 @@ def make_step(
             bs, key, last_calls = args
             disp, r = pair_displacements(x, box)
             rflat = r.reshape(-1)
+            if pair_mask is not None:
+                rflat = jnp.where(pair_mask.reshape(-1), rflat, jnp.inf)
             # candidate = ordered in-range pair, like every add_hill call in
             # the reference's neighbor loop
             bmax = params.cfg.box_high[0]

@@ -65,6 +65,8 @@ def make_cell_step(
     m_per_row: int = 16,
     axis_name: Optional[str] = None,
     cheb_deg: int = 64,
+    types=None,
+    type_pair=None,
 ):
     if min(spec.ncells) < 3:
         raise ValueError(
@@ -83,6 +85,15 @@ def make_cell_step(
         [stencil, jnp.zeros((Cp - C, 27), jnp.int32)], axis=0
     )
     bmax_cv = params.cfg.box_high[0]
+    # rdf type-pair filtering (fix_edm_pair.cpp:39-44,177-202): the LJ fluid
+    # interacts between all atoms; only the biased CV is restricted to i-j
+    # type pairs.  types are padded with 0 (matches nothing) for empty slots.
+    if types is not None and type_pair is not None:
+        types_arr = jnp.asarray(types, jnp.int32)
+        tpair = (int(type_pair[0]), int(type_pair[1]))
+    else:
+        types_arr = None
+        tpair = None
 
     def chunk_pairs(xs3, aid2, ci, dtype):
         """Dense pair tile for cells [ci*chunk, ...): returns (disp, r, valid,
@@ -101,7 +112,22 @@ def make_cell_step(
         anf = an.reshape(bsz, 1, 27 * cap)
         valid = (ac[:, :, None] < n) & (anf < n) & (ac[:, :, None] != anf)
         r = jnp.sqrt(jnp.where(valid, r2, jnp.inf))
-        return disp, r, valid, ac
+        if types_arr is None:
+            cv_ok = None
+        else:
+            # type of each slot (0 for empty slots: matches nothing)
+            tslots = jnp.where(
+                aid2.reshape(-1) < n,
+                types_arr[jnp.clip(aid2.reshape(-1), 0, n - 1)],
+                0,
+            ).reshape(aid2.shape)
+            tc = jax.lax.dynamic_slice_in_dim(tslots, c0, cell_chunk)  # (B, cap)
+            tn = tslots[nbr].reshape(cell_chunk, 1, 27 * cap)
+            ti, tj = tpair
+            cv_ok = ((tc[:, :, None] == ti) & (tn == tj)) | (
+                (tc[:, :, None] == tj) & (tn == ti)
+            )
+        return disp, r, valid, ac, cv_ok
 
     def force_fn_for(state: CellPairState):
         def force_fn(x):
@@ -117,20 +143,21 @@ def make_cell_step(
             )
 
             def one_chunk(ci):
-                disp, r, valid, ac = chunk_pairs(xs3, aid2, ci, dtype)
+                disp, r, valid, ac, cv_ok = chunk_pairs(xs3, aid2, ci, dtype)
                 inr = jnp.where(r < lj.rcut, 1.0 / r, 0.0)
                 sr6 = (lj.sigma * inr) ** 6
                 fmag = 4 * lj.epsilon * (12 * sr6 * sr6 - 6 * sr6) * inr * inr
                 f_rows = jnp.sum(fmag[..., None] * disp, axis=2)
 
+                r_cv = r if cv_ok is None else jnp.where(cv_ok, r, jnp.inf)
                 val, der0 = state.core.cheb.value_deriv(
-                    jnp.where(jnp.isfinite(r), r, -1.0)
+                    jnp.where(jnp.isfinite(r_cv), r_cv, -1.0)
                 )
-                binr = jnp.where(jnp.isfinite(r), 1.0 / r, 0.0)
+                binr = jnp.where(jnp.isfinite(r_cv), 1.0 / r_cv, 0.0)
                 f_rows = f_rows + jnp.sum(
                     (-der0 * binr)[..., None] * disp, axis=2
                 )
-                e_b = jnp.sum(jnp.where(jnp.isfinite(r), val, 0.0))
+                e_b = jnp.sum(jnp.where(jnp.isfinite(r_cv), val, 0.0))
                 return f_rows, ac, e_b
 
             f_rows, acs, e_bs = jax.lax.map(one_chunk, jnp.arange(n_chunks))
@@ -171,7 +198,9 @@ def make_cell_step(
 
         def p1_chunk(carry, ci):
             row_counts, ncalls = carry
-            _, r, valid, _ = chunk_pairs(xs3, aid2, ci, dtype)
+            _, r, valid, _, cv_ok = chunk_pairs(xs3, aid2, ci, dtype)
+            if cv_ok is not None:
+                r = jnp.where(cv_ok, r, jnp.inf)
             rows = (ci * cell_chunk * cap + jnp.arange(cell_chunk * cap)).astype(jnp.int32)
             runif = row_uniform(rows).reshape(cell_chunk, cap, 27 * cap)
             candidate, acc = accept_of(r, runif)
@@ -211,6 +240,14 @@ def make_cell_step(
         row_valid = rows_sel < Cp * cap
         valid = row_valid[:, None] & (ai[:, None] < n) & (an < n) & (ai[:, None] != an)
         r = jnp.sqrt(jnp.where(valid, r2, jnp.inf))
+        if types_arr is not None:
+            ti, tj = tpair
+            t_i = jnp.where(ai < n, types_arr[jnp.clip(ai, 0, n - 1)], 0)
+            t_j = jnp.where(an < n, types_arr[jnp.clip(an, 0, n - 1)], 0)
+            cv_ok2 = ((t_i[:, None] == ti) & (t_j == tj)) | (
+                (t_i[:, None] == tj) & (t_j == ti)
+            )
+            r = jnp.where(cv_ok2, r, jnp.inf)
         runif = row_uniform(rows_c)
         _, acc = accept_of(r, runif)
 

@@ -219,3 +219,89 @@ def test_cell_list_host_matches_blocked():
     assert float(cstate.core.bias.cum_bias) > 0
     assert not bool(cstate.core.hills_truncated)
     assert not bool(cstate.table_overflow)
+
+
+def test_pair_type_filtering():
+    """rdf type-pair filtering (fix_edm_pair.cpp:39-44,177-202): only i-j
+    type pairs contribute to the CV — hills and forces ignore same-type
+    pairs outside the selected pair."""
+    from edm_tpu.models import pair_edm
+    from edm_tpu.models.lj import LJParams
+    from edm_tpu.utils.config import parse_edm_text
+
+    cfg = parse_edm_text(
+        "tempering 0\nhill_prefactor 0.1\nbias_per_step 10.0\n"
+        "dimension 1\nbox_low 0\nbox_high 3.0\nbias_spacing 0.02\nbias_sigma 0.1\n"
+    )
+    params, state = B.subdivide(
+        cfg, 1.0, 1.0, [0], [3.0], [0], [3.0], [False], [0], dtype=jnp.float32
+    )
+    a = 1.26
+    pts = (
+        np.stack(np.meshgrid(*[np.arange(4)] * 3, indexing="ij"), -1).reshape(-1, 3)
+        * a + 0.5 * a
+    )
+    box = [4 * a] * 3
+    types = np.ones(len(pts), np.int32)
+    types[: len(pts) // 2] = 2  # half type-2
+    lp = LangevinParams(dt=0.002, friction=1.0, kT=0.8)
+
+    st = pair_edm.init_state(state, jnp.asarray(pts, jnp.float32), jax.random.PRNGKey(0))
+    step = pair_edm.make_step(
+        params, lp, LJParams(), box, hill_stride=1, hill_capacity=2048,
+        types=types, type_pair=(1, 2),
+    )
+    st, _ = step(st, None)
+    n12 = int(st.last_calls)
+
+    st_all = pair_edm.init_state(state, jnp.asarray(pts, jnp.float32), jax.random.PRNGKey(0))
+    step_all = pair_edm.make_step(params, lp, LJParams(), box, hill_stride=1, hill_capacity=2048)
+    st_all, _ = step_all(st_all, None)
+    n_all = int(st_all.last_calls)
+
+    # cross-type ordered pairs are a strict subset
+    assert 0 < n12 < n_all
+    assert float(st.bias.cum_bias) > 0
+
+
+def test_cell_host_type_filtering():
+    from edm_tpu.models import pair_edm
+    from edm_tpu.models.cells import CellSpec
+    from edm_tpu.models.pair_edm_cells import init_cell_state, make_cell_step
+    from edm_tpu.models.lj import LJParams
+    from edm_tpu.utils.config import parse_edm_text
+
+    cfg = parse_edm_text(
+        "tempering 0\nhill_prefactor 0.1\nbias_per_step 10.0\nhill_density 40\n"
+        "dimension 1\nbox_low 0\nbox_high 3.0\nbias_spacing 0.02\nbias_sigma 0.1\n"
+    )
+    params, state = B.subdivide(
+        cfg, 1.0, 1.0, [0], [3.0], [0], [3.0], [False], [0], dtype=jnp.float32
+    )
+    side, a = 8, 1.26
+    pts = (
+        np.stack(np.meshgrid(*[np.arange(side)] * 3, indexing="ij"), -1).reshape(-1, 3)
+        * a + 0.5 * a
+    )
+    box = [side * a] * 3
+    types = np.ones(len(pts), np.int32)
+    types[::2] = 2
+    lp = LangevinParams(dt=0.002, friction=1.0, kT=0.8)
+    spec = CellSpec.create(box, cutoff=3.0, n_atoms=len(pts))
+
+    def run(type_pair):
+        core = pair_edm.init_state(
+            state, jnp.asarray(pts, jnp.float32), jax.random.PRNGKey(0),
+            pair_lookup="chebyshev",
+        )
+        st = init_cell_state(spec, core)
+        step = make_cell_step(
+            params, lp, LJParams(), spec, hill_stride=1,
+            types=types if type_pair else None, type_pair=type_pair,
+        )
+        st, _ = step(st, None)
+        return st
+
+    st_f = run((1, 2))
+    st_a = run(None)
+    assert 0 < int(st_f.core.last_calls) < int(st_a.core.last_calls)
