@@ -152,3 +152,35 @@ def test_sharded_cell_host():
     assert float(st.core.bias.cum_bias) > 0
     assert not bool(st.table_overflow)
     assert np.isfinite(np.asarray(st.core.x)).all()
+
+
+def test_sharded_coord_host():
+    """Data-parallel coordinate EDM on the 8-device mesh: many walkers
+    deposit into one replicated bias (multiple-walker metadynamics)."""
+    from edm_tpu.models import coord_edm
+    from edm_tpu.parallel import make_mesh, make_sharded_coord_step, shard_coord_state
+    from edm_tpu.utils.config import parse_edm_text
+
+    cfg = parse_edm_text(
+        "tempering 0\nhill_prefactor 0.1\nbias_per_step 10\ndimension 1\n"
+        "box_low 0\nbox_high 10\nbias_spacing 0.05\nbias_sigma 0.3\n"
+    )
+    params, state = B.subdivide(
+        cfg, 1.0, 1.0, [0], [10], [0], [10], [True], [0], dtype=jnp.float32
+    )
+    lp = LangevinParams(dt=0.01, friction=2.0, kT=1.0)
+    x0 = jnp.asarray(np.random.default_rng(0).uniform(0, 10, (64, 1)), jnp.float32)
+    st = coord_edm.init_state(params, state, x0, jax.random.PRNGKey(0), lp)
+    mesh = make_mesh(8)
+    st = shard_coord_state(st, mesh)
+    step = make_sharded_coord_step(params, lp, hill_stride=2, mesh=mesh)
+    for _ in range(6):
+        st, e = step(st)
+    assert float(st.bias.cum_bias) > 0
+    assert np.isfinite(np.asarray(st.x)).all()
+    # replicas identical
+    shards = [np.asarray(s.data) for s in st.bias.bias.grid.values.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+    # 64 walkers x 3 hill rounds: histogram recorded all accepted hills
+    assert float(jnp.sum(st.bias.cv_hist.values)) > 0
