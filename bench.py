@@ -72,7 +72,7 @@ def bench_pairwise(n_atoms=10000, block=500, steps=100, hill_stride=10, dtype=No
         step = make_cell_step(
             params, lp, lj, spec, hill_stride=hill_stride,
             rebuild_stride=10, hill_capacity=2048,
-            cell_chunk=81, cheb_deg=48,
+            cell_chunk=81, cheb_deg=48, use_pallas=True,
         )
     else:
         state = core

@@ -67,6 +67,7 @@ def make_cell_step(
     cheb_deg: int = 64,
     types=None,
     type_pair=None,
+    use_pallas: bool = False,
 ):
     if min(spec.ncells) < 3:
         raise ValueError(
@@ -129,8 +130,49 @@ def make_cell_step(
             )
         return disp, r, valid, ac, cv_ok
 
+    if use_pallas and (types is not None):
+        raise ValueError("use_pallas does not support type filtering yet")
+
     def force_fn_for(state: CellPairState):
+        def pallas_force(x):
+            from ..ops.cellforce_pallas import CELLS_PER_PROGRAM, cell_forces_pallas
+
+            dtype = x.dtype
+            aid_c = jnp.clip(state.aid, 0, n - 1)
+            Cg = -(-C // CELLS_PER_PROGRAM) * CELLS_PER_PROGRAM
+            xs3 = x[aid_c].reshape(C, cap, 3)
+            xs3 = jnp.concatenate([xs3, jnp.zeros((Cg - C, cap, 3), dtype)], axis=0)
+            aid2 = jnp.concatenate(
+                [state.aid.reshape(C, cap), jnp.full((Cg - C, cap), n, jnp.int32)],
+                axis=0,
+            )
+            sten = jnp.concatenate(
+                [stencil, jnp.zeros((Cg - C, 27), jnp.int32)], axis=0
+            )
+            xn = xs3[sten].reshape(Cg, 27 * cap, 3)
+            an = aid2[sten].reshape(Cg, 27 * cap)
+            mc = (aid2 < n).astype(dtype)
+            mn = (an < n).astype(dtype)
+            sid = aid2.astype(dtype)
+            nid = jnp.where(an < n, an, -1).astype(dtype)
+            cheb = state.core.cheb
+            f_rows, eb = cell_forces_pallas(
+                xs3, xn, mc, mn, sid, nid, cheb.cval, cheb.cder,
+                cap=cap, deg=cheb.cval.shape[0] - 1, box=spec.box,
+                lj_eps=lj.epsilon, lj_sig=lj.sigma, lj_rcut=lj.rcut,
+                cv_lo=cheb.lo, cv_hi=cheb.hi,
+            )
+            f_flat = f_rows.reshape(-1, 3)
+            a_flat = aid2.reshape(-1)
+            f_atoms = jnp.zeros((n + 1, 3), dtype).at[
+                jnp.where(a_flat < n, a_flat, n)
+            ].add(f_flat)[:n]
+            e_b = 0.5 * jnp.sum(eb)
+            return e_b, f_atoms
+
         def force_fn(x):
+            if use_pallas:
+                return pallas_force(x)
             dtype = x.dtype
             aid_c = jnp.clip(state.aid, 0, n - 1)
             xs3 = x[aid_c].reshape(C, cap, 3)  # refresh cell positions

@@ -1,0 +1,155 @@
+"""Pallas TPU kernel: fused cell-pair force pass (LJ + spectral bias CV).
+
+The cell-list host's per-chunk force math (models/pair_edm_cells) runs
+through XLA, which materializes the (cap, 27*cap) displacement / distance /
+Clenshaw intermediates between fusions.  This kernel performs the entire
+per-cell pair computation — minimum-image displacements, LJ, Chebyshev
+value+derivative (unrolled Clenshaw), masking, row reduction — inside one
+VMEM-resident program per 8-cell group, so the only HBM traffic is the
+gathered stencil coordinates in and the per-atom force rows out.
+
+Inputs are prepared by XLA (the stencil block gather is already efficient
+there); the kernel fuses the arithmetic.  Scope: no type filtering
+(cv_ok=None); callers fall back to the XLA path otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CELLS_PER_PROGRAM = 8
+
+
+def _kernel(
+    xc_ref,  # (8, cap*3)   local cell coords, xyz-major ([x all; y all; z all])
+    xn_ref,  # (8, 27cap*3) stencil coords, same layout
+    mc_ref,  # (8, cap)     1.0 for real local atoms
+    mn_ref,  # (8, 27cap)   1.0 for real stencil atoms
+    sid_ref,  # (8, cap)    local slot ids (float)
+    nid_ref,  # (8, 27cap)  stencil slot ids (float); padding = -1
+    cv_ref,  # (1, DEGP)    chebyshev value coeffs (padded)
+    cd_ref,  # (1, DEGP)    chebyshev deriv coeffs
+    fx_ref,  # (8, cap) out
+    fy_ref,
+    fz_ref,
+    eb_ref,  # (8, cap) out: per-local-atom bias energy contribution
+    *,
+    params,
+):
+    cap, ncand, deg, bx, by, bz, eps, sig, rcut, cv_lo, cv_hi = params
+
+    def one_cell(b, _):
+        xl = xc_ref[b, :]
+        xn = xn_ref[b, :]
+        # split xyz planes (static slices)
+        lx, ly, lz = xl[0:cap], xl[cap : 2 * cap], xl[2 * cap : 3 * cap]
+        nx = xn[0:ncand]
+        ny = xn[ncand : 2 * ncand]
+        nz = xn[2 * ncand : 3 * ncand]
+
+        def mimage(d, L):
+            return d - jnp.floor(d / L + 0.5) * L
+
+        dx = mimage(lx[:, None] - nx[None, :], bx)
+        dy = mimage(ly[:, None] - ny[None, :], by)
+        dz = mimage(lz[:, None] - nz[None, :], bz)
+        r2 = dx * dx + dy * dy + dz * dz
+
+        # validity: both real, not the same slot (self pair)
+        same = jnp.abs(sid_ref[b, :][:, None] - nid_ref[b, :][None, :])
+        ok = mc_ref[b, :][:, None] * mn_ref[b, :][None, :]
+        ok = jnp.where(same < 0.5, 0.0, ok)
+
+        r2s = jnp.maximum(r2, 1e-12)
+        r = jnp.sqrt(r2s)
+        inv_r = 1.0 / r
+
+        # LJ (truncated)
+        lj_on = jnp.where(r < rcut, ok, 0.0)
+        sr2 = (sig * sig) / r2s
+        sr6 = sr2 * sr2 * sr2
+        fmag_r = 4.0 * eps * (12.0 * sr6 * sr6 - 6.0 * sr6) / r2s * lj_on
+
+        # spectral bias: clenshaw val+der on clamped r
+        cv_on = jnp.where((r >= cv_lo) & (r <= cv_hi), ok, 0.0)
+        t = (2.0 * jnp.clip(r, cv_lo, cv_hi) - (cv_lo + cv_hi)) / (cv_hi - cv_lo)
+        t2 = 2.0 * t
+        b1 = jnp.zeros_like(t)
+        b2 = jnp.zeros_like(t)
+        d1 = jnp.zeros_like(t)
+        d2 = jnp.zeros_like(t)
+        for k in range(deg, 0, -1):
+            b0 = cv_ref[0, k] + t2 * b1 - b2
+            b2, b1 = b1, b0
+            e0 = cd_ref[0, k] + t2 * d1 - d2
+            d2, d1 = d1, e0
+        val = (cv_ref[0, 0] + t * b1 - b2) * cv_on
+        der = (cd_ref[0, 0] + t * d1 - d2) * cv_on
+
+        f_over_r = fmag_r - der * inv_r * cv_on
+
+        fx_ref[b, :] = jnp.sum(f_over_r * dx, axis=1)
+        fy_ref[b, :] = jnp.sum(f_over_r * dy, axis=1)
+        fz_ref[b, :] = jnp.sum(f_over_r * dz, axis=1)
+        eb_ref[b, :] = jnp.sum(val, axis=1)
+        return 0
+
+    jax.lax.fori_loop(0, CELLS_PER_PROGRAM, one_cell, 0, unroll=True)
+
+
+def cell_forces_pallas(
+    xc, xn, mc, mn, sid, nid, cval, cder, *,
+    cap, deg, box, lj_eps, lj_sig, lj_rcut, cv_lo, cv_hi,
+):
+    """xc (Cg, cap, 3), xn (Cg, 27cap, 3), masks/ids as floats.
+
+    Returns per-local-slot forces (Cg, cap, 3) and bias-energy rows
+    (Cg, cap).  Cg must be a multiple of CELLS_PER_PROGRAM.
+    """
+    Cg = xc.shape[0]
+    ncand = xn.shape[1]
+    assert Cg % CELLS_PER_PROGRAM == 0
+    n_prog = Cg // CELLS_PER_PROGRAM
+    DEGP = cval.shape[0]
+
+    # xyz-major flattening keeps per-plane slices static in the kernel
+    xc_f = jnp.concatenate([xc[..., 0], xc[..., 1], xc[..., 2]], axis=1)
+    xn_f = jnp.concatenate([xn[..., 0], xn[..., 1], xn[..., 2]], axis=1)
+
+    params = (
+        cap, ncand, deg,
+        float(box[0]), float(box[1]), float(box[2]),
+        float(lj_eps), float(lj_sig), float(lj_rcut),
+        float(cv_lo), float(cv_hi),
+    )
+    kernel = functools.partial(_kernel, params=params)
+    P = CELLS_PER_PROGRAM
+
+    def row_spec(width):
+        return pl.BlockSpec((P, width), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    fx, fy, fz, eb = pl.pallas_call(
+        kernel,
+        grid=(n_prog,),
+        in_specs=[
+            row_spec(3 * cap),
+            row_spec(3 * ncand),
+            row_spec(cap),
+            row_spec(ncand),
+            row_spec(cap),
+            row_spec(ncand),
+            pl.BlockSpec((1, DEGP), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, DEGP), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[row_spec(cap), row_spec(cap), row_spec(cap), row_spec(cap)],
+        out_shape=[jax.ShapeDtypeStruct((Cg, cap), jnp.float32)] * 4,
+    )(xc_f, xn_f, mc, mn, sid, nid, cval[None, :], cder[None, :])
+
+    f = jnp.stack([fx, fy, fz], axis=-1)
+    return f, eb

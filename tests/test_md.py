@@ -305,3 +305,64 @@ def test_cell_host_type_filtering():
     st_f = run((1, 2))
     st_a = run(None)
     assert 0 < int(st_f.core.last_calls) < int(st_a.core.last_calls)
+
+
+def test_pallas_cell_force_matches_xla(monkeypatch):
+    """The fused Pallas cell-force kernel (interpret mode on CPU) produces
+    the identical trajectory to the XLA cell path."""
+    import jax.experimental.pallas as pl
+    import edm_tpu.ops.cellforce_pallas as M
+    from edm_tpu.models import pair_edm
+    from edm_tpu.models.cells import CellSpec
+    from edm_tpu.models.pair_edm_cells import init_cell_state, make_cell_step
+    from edm_tpu.models.lj import LJParams
+    from edm_tpu.utils.config import parse_edm_text
+
+    orig = pl.pallas_call
+
+    def interp_call(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(M.pl, "pallas_call", interp_call)
+
+    cfg = parse_edm_text(
+        "tempering 0\nhill_prefactor 0.1\nbias_per_step 1.0\nhill_density 20\n"
+        "dimension 1\nbox_low 0\nbox_high 3.0\nbias_spacing 0.02\nbias_sigma 0.1\n"
+    )
+    params, state = B.subdivide(
+        cfg, 1.0, 1.0, [0], [3.0], [0], [3.0], [False], [0], dtype=jnp.float32
+    )
+    side, a = 8, 1.26
+    pts = (
+        np.stack(np.meshgrid(*[np.arange(side)] * 3, indexing="ij"), -1).reshape(-1, 3)
+        * a + 0.5 * a
+    )
+    lp = LangevinParams(dt=0.002, friction=1.0, kT=0.8)
+    spec = CellSpec.create([side * a] * 3, cutoff=3.0, n_atoms=len(pts))
+    core = pair_edm.init_state(
+        state, jnp.asarray(pts, jnp.float32), jax.random.PRNGKey(0),
+        pair_lookup="chebyshev",
+    )
+    cst = init_cell_state(spec, core)
+    # seed some bias so the spectral force is nonzero
+    bias2, _ = cst.core.bias.bias.add_value(
+        jnp.asarray([[1.2], [1.8]], jnp.float32), jnp.asarray([0.5, 0.3], jnp.float32)
+    )
+    import dataclasses as dc
+    from edm_tpu.ops.chebyshev import fit_gauss_grid
+
+    bs = dc.replace(cst.core.bias, bias=bias2)
+    core2 = dc.replace(cst.core, bias=bs, cheb=fit_gauss_grid(bias2, 64))
+    cst = dc.replace(cst, core=core2)
+
+    s_xla, _ = make_cell_step(params, lp, LJParams(), spec, hill_stride=10**6)(cst, None)
+    s_pal, _ = make_cell_step(
+        params, lp, LJParams(), spec, hill_stride=10**6, use_pallas=True
+    )(cst, None)
+    np.testing.assert_allclose(
+        np.asarray(s_pal.core.x), np.asarray(s_xla.core.x), rtol=1e-5, atol=1e-6
+    )
+    assert abs(float(s_pal.core.energy) - float(s_xla.core.energy)) < 1e-3 * max(
+        1.0, abs(float(s_xla.core.energy))
+    )
