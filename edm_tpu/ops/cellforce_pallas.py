@@ -66,7 +66,10 @@ def _kernel(
         ok = mc_ref[b, :][:, None] * mn_ref[b, :][None, :]
         ok = jnp.where(same < 0.5, 0.0, ok)
 
-        r2s = jnp.maximum(r2, 1e-12)
+        # invalid pairs (empty slots / self) can sit at r2 == 0 exactly
+        # (padding clones a real atom's coordinates); feed them a safe
+        # distance BEFORE the LJ powers — inf * 0-mask would make NaN
+        r2s = jnp.where(ok > 0.5, jnp.maximum(r2, 1e-12), 1.0)
         r = jnp.sqrt(r2s)
         inv_r = 1.0 / r
 

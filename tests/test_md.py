@@ -366,3 +366,30 @@ def test_pallas_cell_force_matches_xla(monkeypatch):
     assert abs(float(s_pal.core.energy) - float(s_xla.core.energy)) < 1e-3 * max(
         1.0, abs(float(s_xla.core.energy))
     )
+
+
+def test_coordinate_edm_2d():
+    """2-D coordinate CV end to end (reference fix edm with dim 2):
+    hills deposit on the (x, y) plane, forces stay finite, histogram fills."""
+    from edm_tpu.utils.config import parse_edm_text
+
+    cfg = parse_edm_text(
+        "tempering 0\nhill_prefactor 0.2\nbias_per_step 5.0\ndimension 2\n"
+        "box_low 0 0\nbox_high 6 6\nbias_spacing 0.1 0.1\nbias_sigma 0.3 0.3\n"
+    )
+    params, state = B.subdivide(
+        cfg, 1.0, 1.0, [0, 0], [6, 6], [0, 0], [6, 6], [True, True], [0, 0],
+        dtype=jnp.float32,
+    )
+    lp = LangevinParams(dt=0.01, friction=2.0, kT=1.0)
+    step = coord_edm.make_step(params, lp, hill_stride=5)
+    # 8 walkers in 3-D space; CV = first two coordinates
+    x0 = jnp.asarray(np.random.default_rng(1).uniform(0, 6, (8, 3)), jnp.float32)
+    st = coord_edm.init_state(params, state, x0, jax.random.PRNGKey(4), lp)
+    run = jax.jit(lambda s: coord_edm.run_segment(step, s, 200))
+    st, e = run(st)
+    assert np.isfinite(np.asarray(st.x)).all()
+    assert float(st.bias.cum_bias) > 0
+    vals = np.asarray(st.bias.bias.grid.values)
+    assert vals.ndim == 2 and vals.max() > 0
+    assert float(jnp.sum(st.bias.cv_hist.values)) > 0
