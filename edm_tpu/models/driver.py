@@ -1,0 +1,76 @@
+"""Simulation driver — the full ``fix edm`` / ``fix edm_pair`` host loop
+(reference lammps/fix_edm.cpp:134-162, fix_edm_pair.cpp:139-256): run MD in
+compiled segments, and on every write stride emit the bias grid, the CV
+histogram (then reset it — reference README.md:139-141: "The histogram is
+reset every time the bias file is rewritten"), and for 1-D pairwise runs
+the LAMMPS tabular potential ``<bias>.ltab``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.gridio import write_grid, write_lammps_table
+
+
+def run_simulation(
+    step_fn: Callable,
+    state,
+    n_steps: int,
+    write_stride: int,
+    bias_file: Optional[str] = None,
+    histogram_file: Optional[str] = None,
+    lammps_table: Optional[str] = None,
+    box_low=None,
+    box_high=None,
+    progress: Optional[Callable] = None,
+):
+    """Drive ``step_fn`` (a (state, None) -> (state, energy) transition from
+    any host model) for ``n_steps``, writing outputs every ``write_stride``
+    steps.  Returns the final state and the per-step energies of the last
+    segment.
+
+    Works with CoordEDMState, PairEDMState, and CellPairState (the bias
+    state is located by attribute).
+    """
+
+    def bias_of(s):
+        core = s.core if hasattr(s, "core") else s
+        return core.bias
+
+    def with_bias(s, new_bias):
+        if hasattr(s, "core"):
+            return dataclasses.replace(
+                s, core=dataclasses.replace(s.core, bias=new_bias)
+            )
+        return dataclasses.replace(s, bias=new_bias)
+
+    seg = jax.jit(
+        lambda s: jax.lax.scan(step_fn, s, None, length=write_stride)
+    )
+
+    energies = None
+    done = 0
+    while done < n_steps:
+        state, energies = seg(state)
+        done += write_stride
+
+        bs = bias_of(state)
+        if bias_file:
+            write_grid(bs.bias.grid, bias_file)
+        if lammps_table and box_low is not None:
+            write_lammps_table(bs.bias.grid, lammps_table, box_low, box_high)
+        if histogram_file:
+            write_grid(bs.cv_hist, histogram_file)
+            # reference semantics: histogram resets at every write
+            state = with_bias(
+                state, dataclasses.replace(bs, cv_hist=bs.cv_hist.clear())
+            )
+        if progress is not None:
+            progress(done, state, energies)
+
+    return state, energies

@@ -393,3 +393,46 @@ def test_coordinate_edm_2d():
     vals = np.asarray(st.bias.bias.grid.values)
     assert vals.ndim == 2 and vals.max() > 0
     assert float(jnp.sum(st.bias.cv_hist.values)) > 0
+
+
+def test_run_simulation_driver(tmp_path):
+    """fix-style host loop: strided bias/histogram/table writes, histogram
+    reset each write (README.md:139-141)."""
+    from edm_tpu.models import pair_edm
+    from edm_tpu.models.driver import run_simulation
+    from edm_tpu.models.lj import LJParams
+    from edm_tpu.utils.config import parse_edm_text
+    from edm_tpu.utils.gridio import read_grid_file
+
+    cfg = parse_edm_text(
+        "tempering 0\nhill_prefactor 0.1\nbias_per_step 1.0\nhill_density 20\n"
+        "dimension 1\nbox_low 0\nbox_high 3.0\nbias_spacing 0.02\nbias_sigma 0.1\n"
+    )
+    params, state = B.subdivide(
+        cfg, 1.0, 1.0, [0], [3.0], [0], [3.0], [False], [0], dtype=jnp.float32
+    )
+    a = 1.26
+    pts = (
+        np.stack(np.meshgrid(*[np.arange(4)] * 3, indexing="ij"), -1).reshape(-1, 3)
+        * a + 0.5 * a
+    )
+    lp = LangevinParams(dt=0.002, friction=1.0, kT=0.8)
+    step = pair_edm.make_step(params, lp, LJParams(), [4 * a] * 3, hill_stride=2, hill_capacity=2048)
+    st = pair_edm.init_state(state, jnp.asarray(pts, jnp.float32), jax.random.PRNGKey(0))
+
+    writes = []
+    st, e = run_simulation(
+        step, st, n_steps=20, write_stride=10,
+        bias_file=str(tmp_path / "BIAS"),
+        histogram_file=str(tmp_path / "HIST"),
+        lammps_table=str(tmp_path / "BIAS.ltab"),
+        box_low=cfg.box_low, box_high=cfg.box_high,
+        progress=lambda done, s, en: writes.append(done),
+    )
+    assert writes == [10, 20]
+    g = read_grid_file(str(tmp_path / "BIAS"), dtype=np.float32)
+    assert np.asarray(g.values).max() > 0
+    assert (tmp_path / "BIAS.ltab").exists()
+    # histogram was reset after the last write
+    assert float(jnp.sum(st.bias.cv_hist.values)) == 0.0
+    assert np.isfinite(np.asarray(e)).all()
