@@ -12,7 +12,6 @@ import dataclasses
 from typing import Callable, Optional
 
 import jax
-import jax.numpy as jnp
 
 from ..utils.gridio import write_grid, write_lammps_table
 

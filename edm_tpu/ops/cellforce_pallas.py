@@ -16,7 +16,6 @@ there); the kernel fuses the arithmetic.  Scope: no type filtering
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

@@ -18,9 +18,6 @@ identical.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P

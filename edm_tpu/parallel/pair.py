@@ -27,9 +27,6 @@ BiasState stays bitwise consistent without any grid reduction.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
