@@ -73,6 +73,7 @@ class EDMBias:
         self._pending_runiform = []
         self._est_hill_count = 0
         self._round_jit = {}
+        self._warned_stall = False
 
         if temperature is not None and boltzmann_constant is not None:
             self.setup(temperature, boltzmann_constant)
@@ -208,6 +209,25 @@ class EDMBias:
             jnp.asarray(est_hill_count, self.dtype), active,
         )
         _bias.check_state(self.state)
+        # stall detection: a single hill whose integral exceeds bias_per_step
+        # is deposited and fully undone every round (the reference silently
+        # no-ops forever on such configs — its own python-example does this)
+        if (
+            not self._warned_stall
+            and int(self.state.buf_right) > int(self.state.buf_left)
+            and float(rec.round_bias) == 0.0
+        ):
+            import warnings
+
+            warnings.warn(
+                "EDM hill round deposited zero bias while hills remain "
+                "deferred: a single hill's integrated bias likely exceeds "
+                "bias_per_step (raise bias_per_step or shrink "
+                "hill_prefactor/bias_sigma). The reference implementation "
+                "silently loops forever on such configs.",
+                stacklevel=3,
+            )
+            self._warned_stall = True
         if self.hills_log is not None:
             self.hills_log.log_round(step, cum_before, rec, positions)
 

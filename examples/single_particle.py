@@ -25,9 +25,15 @@ def main():
     workdir = tempfile.mkdtemp(prefix="edm_demo_")
     os.chdir(workdir)
 
-    # the reference notebook's input.edm (python-example/input.edm)
+    # The reference notebook's input.edm (python-example/input.edm) with one
+    # fix: bias_per_step is raised above the per-hill integral.  With the
+    # original config (sigma 0.5 on a unit box), a single hill integrates to
+    # ~3.8 > bias_per_step (= prefactor = 1.0), so the limiter deposits and
+    # fully undoes it every round — the bias stays 0 forever.  The compiled
+    # reference binary does exactly the same (verified); its own example is
+    # a no-op as shipped.
     open("input.edm", "w").write(
-        "tempering 0\nhill_prefactor 1.0\ndimension 1\n"
+        "tempering 0\nhill_prefactor 1.0\nbias_per_step 20\ndimension 1\n"
         "box_low 0.0\nbox_high 1.0\nbias_spacing 0.01\nbias_sigma 0.5\n"
     )
 
