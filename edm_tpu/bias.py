@@ -39,7 +39,12 @@ import numpy as np
 
 from .gauss import GaussGrid
 from .grid import Grid, GridSpec
-from .ops.deposit import deposit_precomputed, hill_windows
+from .ops.deposit import (
+    dense_tables_1d,
+    deposit_from_tables,
+    deposit_precomputed,
+    hill_windows,
+)
 from .ops.prefix_cap import cap_scan, drain_scan
 from .utils.config import EDMConfig
 from .utils.errors import edm_error
@@ -282,13 +287,30 @@ def add_hills_round(
         )
         pref = jnp.where(avg >= cfg.global_tempering, pref * shrink, pref)
 
+    # deposit strategy: for small 1-D CV grids the dense (G, H) unit tables
+    # replace window evaluation + scatter with matvecs (see dense_tables_1d)
+    gspec1 = state.bias.spec
+    use_dense = (
+        D == 1
+        and gspec1.grid.nbins[0] <= 1024
+        # dense is nearest-image only: a periodic support window that wraps
+        # the whole domain (W >= G) needs the windowed multi-image path
+        and (not gspec1.grid.periodic[0] or gspec1.window_shape[0] < gspec1.grid.nbins[0])
+    )
+
     # ---- 2. drain the deferred buffer (edm_bias.cpp:432, 313-380)
-    buf_hw = hill_windows(state.bias, state.buf_pos)
-    s_buf = jnp.sum(buf_hw.value_w, axis=-1) * vol
     slots = jnp.arange(CAP, dtype=jnp.int32)
     buf_active = (slots >= state.buf_left) & (slots < state.buf_right)
+    if use_dense:
+        bMval, bMder, s_buf = dense_tables_1d(state.bias, state.buf_pos)
+    else:
+        buf_hw = hill_windows(state.bias, state.buf_pos)
+        s_buf = jnp.sum(buf_hw.value_w, axis=-1) * vol
     dr = drain_scan(state.buf_h, s_buf, buf_active, cap_bias)
-    bias1, _ = deposit_precomputed(state.bias, buf_hw, dr.dep_heights)
+    if use_dense:
+        bias1 = deposit_from_tables(state.bias, bMval, bMder, dr.dep_heights)
+    else:
+        bias1, _ = deposit_precomputed(state.bias, buf_hw, dr.dep_heights)
 
     remaining = buf_active & ~dr.consumed
     any_rem = jnp.any(remaining)
@@ -322,11 +344,17 @@ def add_hills_round(
     h = jnp.minimum(h, BIAS_CLAMP * cap_bias)
 
     # ---- 4. sequential cap + one deposit commit
-    hills_hw = hill_windows(bias1, positions)
-    s_h = jnp.sum(hills_hw.value_w, axis=-1) * vol
+    if use_dense:
+        hMval, hMder, s_h = dense_tables_1d(bias1, positions)
+    else:
+        hills_hw = hill_windows(bias1, positions)
+        s_h = jnp.sum(hills_hw.value_w, axis=-1) * vol
     called = accept & ~skip
     cr = cap_scan(h, s_h, called, cap_bias, dr.bias_added)
-    bias2, _ = deposit_precomputed(bias1, hills_hw, cr.dep_heights)
+    if use_dense:
+        bias2 = deposit_from_tables(bias1, hMval, hMder, cr.dep_heights)
+    else:
+        bias2, _ = deposit_precomputed(bias1, hills_hw, cr.dep_heights)
 
     # ---- 5. overflow append (FIFO, compacted; fixes reference Q3)
     to_defer = called & (cr.defer_heights > 0)

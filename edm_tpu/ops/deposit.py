@@ -196,6 +196,61 @@ def hill_weights(gg: GaussGrid, centers: jax.Array) -> jax.Array:
     return jnp.sum(hw.value_w, axis=-1) * vol
 
 
+def dense_tables_1d(gg: GaussGrid, centers: jax.Array):
+    """Unit-height dense contribution tables for a 1-D grid: returns
+    (Mval (G, H), Mder (G, H), s (H,)) such that a deposit of heights h is
+    ``values += Mval @ h``, ``derivs[:, 0] += Mder @ h`` and the per-hill
+    integral is ``bias_added = h * s``.
+
+    For the engine's hill rounds on small CV grids this replaces two window
+    evaluations and two scatter passes (TPU scatters cost ~5 ns/element)
+    with two tiny matvecs.  Pointwise math identical to the windowed path
+    (shared _pointwise_contrib)."""
+    spec = gg.spec
+    g = spec.grid
+    assert spec.dim == 1
+    dtype = gg.dtype
+    centers = jnp.asarray(centers, dtype)
+    x = gg.remap(centers)  # (H, 1)
+    H = x.shape[0]
+    G = g.nbins[0]
+
+    hill_ok = jnp.ones((H,), bool)
+    if not spec.boundary_periodic[0]:
+        hill_ok &= (x[:, 0] >= spec.boundary_min[0]) & (x[:, 0] <= spec.boundary_max[0])
+
+    gxs = g.min[0] + g.dx[0] * jnp.arange(G, dtype=dtype)
+    point_ok = jnp.ones((G,), bool)
+    if not spec.boundary_periodic[0]:
+        point_ok &= (gxs >= spec.boundary_min[0]) & (gxs <= spec.boundary_max[0])
+
+    xx = gxs[:, None]  # (G, 1)
+    dpd = xx[:, 0][:, None] - x[None, :, 0]  # (G, H)
+    if g.periodic[0]:
+        L = g.max[0] - g.min[0]
+        dpd = dpd - ref_round(dpd / L) * L
+    dp = (dpd / spec.sigma[0])[..., None]
+    dp2 = dp[..., 0] * dp[..., 0]
+    valid = point_ok[:, None] & hill_ok[None, :] & (dp2 < GAUSS_SUPPORT + 1e-12)
+    Mval, Mder = _pointwise_contrib(
+        gg, xx[:, None, :], x[None, :, :], dp, dp2, valid
+    )
+    s = jnp.sum(Mval, axis=0) * np.asarray(g.dx[0], dtype)
+    return Mval, Mder[..., 0], s
+
+
+def deposit_from_tables(gg: GaussGrid, Mval, Mder, heights):
+    """Commit a dense-table deposit (matvec; no scatter)."""
+    heights = jnp.asarray(heights, gg.dtype)
+    values = gg.grid.values + Mval @ heights
+    derivs = gg.grid.derivs + (Mder @ heights)[:, None]
+    grid = dataclasses.replace(gg.grid, values=values, derivs=derivs)
+    out = dataclasses.replace(gg, grid=grid)
+    if any(not p for p in gg.spec.boundary_periodic):
+        out = duplicate_boundary(out)
+    return out
+
+
 def _duplication_assignments(spec):
     """Static (outer, bound) single-point copies for zero-force boundary rows
     (reference duplicate_boundary, gaussian_grid.h:571-630)."""
@@ -371,8 +426,10 @@ def deposit(gg: GaussGrid, centers: jax.Array, heights: jax.Array):
         G = spec.grid.nbins[0]
         # scatter elements cost ~17k flop-equivalents on TPU (measured);
         # the dense hills-matmul wins until the grid is ~500x wider than
-        # the support window
-        if G <= 512 * W:
+        # the support window.  Dense is nearest-image only, so periodic
+        # windows that wrap the whole domain (W >= G) stay on the windowed
+        # multi-image path.
+        if G <= 512 * W and (not spec.grid.periodic[0] or W < G):
             from . import deposit_pallas
 
             if (
