@@ -265,10 +265,11 @@ def add_hills_round(
             state, cum_bias=state.cum_bias + round_bias, steps=state.steps + 1
         )
         z = jnp.zeros
+        DRAIN0 = min(1024, CAP)
         rec = RoundRecords(
-            drain_pos=state.buf_pos, drain_h=state.buf_h,
-            drain_dep_h=z((CAP,), dtype), drain_s=z((CAP,), dtype),
-            drain_processed=z((CAP,), bool), drain_straddled=z((CAP,), bool),
+            drain_pos=state.buf_pos[:DRAIN0], drain_h=state.buf_h[:DRAIN0],
+            drain_dep_h=z((DRAIN0,), dtype), drain_s=z((DRAIN0,), dtype),
+            drain_processed=z((DRAIN0,), bool), drain_straddled=z((DRAIN0,), bool),
             hill_h=z((H,), dtype), hill_dep_h=z((H,), dtype),
             hill_defer_h=z((H,), dtype), hill_s=z((H,), dtype),
             hill_called=z((H,), bool), hill_deposited=z((H,), bool),
@@ -299,22 +300,44 @@ def add_hills_round(
     )
 
     # ---- 2. drain the deferred buffer (edm_bias.cpp:432, 313-380)
-    slots = jnp.arange(CAP, dtype=jnp.int32)
-    buf_active = (slots >= state.buf_left) & (slots < state.buf_right)
+    # Only a bounded window of the buffer (DRAIN_BATCH slots from buf_left)
+    # is evaluated per round: the cap rarely lets more than a handful of
+    # hills drain anyway, and evaluating deposition geometry for the whole
+    # (possibly 8k-slot) buffer costs more than the entire MD step.  Hills
+    # beyond the window simply wait (FIFO preserved; rounds keep skipping
+    # while leftovers exist, exactly as with an unbounded drain).
+    DRAIN = min(1024, CAP)
+    win_pos = jax.lax.dynamic_slice(
+        state.buf_pos, (state.buf_left, jnp.int32(0)), (DRAIN, D)
+    )
+    win_h = jax.lax.dynamic_slice(state.buf_h, (state.buf_left,), (DRAIN,))
+    n_buf = state.buf_right - state.buf_left
+    wslots = jnp.arange(DRAIN, dtype=jnp.int32)
+    win_active = wslots < n_buf
     if use_dense:
-        bMval, bMder, s_buf = dense_tables_1d(state.bias, state.buf_pos)
+        bMval, bMder, s_buf = dense_tables_1d(state.bias, win_pos)
     else:
-        buf_hw = hill_windows(state.bias, state.buf_pos)
+        buf_hw = hill_windows(state.bias, win_pos)
         s_buf = jnp.sum(buf_hw.value_w, axis=-1) * vol
-    dr = drain_scan(state.buf_h, s_buf, buf_active, cap_bias)
+    dr = drain_scan(win_h, s_buf, win_active, cap_bias)
     if use_dense:
         bias1 = deposit_from_tables(state.bias, bMval, bMder, dr.dep_heights)
     else:
         bias1, _ = deposit_precomputed(state.bias, buf_hw, dr.dep_heights)
+    # write the window's post-drain heights back into the full buffer
+    full_buf_h = jax.lax.dynamic_update_slice(
+        state.buf_h, dr.new_heights, (state.buf_left,)
+    )
 
-    remaining = buf_active & ~dr.consumed
-    any_rem = jnp.any(remaining)
-    left1 = jnp.where(any_rem, jnp.argmax(remaining).astype(jnp.int32), 0)
+    remaining_w = win_active & ~dr.consumed
+    any_rem_w = jnp.any(remaining_w)
+    # leftovers beyond the window also count as remaining
+    beyond = n_buf > DRAIN
+    any_rem = any_rem_w | beyond
+    first_rem = jnp.where(
+        any_rem_w, jnp.argmax(remaining_w).astype(jnp.int32), jnp.int32(DRAIN)
+    )
+    left1 = jnp.where(any_rem, state.buf_left + jnp.minimum(first_rem, n_buf), 0)
     right1 = jnp.where(any_rem, state.buf_right, 0)
     skip = any_rem  # b_skip_hill_add_ (edm_bias.cpp:436-439)
 
@@ -359,11 +382,12 @@ def add_hills_round(
     # ---- 5. overflow append (FIFO, compacted; fixes reference Q3)
     to_defer = called & (cr.defer_heights > 0)
     n_def = jnp.sum(to_defer.astype(jnp.int32))
+    slots = jnp.arange(CAP, dtype=jnp.int32)
     src = slots + left1
     valid_src = src < right1
     src_c = jnp.clip(src, 0, CAP - 1)
     buf_pos2 = jnp.where(valid_src[:, None], state.buf_pos[src_c], 0)
-    buf_h2 = jnp.where(valid_src, dr.new_heights[src_c], 0)
+    buf_h2 = jnp.where(valid_src, full_buf_h[src_c], 0)
     size2 = right1 - left1
     rank = jnp.cumsum(to_defer.astype(jnp.int32)) - 1
     tgt = jnp.where(to_defer, size2 + rank, CAP)  # CAP -> dropped
@@ -374,7 +398,7 @@ def add_hills_round(
     # ---- 6. histogram (output_hill bookkeeping, edm_bias.cpp:601-610)
     hist = state.cv_hist
     drain_delta = dr.processed.astype(dtype) - dr.straddled.astype(dtype)
-    hist, _ = hist.add_value(state.buf_pos, drain_delta)
+    hist, _ = hist.add_value(win_pos, drain_delta)
     hill_delta = called.astype(dtype) - cr.straddled.astype(dtype)
     hist, _ = hist.add_value(positions, hill_delta)
 
@@ -395,8 +419,8 @@ def add_hills_round(
         steps=state.steps + 1,
     )
     rec = RoundRecords(
-        drain_pos=state.buf_pos,
-        drain_h=state.buf_h,
+        drain_pos=win_pos,
+        drain_h=win_h,
         drain_dep_h=dr.dep_heights,
         drain_s=s_buf,
         drain_processed=dr.processed,
