@@ -42,17 +42,22 @@ def make_step(
     hill_stride: int,
     external_force: Optional[Callable] = None,
     axis_name: Optional[str] = None,
+    group_mask=None,
 ):
     """Build the jitted single-step transition.
 
     ``external_force(x) -> (energy, force)`` adds a physical potential on
     top of the bias (None = free particle, the reference's sanity setup).
+    ``group_mask`` (N,) bool restricts biasing to a group of atoms — the
+    LAMMPS groupbit filter (fix_edm.cpp:104,140,153): masked-out atoms feel
+    no bias force and deposit no hills (external forces still apply).
     """
     D = params.cfg.dim
+    gmask = None if group_mask is None else jnp.asarray(group_mask, bool)
 
     def force_fn(bias_state):
         def fn(x):
-            e_b, der = B.update_forces(params, bias_state, x)
+            e_b, der = B.update_forces(params, bias_state, x, mask=gmask)
             f = jnp.zeros_like(x)
             f = f.at[..., :D].add(-der)
             e = e_b
@@ -75,7 +80,8 @@ def make_step(
 
         def with_hills(bs):
             new_bs, _ = B.add_hills_round(
-                params, bs, x[..., :D], runiform, x.shape[0], axis_name=axis_name
+                params, bs, x[..., :D], runiform, x.shape[0],
+                active=gmask, axis_name=axis_name,
             )
             return new_bs
 

@@ -436,3 +436,26 @@ def test_run_simulation_driver(tmp_path):
     # histogram was reset after the last write
     assert float(jnp.sum(st.bias.cv_hist.values)) == 0.0
     assert np.isfinite(np.asarray(e)).all()
+
+
+def test_coord_group_mask():
+    """LAMMPS groupbit parity (fix_edm.cpp:104,140,153): masked-out atoms
+    neither feel the bias nor deposit hills."""
+    from edm_tpu.utils.config import parse_edm_file
+
+    cfg = parse_edm_file(SANITY)
+    params, state = B.subdivide(
+        cfg, 1.0, 1.0, [0], [10], [0], [10], [True], [0], dtype=jnp.float32
+    )
+    lp = LangevinParams(dt=0.005, friction=1.0, kT=1.0)
+    mask = np.array([True, False])
+    step = coord_edm.make_step(params, lp, hill_stride=5, group_mask=mask)
+    x0 = jnp.asarray([[3.0, 0, 0], [7.0, 0, 0]], jnp.float32)
+    st = coord_edm.init_state(params, state, x0, jax.random.PRNGKey(0), lp)
+    run = jax.jit(lambda s: coord_edm.run_segment(step, s, 100))
+    st, _ = run(st)
+    vals = np.asarray(st.bias.bias.grid.values)
+    xs = np.arange(len(vals)) * st.bias.bias.spec.grid.dx[0]
+    # all bias deposited near atom 0's region (x~3), none near atom 1 (x~7)
+    assert vals[(xs > 2) & (xs < 4)].sum() > 0
+    assert vals[(xs > 6.2) & (xs < 7.8)].sum() < 1e-3
