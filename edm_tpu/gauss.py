@@ -171,6 +171,40 @@ class GaussGrid:
         bcd, bcdd = compute_bc_tables(spec, g.dtype)
         return cls(grid=g, bc_denom=bcd, bc_denom_deriv=bcdd, spec=spec)
 
+    @classmethod
+    def from_file(
+        cls,
+        filename: str,
+        sigma: Sequence[float],
+        interpolate: bool = True,
+        dtype=jnp.float32,
+    ) -> "GaussGrid":
+        """Rebuild from a Plumed-1 grid file; files don't store sigma, so it
+        must be given again (reference gaussian_grid.h:82-93 /
+        read_gauss_grid, gaussian_grid.cpp:20-33).  Boundary defaults to the
+        grid bounds, as in the reference file constructor."""
+        import dataclasses as _dc
+
+        from .utils.gridio import read_grid_file
+
+        g = read_grid_file(filename, interpolate=interpolate, dtype=dtype)
+        if g.derivs is None:
+            # FORCE 0 files carry no gradients; deposition needs them
+            # (the reference would dereference a null pointer here)
+            g = _dc.replace(
+                g, derivs=jnp.zeros(g.spec.nbins + (g.spec.dim,), g.dtype)
+            )
+        g = _dc.replace(g, interpolate=interpolate)
+        gs = g.spec
+        bmax = tuple(
+            gs.max[d] if gs.periodic[d] else gs.max[d] - gs.dx[d]
+            for d in range(gs.dim)
+        )
+        return cls.create(
+            gs.min, bmax, gs.dx, gs.periodic, sigma,
+            interpolate=interpolate, dtype=dtype, grid=g,
+        )
+
     def set_boundary(
         self,
         boundary_min: Sequence[float],

@@ -295,3 +295,22 @@ def test_pallas_deposit_matches_dense():
     np.testing.assert_allclose(
         np.asarray(g_p.grid.derivs), np.asarray(g_x.grid.derivs), rtol=2e-4, atol=1e-4
     )
+
+
+def test_gauss_grid_from_file(tmp_path, fixture_dir):
+    """read_gauss_grid parity (gaussian_grid.cpp:20-33): rebuild from a grid
+    file with sigma supplied; deposition continues on the restored surface."""
+    g0 = make_gauss([0], [10], [0.05], [True], [0.2], dtype=jnp.float32)
+    g0, _ = g0.add_value(jnp.array([[4.0]], jnp.float32), jnp.array([1.0], jnp.float32))
+    from edm_tpu.utils.gridio import write_grid
+
+    f = tmp_path / "g.grid"
+    write_grid(g0.grid, str(f))
+
+    g1 = GaussGrid.from_file(str(f), [0.2], dtype=jnp.float32)
+    v0, _ = g0.get_value_deriv(jnp.array([[4.1]], jnp.float32))
+    v1, _ = g1.get_value_deriv(jnp.array([[4.1]], jnp.float32))
+    assert abs(float(v0[0]) - float(v1[0])) < 1e-5
+    # deposition continues with the supplied sigma
+    g1b, added = g1.add_value(jnp.array([[6.0]], jnp.float32), jnp.array([0.5], jnp.float32))
+    assert abs(float(added[0]) - 0.5) < 1e-2
