@@ -9,6 +9,7 @@ toolchain is unavailable.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import pathlib
 import subprocess
@@ -21,17 +22,29 @@ _TRIED = False
 
 
 def _build() -> pathlib.Path | None:
+    # Cache keyed on a hash of the source: a stale binary (e.g. after a
+    # checkout that preserves mtimes) can never be loaded silently.
     src = _HERE / "gridio.cpp"
-    so = _HERE / "_gridio.so"
-    if so.exists() and so.stat().st_mtime >= src.stat().st_mtime:
+    try:
+        digest = hashlib.sha256(src.read_bytes()).hexdigest()[:16]
+    except OSError:
+        return None
+    cache = pathlib.Path(
+        os.environ.get("EDM_TPU_NATIVE_CACHE", _HERE / "_build")
+    )
+    so = cache / f"_gridio-{digest}.so"
+    if so.exists():
         return so
     try:
+        cache.mkdir(parents=True, exist_ok=True)
+        tmp = so.with_suffix(f".tmp{os.getpid()}")
         subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", "-o", str(so), str(src)],
+            ["g++", "-O2", "-shared", "-fPIC", "-o", str(tmp), str(src)],
             check=True,
             capture_output=True,
             timeout=120,
         )
+        os.replace(tmp, so)  # atomic: concurrent builders race benignly
         return so
     except Exception:
         return None

@@ -101,11 +101,19 @@ def cap_scan(heights, weights, active, cap, cum0) -> CapResult:
         deposited = deposited | is_k
         straddled = st.straddled | is_k
 
-        cum_after = jnp.where(any_cross, pre_k + h_undo * s_k, st.cum + jnp.sum(c))
+        # Exact saturation (prefix == cap, no crossing): later hills hit the
+        # reference's `temp_hill_cum_ < bias_per_step_` check as false and are
+        # buffered whole without touching temp_hill_cum_ (edm_bias.cpp:465,498)
+        # — so only fully-deposited hills may contribute to the running total.
+        sat = undec & (prev >= cap)
+        cum_after = jnp.where(
+            any_cross, pre_k + h_undo * s_k, st.cum + jnp.sum(jnp.where(full, c, 0))
+        )
         done = ~any_cross | (cum_after >= cap)
         # cap saturated: everything after the straddler defers whole
         post = undec & (idxs > k_star) & any_cross
         defer = jnp.where(post & done, heights, defer)
+        defer = jnp.where(sat & ~any_cross, heights, defer)
 
         return _St(
             cum=cum_after,

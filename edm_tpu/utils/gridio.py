@@ -241,7 +241,12 @@ def write_lammps_table(
         for i in range(1, extra_n):
             f.write(f"{i} {_fmt_g(i * dx)} 0.0 0.0\n")
         for i in range(n):
-            # in-grid mask mirrors the multi_write owner test: points outside
-            # the grid are simply skipped by the reference; single-device we
-            # cover the whole box so all rows are in-grid.
+            # in_grid owner test (grid.h:865-875, applied at grid.h:616): for
+            # non-periodic dims points at x >= max - dx (== the un-inflated
+            # max) are outside the grid and never written by any rank, so the
+            # final x == box_max row of a non-periodic table is skipped.
+            if not spec.periodic[0] and (
+                xs[i] < spec.min[0] or xs[i] >= spec.max[0] - dx
+            ):
+                continue
             f.write(f"{i + extra_n} {xs[i]:.8f} {val[i]:.8f} {-der[i, 0]:.8f} \n")

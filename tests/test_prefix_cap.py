@@ -86,6 +86,49 @@ def test_cap_matches_sequential(seed):
     assert abs(float(got.cum) - want[4]) < 1e-12
 
 
+def test_cap_exact_saturation():
+    """Prefix landing exactly on the cap: the next hill sees
+    temp_hill_cum_ < bias_per_step_ as false and is buffered whole with no
+    contribution to the running total (edm_bias.cpp:465,498) — regression
+    for the round-1 advisor finding (dropped hill + cum over-count)."""
+    heights = np.array([1.0, 1.0, 1.0])
+    ones = np.ones(3)
+    got = cap_scan(
+        jnp.asarray(heights), jnp.asarray(ones), jnp.asarray(ones, bool), 2.0, 0.0
+    )
+    want = seq_cap(heights, ones, ones.astype(bool), 2.0, 0.0)
+    np.testing.assert_allclose(np.asarray(got.dep_heights), want[0])
+    np.testing.assert_allclose(np.asarray(got.defer_heights), want[1])
+    np.testing.assert_array_equal(np.asarray(got.deposited), want[2])
+    np.testing.assert_array_equal(np.asarray(got.straddled), want[3])
+    assert float(got.cum) == want[4] == 2.0
+    # the third hill must be deferred whole, not dropped
+    assert float(got.defer_heights[2]) == 1.0
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_cap_exact_saturation_randomized(seed):
+    """Random streams engineered to hit prefix == cap mid-stream."""
+    rng = np.random.default_rng(300 + seed)
+    n = 24
+    # dyadic heights: all partial sums are exact under any summation
+    # association (XLA's cumsum is log-depth, not left-to-right)
+    heights = rng.integers(1, 32, n) / 64.0
+    weights = np.ones(n)
+    active = rng.random(n) < 0.8
+    # force an exact landing at a random active position
+    k = int(np.flatnonzero(active)[3])
+    cap = float(np.sum(np.where(active[: k + 1], heights[: k + 1], 0.0)))
+    want = seq_cap(heights, weights, active, cap, 0.0)
+    got = cap_scan(
+        jnp.asarray(heights), jnp.asarray(weights), jnp.asarray(active), cap, 0.0
+    )
+    np.testing.assert_allclose(np.asarray(got.dep_heights), want[0], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.defer_heights), want[1], atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(got.deposited), want[2])
+    assert abs(float(got.cum) - want[4]) < 1e-12
+
+
 def test_cap_initial_over_cap():
     heights = np.full(8, 0.1)
     weights = np.ones(8)
