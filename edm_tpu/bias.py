@@ -231,6 +231,43 @@ class RoundRecords(NamedTuple):
     prefactor: jax.Array  # scalar: post-global-tempering prefactor
 
 
+class HillRoundLog(NamedTuple):
+    """Fixed-shape per-step log payload a compiled host can emit as scan ys.
+
+    The reference logs every hill event unconditionally (output_hill,
+    edm_bias.cpp:586-599) from inside its sequential loop; compiled hosts
+    instead stack one of these per step and the driver replays the event
+    stream host-side (utils/hills_log.py).  ``happened`` is False on
+    non-hill-stride steps, where the payload is all-zeros."""
+
+    happened: jax.Array  # scalar bool
+    positions: jax.Array  # (H, D) new-hill centers fed to the round
+    rec: RoundRecords
+
+
+def round_log_zeros(params: BiasParams, state: BiasState, n_hills: int) -> HillRoundLog:
+    """Trace-time zero template shape-matching ``add_hills_round``'s records
+    for ``n_hills`` candidate hills (for the no-hill branch of a host's
+    ``lax.cond``)."""
+    D = params.cfg.dim
+    dtype = state.bias.dtype
+    _, rec_s = jax.eval_shape(
+        add_hills_round,
+        params,
+        state,
+        jax.ShapeDtypeStruct((n_hills, D), dtype),
+        jax.ShapeDtypeStruct((n_hills,), dtype),
+        jax.ShapeDtypeStruct((), dtype),
+        jnp.zeros((n_hills,), bool),
+    )
+    rec = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), rec_s)
+    return HillRoundLog(
+        happened=jnp.zeros((), bool),
+        positions=jnp.zeros((n_hills, D), dtype),
+        rec=rec,
+    )
+
+
 def add_hills_round(
     params: BiasParams,
     state: BiasState,

@@ -43,6 +43,7 @@ def make_step(
     external_force: Optional[Callable] = None,
     axis_name: Optional[str] = None,
     group_mask=None,
+    collect_records: bool = False,
 ):
     """Build the jitted single-step transition.
 
@@ -79,26 +80,36 @@ def make_step(
         runiform = jax.random.uniform(sub, (x.shape[0],), x.dtype)
 
         def with_hills(bs):
-            new_bs, _ = B.add_hills_round(
+            new_bs, rec = B.add_hills_round(
                 params, bs, x[..., :D], runiform, x.shape[0],
                 active=gmask, axis_name=axis_name,
             )
-            return new_bs
+            log = (
+                B.HillRoundLog(jnp.ones((), bool), x[..., :D], rec)
+                if collect_records
+                else None
+            )
+            return new_bs, log
 
         def without_hills(bs):
             # keep steps aligned with the reference convention: steps_ counts
             # hill rounds, not MD steps (edm_bias.cpp:582)
-            return bs
+            log = (
+                B.round_log_zeros(params, bs, x.shape[0])
+                if collect_records
+                else None
+            )
+            return bs, log
 
-        bias_state = jax.lax.cond(do_hills, with_hills, without_hills, state.bias)
-
-        return (
-            CoordEDMState(
-                x=x, v=v, f=f, key=key, bias=bias_state,
-                step=state.step + 1, energy=energy,
-            ),
-            energy,
+        bias_state, log = jax.lax.cond(
+            do_hills, with_hills, without_hills, state.bias
         )
+
+        new_state = CoordEDMState(
+            x=x, v=v, f=f, key=key, bias=bias_state,
+            step=state.step + 1, energy=energy,
+        )
+        return new_state, ((energy, log) if collect_records else energy)
 
     return step
 

@@ -27,6 +27,7 @@ def run_simulation(
     box_low=None,
     box_high=None,
     progress: Optional[Callable] = None,
+    hills_log=None,
 ):
     """Drive ``step_fn`` (a (state, None) -> (state, energy) transition from
     any host model) for ``n_steps``, writing outputs every ``write_stride``
@@ -35,6 +36,12 @@ def run_simulation(
 
     Works with CoordEDMState, PairEDMState, and CellPairState (the bias
     state is located by attribute).
+
+    ``hills_log`` (utils.hills_log.HillsLog): when given, ``step_fn`` must
+    have been built with ``collect_records=True``; each segment's stacked
+    HillRoundLog records are replayed host-side into the reference-format
+    HILLS event stream (output_hill, edm_bias.cpp:586-599) after the segment
+    completes — one device fetch per write stride, zero per-step traffic.
     """
 
     def bias_of(s):
@@ -52,10 +59,29 @@ def run_simulation(
         lambda s: jax.lax.scan(step_fn, s, None, length=write_stride)
     )
 
+    if hills_log is not None:
+        # the hills counter/step column counts hill rounds (edm_bias.cpp:582)
+        round_counter = int(bias_of(state).steps)
+        cum_run = float(bias_of(state).cum_bias)
+
     energies = None
     done = 0
     while done < n_steps:
-        state, energies = seg(state)
+        if hills_log is not None:
+            state, (energies, logs) = seg(state)
+            import numpy as np
+
+            logs = jax.device_get(logs)
+            happened = np.asarray(logs.happened)
+            for i in np.nonzero(happened)[0]:
+                rec_i = jax.tree_util.tree_map(lambda a: a[i], logs.rec)
+                hills_log.log_round(
+                    round_counter, cum_run, rec_i, logs.positions[i]
+                )
+                cum_run += float(rec_i.round_bias)
+                round_counter += 1
+        else:
+            state, energies = seg(state)
         done += write_stride
 
         bs = bias_of(state)

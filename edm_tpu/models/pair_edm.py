@@ -63,6 +63,7 @@ def make_step(
     cheb_deg: int = 64,
     types=None,
     type_pair: Optional[Tuple[int, int]] = None,
+    collect_records: bool = False,
 ):
     """Build the jitted pairwise-EDM MD step.
 
@@ -142,7 +143,7 @@ def make_step(
             active = accept[order]
             truncated = jnp.sum(accept.astype(jnp.int32)) > hill_capacity
 
-            new_bs, _ = B.add_hills_round(
+            new_bs, rec = B.add_hills_round(
                 params,
                 bs,
                 hills,
@@ -156,31 +157,40 @@ def make_step(
                 if state.cheb is not None
                 else state.cheb
             )
-            return new_bs, key, ncalls, truncated, new_cheb
+            log = (
+                B.HillRoundLog(jnp.ones((), bool), hills, rec)
+                if collect_records
+                else None
+            )
+            return new_bs, key, ncalls, truncated, new_cheb, log
 
         def without_hills(args):
             bs, key, last_calls = args
-            return bs, key, last_calls, jnp.zeros((), bool), state.cheb
+            n_log = min(hill_capacity, state.x.shape[0] ** 2)
+            log = (
+                B.round_log_zeros(params, bs, n_log)
+                if collect_records
+                else None
+            )
+            return bs, key, last_calls, jnp.zeros((), bool), state.cheb, log
 
-        bias_state, key, last_calls, truncated, cheb = jax.lax.cond(
+        bias_state, key, last_calls, truncated, cheb, log = jax.lax.cond(
             do_hills, with_hills, without_hills, (bias_state, key, state.last_calls)
         )
 
-        return (
-            PairEDMState(
-                x=x,
-                v=v,
-                f=f,
-                key=key,
-                bias=bias_state,
-                step=state.step + 1,
-                last_calls=last_calls,
-                energy=e_bias,
-                hills_truncated=state.hills_truncated | truncated,
-                cheb=cheb,
-            ),
-            e_bias,
+        new_state = PairEDMState(
+            x=x,
+            v=v,
+            f=f,
+            key=key,
+            bias=bias_state,
+            step=state.step + 1,
+            last_calls=last_calls,
+            energy=e_bias,
+            hills_truncated=state.hills_truncated | truncated,
+            cheb=cheb,
         )
+        return new_state, ((e_bias, log) if collect_records else e_bias)
 
     return step
 

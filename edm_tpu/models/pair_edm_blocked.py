@@ -38,6 +38,7 @@ def make_step_blocked(
     block_size: int = 512,
     axis_name: Optional[str] = None,
     cheb_deg: int = 64,
+    collect_records: bool = False,
 ):
     box_arr = jnp.asarray(box)
 
@@ -214,7 +215,7 @@ def make_step_blocked(
             hills, runifs, active, count, ncalls, truncated = collect_hills(
                 x, sub, last_calls, x.dtype
             )
-            new_bs, _ = B.add_hills_round(
+            new_bs, rec = B.add_hills_round(
                 params,
                 bs,
                 hills,
@@ -228,25 +229,33 @@ def make_step_blocked(
                 if state.cheb is not None
                 else state.cheb
             )
-            return new_bs, key, ncalls.astype(jnp.int32), truncated, new_cheb
+            log = (
+                B.HillRoundLog(jnp.ones((), bool), hills, rec)
+                if collect_records
+                else None
+            )
+            return new_bs, key, ncalls.astype(jnp.int32), truncated, new_cheb, log
 
         def without_hills(args):
             bs, key, last_calls = args
-            return bs, key, last_calls, jnp.zeros((), bool), state.cheb
+            log = (
+                B.round_log_zeros(params, bs, hill_capacity)
+                if collect_records
+                else None
+            )
+            return bs, key, last_calls, jnp.zeros((), bool), state.cheb, log
 
-        bias_state, key, last_calls, truncated, cheb = jax.lax.cond(
+        bias_state, key, last_calls, truncated, cheb, log = jax.lax.cond(
             do_hills, with_hills, without_hills, (bias_state, key, state.last_calls)
         )
 
-        return (
-            PairEDMState(
-                x=x, v=v, f=f, key=key, bias=bias_state,
-                step=state.step + 1, last_calls=last_calls,
-                energy=e_bias,
-                hills_truncated=state.hills_truncated | truncated,
-                cheb=cheb,
-            ),
-            e_bias,
+        new_state = PairEDMState(
+            x=x, v=v, f=f, key=key, bias=bias_state,
+            step=state.step + 1, last_calls=last_calls,
+            energy=e_bias,
+            hills_truncated=state.hills_truncated | truncated,
+            cheb=cheb,
         )
+        return new_state, ((e_bias, log) if collect_records else e_bias)
 
     return step

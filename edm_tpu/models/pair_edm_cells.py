@@ -68,6 +68,7 @@ def make_cell_step(
     types=None,
     type_pair=None,
     use_pallas: bool = False,
+    collect_records: bool = False,
 ):
     if min(spec.ncells) < 3:
         raise ValueError(
@@ -336,18 +337,28 @@ def make_cell_step(
             hills, runifs, active, count, ncalls, truncated = collect_hills(
                 state, x, sub, last_calls, x.dtype
             )
-            new_bs, _ = B.add_hills_round(
+            new_bs, rec = B.add_hills_round(
                 params, bs, hills, runifs, last_calls.astype(x.dtype),
                 active=active, axis_name=axis_name,
             )
             new_cheb = fit_gauss_grid(new_bs.bias, cheb_deg)
-            return new_bs, key, ncalls, truncated, new_cheb
+            log = (
+                B.HillRoundLog(jnp.ones((), bool), hills, rec)
+                if collect_records
+                else None
+            )
+            return new_bs, key, ncalls, truncated, new_cheb, log
 
         def without_hills(args):
             bs, key, last_calls = args
-            return bs, key, last_calls, jnp.zeros((), bool), core.cheb
+            log = (
+                B.round_log_zeros(params, bs, hill_capacity)
+                if collect_records
+                else None
+            )
+            return bs, key, last_calls, jnp.zeros((), bool), core.cheb, log
 
-        bias_state, key, last_calls, truncated, cheb = jax.lax.cond(
+        bias_state, key, last_calls, truncated, cheb, log = jax.lax.cond(
             do_hills, with_hills, without_hills, (core.bias, key, core.last_calls)
         )
 
@@ -369,9 +380,7 @@ def make_cell_step(
 
         aid, overflow = jax.lax.cond(do_rebuild, rebuild, keep, None)
 
-        return (
-            CellPairState(core=new_core, aid=aid, table_overflow=overflow),
-            e_bias,
-        )
+        new_state = CellPairState(core=new_core, aid=aid, table_overflow=overflow)
+        return new_state, ((e_bias, log) if collect_records else e_bias)
 
     return step
