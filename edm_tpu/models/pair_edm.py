@@ -152,8 +152,10 @@ def make_step(
                 active=active,
                 axis_name=axis_name,
             )
+            # refit at the carried table's degree, not the cheb_deg arg:
+            # a mismatch would give the cond branches different shapes
             new_cheb = (
-                fit_gauss_grid(new_bs.bias, cheb_deg)
+                fit_gauss_grid(new_bs.bias, state.cheb.cval.shape[0] - 1)
                 if state.cheb is not None
                 else state.cheb
             )

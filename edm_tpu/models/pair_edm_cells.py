@@ -44,10 +44,6 @@ class CellPairState:
 
 
 def init_cell_state(spec: CellSpec, core: PairEDMState) -> CellPairState:
-    if core.cheb is None:
-        raise ValueError(
-            "cell-list host requires pair_lookup='chebyshev' in init_state"
-        )
     table = build_table(spec, core.x)
     return CellPairState(core=core, aid=table.aid, table_overflow=table.overflow)
 
@@ -193,9 +189,19 @@ def make_cell_step(
                 f_rows = jnp.sum(fmag[..., None] * disp, axis=2)
 
                 r_cv = r if cv_ok is None else jnp.where(cv_ok, r, jnp.inf)
-                val, der0 = state.core.cheb.value_deriv(
-                    jnp.where(jnp.isfinite(r_cv), r_cv, -1.0)
-                )
+                if state.core.cheb is not None:
+                    val, der0 = state.core.cheb.value_deriv(
+                        jnp.where(jnp.isfinite(r_cv), r_cv, -1.0)
+                    )
+                else:
+                    # exact path: boundary-aware cubic-Hermite grid lookup
+                    # over the compact cutoff-pair tile (not the N^2 matrix)
+                    val, der = state.core.bias.bias.get_value_deriv(
+                        jnp.where(jnp.isfinite(r_cv), r_cv, -1.0)[..., None]
+                    )
+                    der0 = der[..., 0]
+                    val = jnp.where(jnp.isfinite(r_cv), val, 0.0)
+                    der0 = jnp.where(jnp.isfinite(r_cv), der0, 0.0)
                 binr = jnp.where(jnp.isfinite(r_cv), 1.0 / r_cv, 0.0)
                 f_rows = f_rows + jnp.sum(
                     (-der0 * binr)[..., None] * disp, axis=2
@@ -341,7 +347,13 @@ def make_cell_step(
                 params, bs, hills, runifs, last_calls.astype(x.dtype),
                 active=active, axis_name=axis_name,
             )
-            new_cheb = fit_gauss_grid(new_bs.bias, cheb_deg)
+            # refit at the carried table's degree (a mismatched cheb_deg arg
+            # would give cond branches different coefficient shapes)
+            new_cheb = (
+                fit_gauss_grid(new_bs.bias, core.cheb.cval.shape[0] - 1)
+                if core.cheb is not None
+                else None
+            )
             log = (
                 B.HillRoundLog(jnp.ones((), bool), hills, rec)
                 if collect_records

@@ -18,6 +18,77 @@ import itertools
 import jax.numpy as jnp
 
 
+def _interp1d_matvec(grid, x, ok, xw, idx):
+    """1-D cubic-Hermite lookup as a chunked one-hot matmul.
+
+    Mathematically identical to the gather path (same polynomial, same qq
+    guard); the 2-corner table reads become one (P, G) x (G, 4) matmul on
+    the MXU.  One-hot rows have a single 1.0, so the selection is exact at
+    HIGH precision (bf16x3 reproduces f32 operands bit-exactly when
+    multiplied by 1.0 and summed with zeros; verified bitwise vs the gather
+    path in tests)."""
+    import jax
+
+    spec = grid.spec
+    dtype = grid.dtype
+    G = int(spec.nbins[0])
+    dx = jnp.asarray(spec.dx[0], dtype)
+    lo = jnp.asarray(spec.min[0], dtype)
+    v = grid.values.reshape(-1)
+    d = grid.derivs.reshape(-1)
+    if spec.periodic[0]:
+        vn, dn = jnp.roll(v, -1), jnp.roll(d, -1)
+    else:
+        vn = jnp.concatenate([v[1:], v[-1:]])
+        dn = jnp.concatenate([d[1:], d[-1:]])
+    M = jnp.stack([v, d, vn, dn], axis=-1)  # (G, 4)
+
+    flat_idx = idx[..., 0].reshape(-1)
+    P = flat_idx.shape[0]
+    CH = 131072  # ~80 MB one-hot per chunk at G=151
+    n_chunks = -(-P // CH)
+    grange = jnp.arange(G, dtype=flat_idx.dtype)
+
+    if n_chunks == 1:
+        oh = (flat_idx[:, None] == grange[None, :]).astype(dtype)
+        coefs = jnp.matmul(oh, M, precision=jax.lax.Precision.HIGH)
+    else:
+        pad = n_chunks * CH - P
+        fi = jnp.concatenate([flat_idx, jnp.zeros((pad,), flat_idx.dtype)])
+
+        def one(ci):
+            seg = jax.lax.dynamic_slice_in_dim(fi, ci * CH, CH)
+            oh = (seg[:, None] == grange[None, :]).astype(dtype)
+            return jnp.matmul(oh, M, precision=jax.lax.Precision.HIGH)
+
+        coefs = jax.lax.map(one, jnp.arange(n_chunks, dtype=jnp.int32))
+        coefs = coefs.reshape(-1, 4)[:P]
+    coefs = coefs.reshape(x.shape[:-1] + (4,))
+
+    # same arithmetic as the gather path below (bit-parity)
+    where0 = xw[..., 0] - lo - idx[..., 0].astype(dtype) * dx
+    t = where0 / dx
+    value = jnp.zeros(x.shape[:-1], dtype)
+    deriv1 = jnp.zeros(x.shape[:-1], dtype)
+    for corner, sign in ((0, 1.0), (1, -1.0)):
+        tabf = coefs[..., 2 * corner]
+        tabder = coefs[..., 2 * corner + 1]
+        safe = jnp.abs(tabf) >= 1e-7
+        qq = jnp.where(safe, -tabder / jnp.where(safe, tabf, 1.0), 0.0)
+        X = jnp.abs(t - corner)
+        X2 = X * X
+        X3 = X2 * X
+        C = (1 - 3 * X2 + 2 * X3) - sign * qq * (X - 2 * X2 + X3) * dx
+        Dp = ((-6 * X + 6 * X2) - sign * qq * (1 - 4 * X + 3 * X2) * dx) * sign / dx
+        value = value + tabf * C
+        deriv1 = deriv1 + tabf * Dp
+    zero = jnp.zeros((), dtype)
+    return (
+        jnp.where(ok, value, zero),
+        jnp.where(ok[..., None], deriv1[..., None], zero),
+    )
+
+
 def grid_value_deriv(grid, x):
     """Batched value+gradient lookup with optional interpolation.
 
@@ -49,6 +120,18 @@ def grid_value_deriv(grid, x):
         deriv = grid.derivs[gather]
         zero = jnp.zeros((), dtype)
         return jnp.where(ok, value, zero), jnp.where(ok[..., None], deriv, zero)
+
+    # 1-D fast path: XLA per-element gather runs at ~0.12 G elem/s on v5e
+    # while a one-hot x (G, 4) table matmul rides the MXU at ~3.8 G
+    # lookups/s — use it for bulk lookups on small tables (the pairwise-CV
+    # force path: millions of points, a 151-point grid)
+    if (
+        D == 1
+        and grid.derivs is not None
+        and spec.nbins[0] <= 4096
+        and x.size >= 32768
+    ):
+        return _interp1d_matvec(grid, x, ok, xw, idx)
 
     # position relative to the floor grid point, in [0, dx)
     where = xw - lo - idx.astype(dtype) * dx

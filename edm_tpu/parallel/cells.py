@@ -246,7 +246,7 @@ def make_sharded_cell_step(
             new_bs, _ = B.add_hills_round(
                 params, bs, hills_g, runifs_g, last_calls.astype(dtype), active=active_g
             )
-            new_cheb = fit_gauss_grid(new_bs.bias, cheb_deg)
+            new_cheb = fit_gauss_grid(new_bs.bias, core.cheb.cval.shape[0] - 1)
             return new_bs, ncalls, truncated, new_cheb
 
         def without_hills(args):

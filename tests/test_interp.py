@@ -100,3 +100,27 @@ def test_out_of_grid_returns_zero():
     v, der = g.get_value_deriv(jnp.array([[11.0], [-0.5]]))
     np.testing.assert_allclose(np.asarray(v), 0.0)
     np.testing.assert_allclose(np.asarray(der), 0.0)
+
+
+def test_matvec_lookup_bitwise_matches_gather():
+    """The 1-D one-hot-matmul fast path (ops/interp._interp1d_matvec,
+    engaged for bulk lookups) must reproduce the gather path bitwise —
+    same polynomial, same qq guard, exact one-hot selection."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from edm_tpu import GaussGrid
+
+    for per in (True, False):
+        g = GaussGrid.create([0], [3], [0.02], [per], [0.1], dtype=jnp.float64)
+        rng = np.random.default_rng(1)
+        g, _ = g.add_value(
+            jnp.asarray(rng.uniform(0.2, 2.8, (30, 1))), jnp.full(30, 0.3)
+        )
+        xs = jnp.asarray(rng.uniform(-0.5, 3.5, (40000, 1)))
+        vb, db = g.grid.get_value_deriv(xs)  # >= 32768 points -> matvec
+        parts = [g.grid.get_value_deriv(xs[i : i + 1000]) for i in range(0, 40000, 1000)]
+        vg = jnp.concatenate([p[0] for p in parts])
+        dg = jnp.concatenate([p[1] for p in parts])
+        assert float(jnp.max(jnp.abs(vb - vg))) == 0.0
+        assert float(jnp.max(jnp.abs(db - dg))) == 0.0
