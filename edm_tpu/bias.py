@@ -268,6 +268,58 @@ def round_log_zeros(params: BiasParams, state: BiasState, n_hills: int) -> HillR
     )
 
 
+def round_prefactor(params: BiasParams, state: BiasState) -> jax.Array:
+    """Post-global-tempering hill prefactor (edm_bias.cpp:422-426)."""
+    cfg = params.cfg
+    dtype = state.bias.dtype
+    kT = params.boltzmann_factor
+    pref = jnp.asarray(cfg.hill_prefactor, dtype)
+    if cfg.global_tempering > 0:
+        avg = state.cum_bias / params.total_volume
+        shrink = jnp.exp(
+            -(avg - cfg.global_tempering)
+            / (cfg.global_tempering * (cfg.bias_factor - 1) * kT)
+        )
+        pref = jnp.where(avg >= cfg.global_tempering, pref * shrink, pref)
+    return pref
+
+
+def _hill_heights(params, bias_grid, positions, est_hill_count, pref):
+    """Tempered, normalized, clamped per-hill heights (edm_bias.cpp:543-558)
+    evaluated against ``bias_grid``."""
+    cfg = params.cfg
+    dtype = bias_grid.dtype
+    kT = params.boltzmann_factor
+    H = positions.shape[0]
+    h = jnp.full((H,), 1.0, dtype) * pref
+    if params.target is not None:
+        h = h * jnp.exp(params.target.get_value(positions) - params.expected_target)
+    if cfg.b_tempering and cfg.global_tempering < 0:
+        # NOTE strict `< 0` as in edm_bias.cpp:547: the reference enables
+        # well-tempering only when global_tempering is explicitly negative;
+        # with the key unset (0) neither tempering branch fires even though
+        # tempering=1 (README.md:92-95 documents different behavior — the
+        # code wins for parity).
+        h = h * jnp.exp(-bias_grid.get_value(positions) / ((cfg.bias_factor - 1) * kT))
+    if cfg.hill_density < 0:
+        h = h / jnp.asarray(est_hill_count, dtype)
+    else:
+        h = h / cfg.hill_density
+    return jnp.minimum(h, BIAS_CLAMP * cfg.bias_per_step)
+
+
+def hill_heights(params: BiasParams, state: BiasState, positions, est_hill_count):
+    """Public helper for hill-exchanging hosts (parallel/spatial.py): the
+    heights this replica would attach to its outgoing hills, evaluated
+    against the round-START grid (the batched-round approximation — the
+    in-round drain's effect on well-tempered heights is not visible, same
+    class of divergence as the batch-wide height evaluation documented in
+    add_hills_round)."""
+    positions = jnp.asarray(positions, state.bias.dtype)[..., : params.cfg.dim]
+    pref = round_prefactor(params, state)
+    return _hill_heights(params, state.bias, positions, est_hill_count, pref)
+
+
 def add_hills_round(
     params: BiasParams,
     state: BiasState,
@@ -276,8 +328,15 @@ def add_hills_round(
     est_hill_count,
     active=None,
     axis_name: Optional[str] = None,
+    override_heights=None,
 ) -> Tuple[BiasState, RoundRecords]:
-    """One full pre_add_hill / add_hill* / post_add_hill cycle."""
+    """One full pre_add_hill / add_hill* / post_add_hill cycle.
+
+    ``override_heights`` (H,): replay mode — deposit these exact heights
+    (already tempered/normalized/clamped by the originating replica) for the
+    ``active`` hills, skipping acceptance sampling; the MPI hill-exchange
+    replay semantics (do_add_hill communicate=0, edm_bias.cpp:444,630-706).
+    """
     cfg = params.cfg
     D = cfg.dim
     dtype = state.bias.dtype
@@ -316,14 +375,7 @@ def add_hills_round(
         return new_state, rec
 
     # ---- 1. global tempering (edm_bias.cpp:422-426)
-    pref = jnp.asarray(cfg.hill_prefactor, dtype)
-    if cfg.global_tempering > 0:
-        avg = state.cum_bias / params.total_volume
-        shrink = jnp.exp(
-            -(avg - cfg.global_tempering)
-            / (cfg.global_tempering * (cfg.bias_factor - 1) * kT)
-        )
-        pref = jnp.where(avg >= cfg.global_tempering, pref * shrink, pref)
+    pref = round_prefactor(params, state)
 
     # deposit strategy: for small 1-D CV grids the dense (G, H) unit tables
     # replace window evaluation + scatter with matvecs (see dense_tables_1d)
@@ -379,29 +431,21 @@ def add_hills_round(
     skip = any_rem  # b_skip_hill_add_ (edm_bias.cpp:436-439)
 
     # ---- 3. per-hill heights (edm_bias.cpp:528-563)
-    if cfg.hill_density < 0:
+    if override_heights is not None:
+        # replay mode (do_add_hill with communicate=0, edm_bias.cpp:444):
+        # acceptance and tempering/clamping happened on the originating
+        # replica; the exchanged (position, height) pairs are used as-is
         accept = active
+        h = jnp.asarray(override_heights, dtype)
     else:
-        accept = active & (runiform < cfg.hill_density / est_hill_count)
-
-    h = jnp.full((H,), 1.0, dtype) * pref
-    if params.target is not None:
-        h = h * jnp.exp(params.target.get_value(positions) - params.expected_target)
-    if cfg.b_tempering and cfg.global_tempering < 0:
-        # NOTE strict `< 0` as in edm_bias.cpp:547: the reference enables
-        # well-tempering only when global_tempering is explicitly negative;
-        # with the key unset (0) neither tempering branch fires even though
-        # tempering=1 (README.md:92-95 documents different behavior — the
-        # code wins for parity).
+        if cfg.hill_density < 0:
+            accept = active
+        else:
+            accept = active & (runiform < cfg.hill_density / est_hill_count)
         # Well-tempering evaluates against the post-drain grid (the reference
         # reads the live grid hill-by-hill; within a batch this is the same
         # grid).
-        h = h * jnp.exp(-bias1.get_value(positions) / ((cfg.bias_factor - 1) * kT))
-    if cfg.hill_density < 0:
-        h = h / jnp.asarray(est_hill_count, dtype)
-    else:
-        h = h / cfg.hill_density
-    h = jnp.minimum(h, BIAS_CLAMP * cap_bias)
+        h = _hill_heights(params, bias1, positions, est_hill_count, pref)
 
     # ---- 4. sequential cap + one deposit commit
     if use_dense:

@@ -1,0 +1,350 @@
+"""Spatially-sharded coordinate-CV EDM — the TPU-native analog of the
+reference's MPI domain decomposition (edm_bias.cpp:98-222, hill exchange
+:614-920) for bias grids too large (or hill loads too heavy) for a
+replicated grid.
+
+Design (SPMD over a 1-D mesh, one grid shard per device):
+
+* The CV range along dim 0 is split into ``n_dev`` EQUAL slabs; each device
+  owns ``[lo + d*slab_w, lo + (d+1)*slab_w]`` extended by ``skin`` — the
+  reference's per-rank sub-box + neighbor skin (edm_bias.cpp:142-155).
+  Equal slabs keep every device's grid the SAME static shape, which is what
+  makes the decomposition expressible as one SPMD program.
+
+* Local grids live in LOCAL coordinates (slab start = 0): the per-device
+  global offset is ``axis_index * slab_w``, applied to positions in-graph.
+  The system boundary seen by each device is the global box length centered
+  on its slab, so the GaussGrid ``remap`` (nearest-image across the system
+  boundary, gaussian_grid.h:504-541) automatically brings any gathered
+  hill to the image nearest this device's grid — periodic wraparound
+  neighbor exchange (edm_bias.cpp:764-781) with no explicit topology.
+
+* Hill exchange is an ``all_gather`` of (position, height, active) over the
+  mesh, replayed on every device with ``override_heights`` (the reference's
+  do_add_hill(communicate=0) replay); deposits outside a device's grid are
+  masked off by the window machinery — exactly the overlap criterion of
+  infer_neighbors (edm_bias.cpp:740-762), point by point instead of rank by
+  rank.  The reference never emits 'n' hill-log events (NEIGH_HILL is
+  defined but unused; replayed hills log 'h' on the replaying rank), so
+  per-device logs here match per-rank logs there.
+
+* ``cum_bias`` is a ``psum`` of per-device round bias (update_height,
+  edm_bias.cpp:922-931): hills in skin overlaps are counted once per
+  overlapping device, compensated — as in the reference — by
+  ``total_volume`` summing per-rank boundary volumes (edm_bias.cpp:206-220,
+  gaussian_grid.h:437-444).
+
+* Atom ownership follows slabs.  Between calls to ``rebin_spatial_atoms``
+  (host-side, at write-segment boundaries — the LAMMPS reneighboring
+  analog) atoms may drift up to ``skin`` outside their slab and still see
+  correct forces from the skin region of the local grid.
+
+Not supported here (documented divergences): ``target_filename`` /
+``initial_bias_filename`` (global-coordinate grids would need per-device
+shifting) and non-periodic global boundaries along the sharded dim (the
+McGovern-De Pablo tables are static per boundary placement; shard along a
+periodic dim instead).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .. import bias as B
+from ..models.langevin import LangevinParams, baoab_step
+from ..utils.config import EDMConfig
+from .mesh import DATA_AXIS
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SpatialCoordState:
+    """All leaves carry a leading device axis (sharded P(dp))."""
+
+    x: jax.Array  # (n_dev, cap, 3) GLOBAL coordinates
+    v: jax.Array
+    f: jax.Array
+    valid: jax.Array  # (n_dev, cap) bool
+    key: jax.Array  # (n_dev, 2)
+    bias: B.BiasState  # per-device local-coords bias (stacked)
+    step: jax.Array  # (n_dev,)
+    energy: jax.Array  # (n_dev,)
+
+
+class SpatialSetup(NamedTuple):
+    params: B.BiasParams  # per-device params (cfg in LOCAL coordinates)
+    n_dev: int
+    slab_w: float
+    skin: float
+    box_low0: float
+
+
+def spatial_subdivide(
+    cfg: EDMConfig,
+    temperature: float,
+    boltzmann_constant: float,
+    n_dev: int,
+    skin: float,
+    dtype=jnp.float32,
+    buffer_size: int = B.BIAS_BUFFER_SIZE,
+):
+    """Equal-slab decomposition of the CV range along dim 0.
+
+    Returns (SpatialSetup, per-device BiasState template).  Mirrors
+    EDMBias::subdivide for each rank with ``sublo = d*slab_w``,
+    ``subhi = (d+1)*slab_w`` in a coordinate frame where the slab starts at
+    0 — every device gets the identical static grid.
+    """
+    if cfg.target_filename or cfg.initial_bias_filename:
+        raise ValueError(
+            "spatial sharding does not support target/initial grids yet "
+            "(global-coordinate grids; see module docstring)"
+        )
+    lo0, hi0 = cfg.box_low[0], cfg.box_high[0]
+    L = hi0 - lo0
+    slab_w = L / n_dev
+    mid = slab_w / 2.0
+    # reference normalization (edm_bias.cpp:173-180): per-system density
+    if cfg.hill_density > 0:
+        cfg = dataclasses.replace(
+            cfg,
+            hill_density=max(cfg.hill_density / n_dev, 1.0),
+            hill_prefactor=cfg.hill_prefactor / n_dev,
+        )
+    # local-coordinate cfg: dim-0 box is the global length centered on the
+    # slab so remap()'s nearest-image wrap targets this device's grid
+    cfg_loc = dataclasses.replace(
+        cfg,
+        box_low=(mid - L / 2.0,) + tuple(cfg.box_low[1:]),
+        box_high=(mid + L / 2.0,) + tuple(cfg.box_high[1:]),
+    )
+    D = cfg.dim
+    sublo = [0.0] + [cfg.box_low[d] for d in range(1, D)]
+    subhi = [slab_w] + [cfg.box_high[d] for d in range(1, D)]
+    skins = [skin] + [0.0] * (D - 1)
+    periodic = [True] * D  # sharded dim must be globally periodic
+    params, state = B.subdivide(
+        cfg_loc,
+        temperature,
+        boltzmann_constant,
+        sublo,
+        subhi,
+        cfg_loc.box_low,
+        cfg_loc.box_high,
+        periodic,
+        skins,
+        dtype=dtype,
+        buffer_size=buffer_size,
+        n_replicas=n_dev,
+    )
+    # sanity: hills must have a unique nearest image w.r.t. each local grid
+    support = max(
+        4.0 * np.sqrt(2.0) * s for s in cfg.bias_sigma[:1]
+    )  # sqrt(2*GAUSS_SUPPORT)*sigma*sqrt(2)
+    if slab_w + 2 * skin + 2 * support >= L:
+        raise ValueError(
+            "slabs too wide for unique nearest-image hill delivery: "
+            f"slab {slab_w} + 2*skin {skin} + 2*support {support} >= L {L}"
+        )
+    return SpatialSetup(params, n_dev, float(slab_w), float(skin), float(lo0)), state
+
+
+def init_spatial_state(
+    setup: SpatialSetup, state_template: B.BiasState, x0, key, capacity: int, mesh
+) -> SpatialCoordState:
+    """Bin atoms into slabs (host-side) and build the sharded state."""
+    n_dev, slab_w, lo0 = setup.n_dev, setup.slab_w, setup.box_low0
+    L = slab_w * n_dev
+    x0 = np.asarray(x0, float)
+    wrapped0 = lo0 + np.mod(x0[:, 0] - lo0, L)
+    dev_of = np.clip((wrapped0 - lo0) // slab_w, 0, n_dev - 1).astype(int)
+    dtype = state_template.bias.dtype
+    xs = np.zeros((n_dev, capacity, x0.shape[1]))
+    valid = np.zeros((n_dev, capacity), bool)
+    for d in range(n_dev):
+        mine = np.nonzero(dev_of == d)[0]
+        if len(mine) > capacity:
+            raise ValueError(f"device {d}: {len(mine)} atoms > capacity {capacity}")
+        xs[d, : len(mine)] = x0[mine]
+        xs[d, len(mine):, 0] = lo0 + d * slab_w + slab_w / 2  # park empties mid-slab
+        valid[d, : len(mine)] = True
+    keys = jax.random.split(key, n_dev)
+    bias_stacked = jax.tree.map(
+        lambda l: jnp.broadcast_to(l[None], (n_dev,) + l.shape), state_template
+    )
+    st = SpatialCoordState(
+        x=jnp.asarray(xs, dtype),
+        v=jnp.zeros((n_dev, capacity, x0.shape[1]), dtype),
+        f=jnp.zeros((n_dev, capacity, x0.shape[1]), dtype),
+        valid=jnp.asarray(valid),
+        key=keys,
+        bias=bias_stacked,
+        step=jnp.zeros((n_dev,), jnp.int32),
+        energy=jnp.zeros((n_dev,), dtype),
+    )
+    shard = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.tree.map(lambda l: jax.device_put(l, shard), st)
+
+
+def rebin_spatial_atoms(setup: SpatialSetup, state: SpatialCoordState, mesh):
+    """Host-side atom migration (the LAMMPS domain re-decomposition analog):
+    gather all atoms, re-bin by current slab, redistribute.  Call at
+    write-segment boundaries; between calls atoms may drift up to ``skin``."""
+    xs = np.asarray(state.x).reshape(-1, state.x.shape[-1])
+    vs = np.asarray(state.v).reshape(-1, state.v.shape[-1])
+    fs = np.asarray(state.f).reshape(-1, state.f.shape[-1])
+    ok = np.asarray(state.valid).reshape(-1)
+    n_dev, slab_w, lo0 = setup.n_dev, setup.slab_w, setup.box_low0
+    L = slab_w * n_dev
+    cap = state.x.shape[1]
+    wrapped0 = lo0 + np.mod(xs[:, 0] - lo0, L)
+    dev_of = np.clip((wrapped0 - lo0) // slab_w, 0, n_dev - 1).astype(int)
+    nx = np.array(np.asarray(state.x))
+    nv = np.zeros_like(np.asarray(state.v))
+    nf = np.zeros_like(np.asarray(state.f))
+    nvalid = np.zeros((n_dev, cap), bool)
+    for d in range(n_dev):
+        mine = np.nonzero(ok & (dev_of == d))[0]
+        if len(mine) > cap:
+            raise ValueError(f"device {d}: {len(mine)} atoms > capacity {cap}")
+        nx[d, : len(mine)] = xs[mine]
+        nx[d, len(mine):, 0] = lo0 + d * slab_w + slab_w / 2
+        nv[d, : len(mine)] = vs[mine]
+        nf[d, : len(mine)] = fs[mine]
+        nvalid[d, : len(mine)] = True
+    shard = NamedSharding(mesh, P(DATA_AXIS))
+    dtype = state.x.dtype
+    return dataclasses.replace(
+        state,
+        x=jax.device_put(jnp.asarray(nx, dtype), shard),
+        v=jax.device_put(jnp.asarray(nv, dtype), shard),
+        f=jax.device_put(jnp.asarray(nf, dtype), shard),
+        valid=jax.device_put(jnp.asarray(nvalid), shard),
+    )
+
+
+def gather_spatial_grid(setup: SpatialSetup, state: SpatialCoordState):
+    """Stitch the global dim-0 bias grid from per-device owned regions
+    (each device contributes its slab's rows; the skin rows are the halo).
+    Returns (global_xs (n,), values (n, ...rest)) in GLOBAL coordinates.
+    The reference's multi_write instead elects the max-rank owner per point
+    (grid.h:616-647) — same rows, different tie-winner inside the skin."""
+    spec = state.bias.bias.spec.grid
+    vals = np.asarray(state.bias.bias.grid.values)  # (n_dev, n0, ...)
+    n_dev, slab_w, lo0 = setup.n_dev, setup.slab_w, setup.box_low0
+    dx = spec.dx[0]
+    xs_local = spec.min[0] + dx * np.arange(spec.nbins[0])
+    own = (xs_local >= 0.0) & (xs_local < slab_w)
+    rows = []
+    xg = []
+    for d in range(n_dev):
+        rows.append(vals[d][own])
+        xg.append(xs_local[own] + lo0 + d * slab_w)
+    return np.concatenate(xg), np.concatenate(rows)
+
+
+def make_spatial_coord_step(
+    setup: SpatialSetup,
+    lp: LangevinParams,
+    hill_stride: int,
+    mesh,
+    external_force: Optional[Callable] = None,
+):
+    """Jit-compiled sharded step.  ``external_force(x_global) -> (e, f)``."""
+    params = setup.params
+    D = params.cfg.dim
+    axis = DATA_AXIS
+    slab_w = setup.slab_w
+    lo0 = setup.box_low0
+
+    def to_local(x):
+        # global -> this device's local coordinates (dim 0 shifted); remap
+        # inside the bias grid handles the periodic nearest-image choice
+        off = lo0 + jax.lax.axis_index(axis).astype(x.dtype) * slab_w
+        return x.at[..., 0].add(-off)
+
+    def step_local(state):
+        # shard_map view: strip the leading device axis
+        s = jax.tree.map(lambda a: a[0], state)
+
+        def force_fn(x):
+            x_loc = to_local(x)
+            e_b, der = B.update_forces(params, s.bias, x_loc, mask=s.valid)
+            f = jnp.zeros_like(x)
+            f = f.at[..., :D].add(-der)
+            f = jnp.where(s.valid[..., None], f, 0)
+            e = jax.lax.psum(e_b, axis)
+            if external_force is not None:
+                e_ext, f_ext = external_force(x)
+                f = f + jnp.where(s.valid[..., None], f_ext, 0)
+                e = e + jax.lax.psum(jnp.sum(jnp.where(s.valid, e_ext, 0)), axis)
+            return e, f
+
+        x, v, f, energy, key = baoab_step(lp, s.x, s.v, s.f, s.key, force_fn)
+        # parked (invalid) slots must not move
+        x = jnp.where(s.valid[..., None], x, s.x)
+        v = jnp.where(s.valid[..., None], v, 0)
+
+        do_hills = (s.step % hill_stride) == 0
+        cap = x.shape[0]
+
+        def with_hills(bs):
+            hkey = jax.random.fold_in(key, 17)
+            runif = jax.random.uniform(hkey, (cap,), x.dtype)
+            pos_loc = to_local(x)[:, :D]
+            n_local = jnp.sum(s.valid.astype(x.dtype))
+            est = jnp.maximum(n_local, 1.0).astype(x.dtype)
+            if params.cfg.hill_density < 0:
+                accept = s.valid
+            else:
+                accept = s.valid & (runif < params.cfg.hill_density / est)
+            # heights computed on the ORIGIN device against its local grid
+            # (round-start; see bias.hill_heights)
+            h = B.hill_heights(params, bs, pos_loc, est)
+            # exchange: gather (global position, height, active) from all
+            # devices; each device replays everything, masks do the rest
+            pos_g = jax.lax.all_gather(x[:, :D], axis, tiled=True)
+            h_g = jax.lax.all_gather(h, axis, tiled=True)
+            act_g = jax.lax.all_gather(accept, axis, tiled=True)
+            pos_g_loc = to_local(pos_g)
+            new_bs, _ = B.add_hills_round(
+                params,
+                bs,
+                pos_g_loc,
+                jnp.zeros(pos_g.shape[:1], x.dtype),
+                est,
+                active=act_g,
+                axis_name=axis,
+                override_heights=h_g,
+            )
+            return new_bs
+
+        def without_hills(bs):
+            return bs
+
+        bias_state = jax.lax.cond(do_hills, with_hills, without_hills, s.bias)
+
+        out = SpatialCoordState(
+            x=x, v=v, f=f, valid=s.valid, key=key, bias=bias_state,
+            step=s.step + 1, energy=energy,
+        )
+        return jax.tree.map(lambda a: a[None], out), energy
+
+    def one_step(state):
+        specs = jax.tree.map(lambda _: P(DATA_AXIS), state)
+        fn = jax.shard_map(
+            step_local,
+            mesh=mesh,
+            in_specs=(specs,),
+            out_specs=(specs, P()),
+            check_vma=False,
+        )
+        return fn(state)
+
+    return jax.jit(one_step)

@@ -1,0 +1,126 @@
+"""Spatially-sharded coordinate-grid host (parallel/spatial.py) on the
+8-device CPU mesh: equal-slab decomposition, all-gather hill exchange with
+replayed heights, nearest-image delivery across the periodic wrap, and
+stitched-grid parity against a serial full-range run.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from edm_tpu import bias as B
+from edm_tpu.models.langevin import LangevinParams
+from edm_tpu.parallel import make_mesh
+from edm_tpu.parallel.spatial import (
+    gather_spatial_grid,
+    init_spatial_state,
+    make_spatial_coord_step,
+    rebin_spatial_atoms,
+    spatial_subdivide,
+)
+from edm_tpu.utils.config import parse_edm_text
+
+EDM = (
+    "tempering 0\nhill_prefactor 1.0\nbias_per_step 100\ndimension 1\n"
+    "box_low 0\nbox_high 10\nbias_spacing 0.01\nbias_sigma 0.2\n"
+)
+N_DEV = 8
+SKIN = 1.25  # > support radius sqrt(16)*sigma*sqrt(2) ~ 1.132
+
+
+def _setup(kT=0.0):
+    cfg = parse_edm_text(EDM)
+    setup, template = spatial_subdivide(cfg, 1.0, 1.0, N_DEV, SKIN, dtype=jnp.float64)
+    mesh = make_mesh(N_DEV)
+    # two frozen atoms per slab, incl. some near slab edges and the wrap
+    xs = []
+    for d in range(N_DEV):
+        xs.append([d * 1.25 + 0.3, 0.0, 0.0])
+        xs.append([d * 1.25 + 1.2, 0.0, 0.0])  # near the slab's high edge
+    x0 = np.asarray(xs)
+    lp = LangevinParams(dt=1e-8, friction=0.0, kT=kT)  # freeze: bias forces displace atoms by ~1e-16/step
+    state = init_spatial_state(
+        setup, template, x0, jax.random.PRNGKey(0), capacity=4, mesh=mesh
+    )
+    step = make_spatial_coord_step(setup, lp, hill_stride=1, mesh=mesh)
+    return cfg, setup, mesh, x0, lp, state, step
+
+
+def test_spatial_matches_serial_stitch():
+    cfg, setup, mesh, x0, lp, state, step = _setup()
+    n_rounds = 3
+    for _ in range(n_rounds):
+        state, e = step(state)
+    assert bool(jnp.isfinite(e))
+
+    # serial oracle: full-range grid, same hills with the SAME heights the
+    # devices attached (pref / n_local, n_local = 2 per device — reference
+    # est_hill_count is the PER-RANK atom count, fix_edm.cpp:140)
+    params_f, state_f = B.subdivide(
+        cfg, 1.0, 1.0, [0], [10], [0], [10], [True], [0], dtype=jnp.float64
+    )
+    h = np.full((x0.shape[0],), cfg.hill_prefactor / 2.0)
+    for _ in range(n_rounds):
+        state_f, _ = B.add_hills_round(
+            params_f,
+            state_f,
+            jnp.asarray(x0[:, :1], jnp.float64),
+            jnp.zeros(x0.shape[0], jnp.float64),
+            2.0,
+            override_heights=jnp.asarray(h, jnp.float64),
+        )
+
+    xg, vg = gather_spatial_grid(setup, state)
+    assert xg.shape[0] == state_f.bias.grid.values.shape[0]
+    # stitched grid nodes coincide with the serial grid (spacing divides
+    # both ranges); compare values at owned nodes
+    order = np.argsort(xg)
+    vg = vg[order]
+    np.testing.assert_allclose(vg, np.asarray(state_f.bias.grid.values), atol=1e-9)
+
+    # every device's grid got deposits (hills near edges spill into skins)
+    per_dev = np.asarray(state.bias.bias.grid.values).sum(axis=tuple(range(1, state.bias.bias.grid.values.ndim)))
+    assert (per_dev > 0).all()
+
+    # cum_bias: psum over devices, identical on every device, and at least
+    # the serial total (skin overlaps double-count, compensated by
+    # total_volume = n_dev * boundary volume)
+    cums = np.asarray(state.bias.cum_bias)
+    assert np.allclose(cums, cums[0])
+    assert cums[0] >= float(state_f.cum_bias) - 1e-12
+    assert abs(setup.params.total_volume - N_DEV * 10.0) < 1e-9
+
+
+def test_spatial_wraparound_delivery():
+    """A hill near the global box edge must land in the opposite-edge
+    device's skin via its periodic image (edm_bias.cpp:764-781)."""
+    cfg, setup, mesh, x0, lp, state, step = _setup()
+    state, _ = step(state)
+    vals = np.asarray(state.bias.bias.grid.values)  # (n_dev, n0)
+    spec = state.bias.bias.spec.grid
+    xs_local = spec.min[0] + spec.dx[0] * np.arange(spec.nbins[0])
+    # device 0's skin rows below 0 correspond to global x in [10-skin, 10):
+    # the atom at 9.95 (device 7, slab edge 8.75+1.2) deposits there
+    low_skin = xs_local < -0.5
+    assert vals[0][low_skin].max() > 1e-4
+    # device 7's high skin (global x > 10 -> images of atoms near 0)
+    high_skin = xs_local > setup.slab_w + 0.5
+    assert vals[7][high_skin].max() > 1e-4
+
+
+def test_spatial_rebin():
+    cfg, setup, mesh, x0, lp, state, step = _setup()
+    # move one atom from slab 0 into slab 3's range and rebin
+    xs = np.asarray(state.x).copy()
+    xs[0, 0, 0] = 4.0  # slab 3 (1.25-wide slabs)
+    import dataclasses as dc
+
+    state = dc.replace(state, x=jnp.asarray(xs))
+    state = rebin_spatial_atoms(setup, state, mesh)
+    valid = np.asarray(state.valid)
+    assert valid[0].sum() == 1 and valid[3].sum() == 3
+    # migrated coordinates preserved
+    assert np.any(np.isclose(np.asarray(state.x)[3, :, 0], 4.0))
+    # step still runs after rebinning
+    state, e = step(state)
+    assert bool(jnp.isfinite(e))
