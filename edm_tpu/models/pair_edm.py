@@ -136,18 +136,23 @@ def make_step(
                     runif < params.cfg.hill_density / last_calls.astype(rflat.dtype)
                 )
 
-            # compact accepted pairs to fixed capacity (stable: preserves
-            # pair-index deposit order for the capping scan)
-            order = jnp.argsort(jnp.logical_not(accept), stable=True)[:hill_capacity]
-            hills = rflat[order][:, None]
-            active = accept[order]
-            truncated = jnp.sum(accept.astype(jnp.int32)) > hill_capacity
+            # compact accepted pairs to fixed capacity with a prefix-rank
+            # scatter (preserves pair-index deposit order for the capping
+            # scan; O(N^2) instead of an O(N^2 log N^2) argsort)
+            n_log = min(hill_capacity, state.x.shape[0] ** 2)
+            ranks = jnp.cumsum(accept.astype(jnp.int32)) - 1
+            tgt = jnp.where(accept, ranks, n_log)
+            hills = jnp.zeros((n_log,), rflat.dtype).at[tgt].set(rflat, mode="drop")[:, None]
+            runif_c = jnp.ones((n_log,), rflat.dtype).at[tgt].set(runif, mode="drop")
+            count = jnp.sum(accept.astype(jnp.int32))
+            active = jnp.arange(n_log) < count
+            truncated = count > n_log
 
             new_bs, rec = B.add_hills_round(
                 params,
                 bs,
                 hills,
-                runif[order],
+                runif_c,
                 last_calls.astype(rflat.dtype),
                 active=active,
                 axis_name=axis_name,

@@ -147,10 +147,18 @@ def make_sharded_pair_step(
                     runif < params.cfg.hill_density / last_calls.astype(dtype)
                 )
 
-            order = jnp.argsort(jnp.logical_not(accept), stable=True)[:hill_capacity]
-            local_hills = rflat[order][:, None]
-            local_active = accept[order]
-            local_runif = runif[order]
+            # prefix-rank scatter compaction: O(N^2) cumsum + bounded
+            # scatter instead of an O(N^2 log N^2) argsort; preserves
+            # pair-index deposit order (ranks >= capacity drop out of
+            # bounds, flagged as truncation)
+            ranks = jnp.cumsum(accept.astype(jnp.int32)) - 1
+            tgt = jnp.where(accept, ranks, hill_capacity)
+            local_hills = (
+                jnp.zeros((hill_capacity,), dtype).at[tgt].set(rflat, mode="drop")[:, None]
+            )
+            local_runif = jnp.ones((hill_capacity,), dtype).at[tgt].set(runif, mode="drop")
+            count = jnp.sum(accept.astype(jnp.int32))
+            local_active = jnp.arange(hill_capacity) < count
             truncated = jax.lax.psum(
                 (jnp.sum(accept.astype(jnp.int32)) > hill_capacity).astype(jnp.int32),
                 axis,
