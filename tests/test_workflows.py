@@ -137,3 +137,64 @@ def test_chebyshev_vs_interp_forces():
     dscale = float(jnp.max(jnp.abs(d_ex)))
     assert float(jnp.max(jnp.abs(v_fit - v_ex))) < 1e-3 * vscale
     assert float(jnp.max(jnp.abs(d_fit - d_ex[:, 0]))) < 3e-3 * dscale
+
+
+def test_rdf_convergence_to_target():
+    """North-star acceptance clause: the sampled pair-distance distribution
+    converges to the target within a stated tolerance (the EDM theorem —
+    White/Dama/Voth JCTC 2015: deposition rate p_sampled(x)*exp(w*(x))
+    flattens exactly when p_sampled = exp(-w*), independent of the r^2
+    Jacobian or the underlying potential).
+
+    Ideal dimer in a periodic box, target = Gaussian well at r0=1.8; after
+    burn-in the accepted-hill CV histogram (an unbiased sample of the CV
+    since hill_density<0 accepts every pair every round) must match the
+    target distribution at L1 < 0.2 — an order of magnitude closer than the
+    unbiased r^2 volume-element distribution (~0.84)."""
+    import dataclasses
+
+    from edm_tpu.models import pair_edm
+    from edm_tpu.models.langevin import LangevinParams
+    from edm_tpu.models.lj import LJParams
+    from edm_tpu.utils.config import parse_edm_text
+
+    R0, S = 1.8, 0.35
+    cfg = parse_edm_text(
+        "tempering 0\nhill_prefactor 0.02\nbias_per_step 5.0\nhill_density -1\n"
+        "dimension 1\nbox_low 0\nbox_high 2.7\nbias_spacing 0.03\nbias_sigma 0.1\n"
+    )
+    tspec = GridSpec.create([0.0], [2.7], [0.03], [False])
+    xs = tspec.min[0] + tspec.dx[0] * np.arange(tspec.nbins[0])
+    w = np.minimum((xs - R0) ** 2 / (2 * S * S), 4.0)
+    target = Grid(values=jnp.asarray(w), derivs=None, spec=tspec, interpolate=False)
+    params, bias_state = B.subdivide(
+        cfg, 1.0, 1.0, [0], [2.7], [0], [2.7], [False], [0],
+        target=target, dtype=jnp.float64,
+    )
+    lp = LangevinParams(dt=0.005, friction=2.0, kT=1.0)
+    lj = LJParams(epsilon=0.0, sigma=1.0, rcut=0.5)  # ideal dimer
+    x0 = jnp.asarray([[0.5, 0.5, 0.5], [1.5, 0.5, 0.5]], jnp.float64)
+    step = pair_edm.make_step(params, lp, lj, [3.0] * 3, hill_stride=1, hill_capacity=4)
+    st = pair_edm.init_state(bias_state, x0, jax.random.PRNGKey(2))
+    seg = jax.jit(lambda s, n: jax.lax.scan(step, s, None, length=n), static_argnums=1)
+    st, _ = seg(st, 4000)  # burn-in while the bias builds
+    st = dataclasses.replace(
+        st, bias=dataclasses.replace(st.bias, cv_hist=st.bias.cv_hist.clear())
+    )
+    st, _ = seg(st, 8000)  # measurement phase
+
+    hist = np.asarray(st.bias.cv_hist.values)
+    hspec = st.bias.cv_hist.spec
+    hx = hspec.min[0] + hspec.dx[0] * np.arange(hspec.nbins[0])
+    p = hist / hist.sum()
+    pstar = np.exp(-np.minimum((hx - R0) ** 2 / (2 * S * S), 4.0))
+    pstar /= pstar.sum()
+    base = hx**2
+    base /= base.sum()
+
+    l1_target = np.abs(p - pstar).sum()
+    l1_unbiased = np.abs(p - base).sum()
+    assert l1_target < 0.2, f"sampled CV distribution off target: L1={l1_target}"
+    assert l1_unbiased > 3 * l1_target, "biasing did not move sampling off baseline"
+    # mode within one sigma-bin of the target well
+    assert abs(hx[p.argmax()] - R0) <= hspec.dx[0] + 1e-9
