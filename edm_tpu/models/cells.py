@@ -41,7 +41,12 @@ class CellSpec:
         if cap is None:
             density = n_atoms / (box[0] * box[1] * box[2])
             mean = density * edge[0] * edge[1] * edge[2]
-            cap = max(4, int(math.ceil(mean + 6 * math.sqrt(max(mean, 1.0)))))
+            # mean + 4 sigma Poisson headroom, rounded up to the TPU f32
+            # sublane tile (8): padding is paid anyway, so claim it as real
+            # capacity; slot count scales ~cap^2 so slack is quadratic cost.
+            # Overflow is detected at table build and surfaced as a flag.
+            cap = max(8, int(math.ceil(mean + 4 * math.sqrt(max(mean, 1.0)))))
+            cap = ((cap + 7) // 8) * 8
         return cls(ncells=nc, edge=edge, box=box, cap=int(cap), n_atoms=int(n_atoms))
 
     @property

@@ -1,21 +1,31 @@
 """Cell-list pairwise EDM — the production large-N host (1e4-1e5 atoms on a
 chip): same physics as pair_edm.py / fix_edm_pair, with O(N) pair work.
 
-Per MD step:
-  1. cell positions refreshed by one (C*cap) gather from atom arrays;
-  2. per cell-chunk: 27-stencil contiguous block gathers, dense
-     (cap, 27*cap) pair tiles — minimum-image LJ + spectral bias-CV forces
-     (ops/chebyshev) fused on the VPU, row-summed per local atom;
-  3. forces scattered back to atom order by atom id (C*cap sources);
-  4. BAOAB integration in atom space;
-  5. cell table rebuilt in-graph every ``rebuild_stride`` steps (the skin
-     margin in the cell edge covers motion between rebuilds);
-  6. hill rounds: two-level collection — per-slot accepted counts
+SLOT-RESIDENT layout: the MD state (positions/velocities/forces) lives in
+cell-slot order ``(Cg, cap, 3)`` between table rebuilds, so the per-step
+pipeline runs no per-atom gathers or scatters at all:
+
+  1. per cell: 27-stencil contiguous block gather of slot coordinates
+     (the only per-step data movement), dense (cap, 27*cap) pair tiles —
+     minimum-image LJ + spectral bias-CV forces (ops/chebyshev or the
+     fused Pallas kernel, ops/cellforce_pallas) — row-summed per slot;
+  2. BAOAB integration directly on slot arrays (padded slots are masked
+     out of all pair math and hill collection);
+  3. every ``rebuild_stride`` steps: slots -> atom order (one row scatter),
+     table rebuild, atoms -> new slots, and the slot-id masks (mc/mn/sid/
+     nid) are recomputed and CACHED in the state — on XLA they cost more
+     to rebuild per step than the entire Pallas force kernel;
+  4. hill rounds: two-level collection — per-slot accepted counts
      (reductions only), slot compaction, exact per-candidate extraction on
      the selected slots — then the standard add_hills_round.
 
+``core.x/v/f`` (atom order) are refreshed only at rebuilds; use
+``atom_positions(spec, state)`` for an up-to-date atom-order view.
+
 The cell edge is max(lj.rcut, bias domain) + skin, so both force laws and
-the hill candidate set live within the stencil.
+the hill candidate set live within the stencil.  The per-atom BAOAB noise
+stream differs from the dense host's (slot-shaped draws), so cross-host
+trajectory comparisons must run at kT=0.
 """
 
 from __future__ import annotations
@@ -38,14 +48,91 @@ from .pair_edm import PairEDMState
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class CellPairState:
-    core: PairEDMState
-    aid: jax.Array  # (C*cap,) slot -> atom id (n_atoms = empty)
+    core: PairEDMState  # x/v/f in atom order, refreshed at rebuilds only
+    aid: jax.Array  # (Cg*cap,) slot -> atom id (n_atoms = empty)
+    xs: jax.Array  # (Cg, cap, 3) slot positions (authoritative)
+    vs: jax.Array  # (Cg, cap, 3)
+    fs: jax.Array  # (Cg, cap, 3)
+    mc: jax.Array  # (Cg, cap) 1.0 for real local atoms (cached per rebuild)
+    mn: jax.Array  # (Cg, 27cap)
+    sid: jax.Array  # (Cg, cap) slot atom ids as float
+    nid: jax.Array  # (Cg, 27cap) stencil atom ids as float (-1 padding)
     table_overflow: jax.Array  # bool
 
 
+def _padded_cells(spec: CellSpec) -> int:
+    from ..ops.cellforce_pallas import CELLS_PER_PROGRAM
+
+    return -(-spec.n_cells // CELLS_PER_PROGRAM) * CELLS_PER_PROGRAM
+
+
+def _stencil_padded(spec: CellSpec, Cg: int) -> jnp.ndarray:
+    sten = np.asarray(spec.stencil())
+    return jnp.asarray(
+        np.concatenate([sten, np.zeros((Cg - spec.n_cells, 27), np.int32)], 0)
+    )
+
+
+def _slots_from_atoms(spec: CellSpec, Cg: int, sten_g, x, v, f, aid_g):
+    """Gather atom arrays into slot layout + rebuild the cached masks."""
+    n = spec.n_atoms
+    cap = spec.cap
+    aid_c = jnp.clip(aid_g, 0, n - 1)
+    xs = x[aid_c].reshape(Cg, cap, 3)
+    vs = v[aid_c].reshape(Cg, cap, 3)
+    fs = f[aid_c].reshape(Cg, cap, 3)
+    aid2 = aid_g.reshape(Cg, cap)
+    an = aid2[sten_g].reshape(Cg, 27 * cap)
+    dtype = x.dtype
+    mc = (aid2 < n).astype(dtype)
+    mn = (an < n).astype(dtype)
+    sid = aid2.astype(dtype)
+    nid = jnp.where(an < n, an, -1).astype(dtype)
+    # park padded slots at the cell of origin's first real coordinate is
+    # unnecessary: they are masked from pair math and hills; zeros suffice
+    xs = xs * mc[..., None]
+    vs = vs * mc[..., None]
+    fs = fs * mc[..., None]
+    return xs, vs, fs, mc, mn, sid, nid
+
+
+def _atoms_from_slots(spec: CellSpec, aid_g, xs, vs, fs):
+    """Scatter slot arrays back to atom order (each atom in exactly one
+    slot; padded slots drop out of bounds)."""
+    n = spec.n_atoms
+    idx = jnp.where(aid_g < n, aid_g, n)
+    x = jnp.zeros((n, 3), xs.dtype).at[idx].set(xs.reshape(-1, 3), mode="drop")
+    v = jnp.zeros((n, 3), xs.dtype).at[idx].set(vs.reshape(-1, 3), mode="drop")
+    f = jnp.zeros((n, 3), xs.dtype).at[idx].set(fs.reshape(-1, 3), mode="drop")
+    return x, v, f
+
+
+def atom_positions(spec: CellSpec, state: CellPairState) -> jax.Array:
+    """Up-to-date atom-order positions (core.x is only rebuild-fresh)."""
+    n = spec.n_atoms
+    idx = jnp.where(state.aid < n, state.aid, n)
+    return (
+        jnp.zeros((n, 3), state.xs.dtype)
+        .at[idx]
+        .set(state.xs.reshape(-1, 3), mode="drop")
+    )
+
+
 def init_cell_state(spec: CellSpec, core: PairEDMState) -> CellPairState:
+    Cg = _padded_cells(spec)
+    sten_g = _stencil_padded(spec, Cg)
     table = build_table(spec, core.x)
-    return CellPairState(core=core, aid=table.aid, table_overflow=table.overflow)
+    n = spec.n_atoms
+    aid_g = jnp.concatenate(
+        [table.aid, jnp.full((Cg * spec.cap - spec.n_slots,), n, jnp.int32)]
+    )
+    xs, vs, fs, mc, mn, sid, nid = _slots_from_atoms(
+        spec, Cg, sten_g, core.x, core.v, core.f, aid_g
+    )
+    return CellPairState(
+        core=core, aid=aid_g, xs=xs, vs=vs, fs=fs,
+        mc=mc, mn=mn, sid=sid, nid=nid, table_overflow=table.overflow,
+    )
 
 
 def make_cell_step(
@@ -74,14 +161,11 @@ def make_cell_step(
     C = spec.n_cells
     cap = spec.cap
     n = spec.n_atoms
+    Cg = _padded_cells(spec)
     box_arr = jnp.asarray(spec.box)
-    stencil = jnp.asarray(spec.stencil())  # (C, 27)
+    sten_g = _stencil_padded(spec, Cg)
     n_chunks = -(-C // cell_chunk)
     Cp = n_chunks * cell_chunk
-    # pad the stencil with self-loops on cell 0; padded cells have no atoms
-    stencil_p = jnp.concatenate(
-        [stencil, jnp.zeros((Cp - C, 27), jnp.int32)], axis=0
-    )
     bmax_cv = params.cfg.box_high[0]
     # rdf type-pair filtering (fix_edm_pair.cpp:39-44,177-202): the LJ fluid
     # interacts between all atoms; only the biased CV is restricted to i-j
@@ -93,96 +177,107 @@ def make_cell_step(
         types_arr = None
         tpair = None
 
-    def chunk_pairs(xs3, aid2, ci, dtype):
+    if use_pallas and (types is not None):
+        raise ValueError("use_pallas does not support type filtering yet")
+
+    def _xs_padded(xs, aid2, dtype):
+        """(Cp, cap, 3) view for the XLA chunked paths (Cp vs Cg padding)."""
+        if Cp <= Cg:
+            return xs[:Cp], aid2[:Cp]
+        pad = Cp - Cg
+        return (
+            jnp.concatenate([xs, jnp.zeros((pad, cap, 3), dtype)], 0),
+            jnp.concatenate([aid2, jnp.full((pad, cap), n, jnp.int32)], 0),
+        )
+
+    def chunk_pairs(xs3, aid2, ci, dtype, need_disp=True):
         """Dense pair tile for cells [ci*chunk, ...): returns (disp, r, valid,
-        local aid (B,cap), local validity)."""
+        local aid (B,cap), local validity).  need_disp=False skips the
+        displacement materialization (accept passes need distances only)."""
         c0 = ci * cell_chunk
         xc = jax.lax.dynamic_slice_in_dim(xs3, c0, cell_chunk)  # (B, cap, 3)
         ac = jax.lax.dynamic_slice_in_dim(aid2, c0, cell_chunk)  # (B, cap)
-        nbr = jax.lax.dynamic_slice_in_dim(stencil_p, c0, cell_chunk)  # (B, 27)
-        xn = xs3[nbr]  # (B, 27, cap, 3) block gather
-        an = aid2[nbr]  # (B, 27, cap)
+        sten_p = sten_g if Cp <= Cg else jnp.concatenate(
+            [sten_g, jnp.zeros((Cp - Cg, 27), jnp.int32)], 0
+        )
+        nbr = jax.lax.dynamic_slice_in_dim(sten_p, c0, cell_chunk)  # (B, 27)
+        xn = xs3[jnp.clip(nbr, 0, xs3.shape[0] - 1)]  # (B, 27, cap, 3)
+        an = aid2[jnp.clip(nbr, 0, aid2.shape[0] - 1)]
         bsz = cell_chunk
         disp = xc[:, :, None, :] - xn.reshape(bsz, 1, 27 * cap, 3)
         b = box_arr.astype(dtype)
         disp = disp - jnp.round(disp / b) * b
         r2 = jnp.sum(disp * disp, axis=-1)  # (B, cap, 27cap)
+        if not need_disp:
+            disp = None
         anf = an.reshape(bsz, 1, 27 * cap)
         valid = (ac[:, :, None] < n) & (anf < n) & (ac[:, :, None] != anf)
         r = jnp.sqrt(jnp.where(valid, r2, jnp.inf))
         if types_arr is None:
             cv_ok = None
         else:
-            # type of each slot (0 for empty slots: matches nothing)
             tslots = jnp.where(
                 aid2.reshape(-1) < n,
                 types_arr[jnp.clip(aid2.reshape(-1), 0, n - 1)],
                 0,
             ).reshape(aid2.shape)
-            tc = jax.lax.dynamic_slice_in_dim(tslots, c0, cell_chunk)  # (B, cap)
-            tn = tslots[nbr].reshape(cell_chunk, 1, 27 * cap)
+            tc = jax.lax.dynamic_slice_in_dim(tslots, c0, cell_chunk)
+            tn = tslots[jnp.clip(nbr, 0, aid2.shape[0] - 1)].reshape(
+                cell_chunk, 1, 27 * cap
+            )
             ti, tj = tpair
             cv_ok = ((tc[:, :, None] == ti) & (tn == tj)) | (
                 (tc[:, :, None] == tj) & (tn == ti)
             )
         return disp, r, valid, ac, cv_ok
 
-    if use_pallas and (types is not None):
-        raise ValueError("use_pallas does not support type filtering yet")
+    nx, ny, nz = spec.ncells
+
+    def _stencil_neighbors(xs):
+        """(Cg, cap, 3) -> (Cg, 27cap, 3) stencil coordinates via 27 rolls.
+
+        The stencil is translation-regular, so the neighbor gather is 27
+        contiguous rolls of the (nx, ny, nz) cell grid — XLA copies at HBM
+        bandwidth instead of a row gather (measured ~10x faster at 10k
+        atoms).  Roll order matches CellSpec.stencil()'s (dx, dy, dz) loop,
+        which the cached mn/nid masks were built with."""
+        g = xs[:C].reshape(nx, ny, nz, cap, 3)
+        outs = []
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                for dk in (-1, 0, 1):
+                    outs.append(jnp.roll(g, (-di, -dj, -dk), axis=(0, 1, 2)))
+        xn = jnp.stack(outs, axis=3).reshape(C, 27 * cap, 3)
+        if Cg > C:
+            xn = jnp.concatenate(
+                [xn, jnp.zeros((Cg - C, 27 * cap, 3), xs.dtype)], 0
+            )
+        return xn
 
     def force_fn_for(state: CellPairState):
-        def pallas_force(x):
-            from ..ops.cellforce_pallas import CELLS_PER_PROGRAM, cell_forces_pallas
+        def pallas_force(xs):
+            from ..ops.cellforce_pallas import cell_forces_pallas
 
-            dtype = x.dtype
-            aid_c = jnp.clip(state.aid, 0, n - 1)
-            Cg = -(-C // CELLS_PER_PROGRAM) * CELLS_PER_PROGRAM
-            xs3 = x[aid_c].reshape(C, cap, 3)
-            xs3 = jnp.concatenate([xs3, jnp.zeros((Cg - C, cap, 3), dtype)], axis=0)
-            aid2 = jnp.concatenate(
-                [state.aid.reshape(C, cap), jnp.full((Cg - C, cap), n, jnp.int32)],
-                axis=0,
-            )
-            sten = jnp.concatenate(
-                [stencil, jnp.zeros((Cg - C, 27), jnp.int32)], axis=0
-            )
-            xn = xs3[sten].reshape(Cg, 27 * cap, 3)
-            an = aid2[sten].reshape(Cg, 27 * cap)
-            mc = (aid2 < n).astype(dtype)
-            mn = (an < n).astype(dtype)
-            sid = aid2.astype(dtype)
-            nid = jnp.where(an < n, an, -1).astype(dtype)
+            xn = _stencil_neighbors(xs)
             cheb = state.core.cheb
             f_rows, eb = cell_forces_pallas(
-                xs3, xn, mc, mn, sid, nid, cheb.cval, cheb.cder,
+                xs, xn, state.mc, state.mn, state.sid, state.nid,
+                cheb.cval, cheb.cder,
                 cap=cap, deg=cheb.cval.shape[0] - 1, box=spec.box,
                 lj_eps=lj.epsilon, lj_sig=lj.sigma, lj_rcut=lj.rcut,
                 cv_lo=cheb.lo, cv_hi=cheb.hi,
             )
-            f_flat = f_rows.reshape(-1, 3)
-            a_flat = aid2.reshape(-1)
-            f_atoms = jnp.zeros((n + 1, 3), dtype).at[
-                jnp.where(a_flat < n, a_flat, n)
-            ].add(f_flat)[:n]
-            e_b = 0.5 * jnp.sum(eb)
-            return e_b, f_atoms
+            return 0.5 * jnp.sum(eb), f_rows
 
-        def force_fn(x):
+        def force_fn(xs):
             if use_pallas:
-                return pallas_force(x)
-            dtype = x.dtype
-            aid_c = jnp.clip(state.aid, 0, n - 1)
-            xs3 = x[aid_c].reshape(C, cap, 3)  # refresh cell positions
-            xs3 = jnp.concatenate(
-                [xs3, jnp.zeros((Cp - C, cap, 3), dtype)], axis=0
-            )
-            aid2 = jnp.concatenate(
-                [state.aid.reshape(C, cap), jnp.full((Cp - C, cap), n, jnp.int32)],
-                axis=0,
-            )
+                return pallas_force(xs)
+            dtype = xs.dtype
+            aid2 = state.aid.reshape(Cg, cap)
+            xs3, aid2p = _xs_padded(xs, aid2, dtype)
 
             def one_chunk(ci):
-                disp, r, valid, ac, cv_ok = chunk_pairs(xs3, aid2, ci, dtype)
+                disp, r, valid, ac, cv_ok = chunk_pairs(xs3, aid2p, ci, dtype)
                 inr = jnp.where(r < lj.rcut, 1.0 / r, 0.0)
                 sr6 = (lj.sigma * inr) ** 6
                 fmag = 4 * lj.epsilon * (12 * sr6 * sr6 - 6 * sr6) * inr * inr
@@ -203,33 +298,27 @@ def make_cell_step(
                     val = jnp.where(jnp.isfinite(r_cv), val, 0.0)
                     der0 = jnp.where(jnp.isfinite(r_cv), der0, 0.0)
                 binr = jnp.where(jnp.isfinite(r_cv), 1.0 / r_cv, 0.0)
-                f_rows = f_rows + jnp.sum(
-                    (-der0 * binr)[..., None] * disp, axis=2
-                )
+                f_rows = f_rows + jnp.sum((-der0 * binr)[..., None] * disp, axis=2)
                 e_b = jnp.sum(jnp.where(jnp.isfinite(r_cv), val, 0.0))
-                return f_rows, ac, e_b
+                return f_rows, e_b
 
-            f_rows, acs, e_bs = jax.lax.map(one_chunk, jnp.arange(n_chunks))
-            # scatter forces back to atom order (C*cap sources)
-            f_flat = f_rows.reshape(-1, 3)
-            a_flat = acs.reshape(-1)
-            f_atoms = jnp.zeros((n + 1, 3), dtype).at[
-                jnp.where(a_flat < n, a_flat, n)
-            ].add(f_flat)[:n]
-            return 0.5 * jnp.sum(e_bs), f_atoms
+            f_rows, e_bs = jax.lax.map(one_chunk, jnp.arange(n_chunks))
+            f_slots = f_rows.reshape(Cp, cap, 3)[:Cg]
+            if Cp < Cg:
+                f_slots = jnp.concatenate(
+                    [f_slots, jnp.zeros((Cg - Cp, cap, 3), dtype)], 0
+                )
+            return 0.5 * jnp.sum(e_bs), f_slots
 
         return force_fn
 
-    def collect_hills(state: CellPairState, x, key, last_calls, dtype):
+    def collect_hills(state: CellPairState, xs, key, last_calls, dtype):
         """Two-level hill collection over cell-slot rows."""
-        aid_c = jnp.clip(state.aid, 0, n - 1)
-        xs3 = x[aid_c].reshape(C, cap, 3)
-        xs3 = jnp.concatenate([xs3, jnp.zeros((Cp - C, cap, 3), dtype)], axis=0)
-        aid2 = jnp.concatenate(
-            [state.aid.reshape(C, cap), jnp.full((Cp - C, cap), n, jnp.int32)],
-            axis=0,
+        aid2 = state.aid.reshape(Cg, cap)
+        xs3, aid2p = _xs_padded(xs, aid2, dtype)
+        sten_p = sten_g if Cp <= Cg else jnp.concatenate(
+            [sten_g, jnp.zeros((Cp - Cg, 27), jnp.int32)], 0
         )
-        M = C * cap  # real slot-rows
 
         def row_uniform(slot_rows):
             keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(slot_rows)
@@ -247,7 +336,10 @@ def make_cell_step(
 
         def p1_chunk(carry, ci):
             row_counts, ncalls = carry
-            _, r, valid, _, cv_ok = chunk_pairs(xs3, aid2, ci, dtype)
+            # r-only tile: the accept pass needs distances, not displacements
+            _, r, valid, _, cv_ok = chunk_pairs(
+                xs3, aid2p, ci, dtype, need_disp=False
+            )
             if cv_ok is not None:
                 r = jnp.where(cv_ok, r, jnp.inf)
             rows = (ci * cell_chunk * cap + jnp.arange(cell_chunk * cap)).astype(jnp.int32)
@@ -278,10 +370,10 @@ def make_cell_step(
         rows_c = jnp.clip(rows_sel, 0, Cp * cap - 1)
         cell_ids = rows_c // cap
         xi = xs3.reshape(-1, 3)[rows_c]  # (row_cap, 3)
-        ai = aid2.reshape(-1)[rows_c]
-        nbr = stencil_p[cell_ids]  # (row_cap, 27)
+        ai = aid2p.reshape(-1)[rows_c]
+        nbr = sten_p[cell_ids]  # (row_cap, 27)
         xn = xs3[nbr].reshape(row_cap, 27 * cap, 3)
-        an = aid2[nbr].reshape(row_cap, 27 * cap)
+        an = aid2p[nbr].reshape(row_cap, 27 * cap)
         disp = xi[:, None, :] - xn
         b = box_arr.astype(dtype)
         disp = disp - jnp.round(disp / b) * b
@@ -331,9 +423,12 @@ def make_cell_step(
 
     def step(state: CellPairState, _) -> Tuple[CellPairState, jax.Array]:
         core = state.core
-        x, v, f, e_bias, key = baoab_step(
-            lp, core.x, core.v, core.f, core.key, force_fn_for(state)
+        xs, vs, fs, e_bias, key = baoab_step(
+            lp, state.xs, state.vs, state.fs, core.key, force_fn_for(state)
         )
+        # padded slots carry no atoms: pin them (noise would random-walk them)
+        xs = xs * state.mc[..., None]
+        vs = vs * state.mc[..., None]
 
         do_hills = (core.step % hill_stride) == 0
 
@@ -341,10 +436,10 @@ def make_cell_step(
             bs, key, last_calls = args
             key, sub = jax.random.split(key)
             hills, runifs, active, count, ncalls, truncated = collect_hills(
-                state, x, sub, last_calls, x.dtype
+                state, xs, sub, last_calls, xs.dtype
             )
             new_bs, rec = B.add_hills_round(
-                params, bs, hills, runifs, last_calls.astype(x.dtype),
+                params, bs, hills, runifs, last_calls.astype(xs.dtype),
                 active=active, axis_name=axis_name,
             )
             # refit at the carried table's degree (a mismatched cheb_deg arg
@@ -374,25 +469,43 @@ def make_cell_step(
             do_hills, with_hills, without_hills, (core.bias, key, core.last_calls)
         )
 
+        step_no = core.step + 1
+        do_rebuild = (step_no % rebuild_stride) == 0
+
+        def rebuild(_):
+            x_at, v_at, f_at = _atoms_from_slots(spec, state.aid, xs, vs, fs)
+            t = build_table(spec, x_at)
+            aid_g = jnp.concatenate(
+                [t.aid, jnp.full((Cg * cap - spec.n_slots,), n, jnp.int32)]
+            )
+            nxs, nvs, nfs, mc, mn, sid, nid = _slots_from_atoms(
+                spec, Cg, sten_g, x_at, v_at, f_at, aid_g
+            )
+            return (
+                aid_g, nxs, nvs, nfs, mc, mn, sid, nid,
+                state.table_overflow | t.overflow, x_at, v_at, f_at,
+            )
+
+        def keep(_):
+            return (
+                state.aid, xs, vs, fs, state.mc, state.mn, state.sid,
+                state.nid, state.table_overflow, core.x, core.v, core.f,
+            )
+
+        (
+            aid_g, nxs, nvs, nfs, mc, mn, sid, nid, overflow, x_at, v_at, f_at
+        ) = jax.lax.cond(do_rebuild, rebuild, keep, None)
+
         new_core = PairEDMState(
-            x=x, v=v, f=f, key=key, bias=bias_state,
-            step=core.step + 1, last_calls=last_calls, energy=e_bias,
+            x=x_at, v=v_at, f=f_at, key=key, bias=bias_state,
+            step=step_no, last_calls=last_calls, energy=e_bias,
             hills_truncated=core.hills_truncated | truncated,
             cheb=cheb,
         )
-
-        do_rebuild = (new_core.step % rebuild_stride) == 0
-
-        def rebuild(_):
-            t = build_table(spec, x)
-            return t.aid, state.table_overflow | t.overflow
-
-        def keep(_):
-            return state.aid, state.table_overflow
-
-        aid, overflow = jax.lax.cond(do_rebuild, rebuild, keep, None)
-
-        new_state = CellPairState(core=new_core, aid=aid, table_overflow=overflow)
+        new_state = CellPairState(
+            core=new_core, aid=aid_g, xs=nxs, vs=nvs, fs=nfs,
+            mc=mc, mn=mn, sid=sid, nid=nid, table_overflow=overflow,
+        )
         return new_state, ((e_bias, log) if collect_records else e_bias)
 
     return step

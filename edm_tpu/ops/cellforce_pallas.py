@@ -69,14 +69,17 @@ def _kernel(
         # (padding clones a real atom's coordinates); feed them a safe
         # distance BEFORE the LJ powers — inf * 0-mask would make NaN
         r2s = jnp.where(ok > 0.5, jnp.maximum(r2, 1e-12), 1.0)
-        r = jnp.sqrt(r2s)
-        inv_r = 1.0 / r
+        # one transcendental per slot: rsqrt gives 1/r; r and 1/r^2 are
+        # multiplies off it (divisions cost several FMA slots on the VPU)
+        inv_r = jax.lax.rsqrt(r2s)
+        r = r2s * inv_r
+        inv_r2 = inv_r * inv_r
 
         # LJ (truncated)
         lj_on = jnp.where(r < rcut, ok, 0.0)
-        sr2 = (sig * sig) / r2s
+        sr2 = (sig * sig) * inv_r2
         sr6 = sr2 * sr2 * sr2
-        fmag_r = 4.0 * eps * (12.0 * sr6 * sr6 - 6.0 * sr6) / r2s * lj_on
+        fmag_r = 4.0 * eps * (12.0 * sr6 * sr6 - 6.0 * sr6) * inv_r2 * lj_on
 
         # spectral bias: clenshaw val+der on clamped r
         cv_on = jnp.where((r >= cv_lo) & (r <= cv_hi), ok, 0.0)

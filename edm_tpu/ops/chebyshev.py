@@ -60,16 +60,18 @@ def derivative_coeffs(c: jax.Array, lo: float, hi: float) -> jax.Array:
     """Chebyshev coefficients of the derivative (standard recurrence),
     including the chain-rule factor 2/(hi-lo)."""
     deg = c.shape[0] - 1
-    # c'_k = c'_{k+2} + 2 (k+1) c_{k+1}; statically unrolled (a lax.scan of
-    # scalar steps costs ~20 us/iter on TPU and this runs every hill round)
-    outs = [None] * deg
-    cp_kp2 = jnp.zeros((), c.dtype)
-    cp_kp1 = jnp.zeros((), c.dtype)
-    for k in range(deg - 1, -1, -1):
-        cp_k = cp_kp2 + 2.0 * (k + 1) * c[k + 1]
-        outs[k] = cp_k
-        cp_kp2, cp_kp1 = cp_kp1, cp_k
-    cp = jnp.concatenate([jnp.stack(outs), jnp.zeros((1,), c.dtype)])
+    # c'_k = c'_{k+2} + 2 (k+1) c_{k+1} unrolls to parity-split suffix sums
+    # (c'_k = sum of 2j*c_j over j > k with j-k odd): two small flipped
+    # cumsums instead of deg scalar extract/stack ops, which each cost a
+    # separate tiny HBM op on TPU and dominated the per-round refit
+    j = jnp.arange(1, deg + 1, dtype=c.dtype)
+    w = 2.0 * j * c[1:]  # w-index k corresponds to j = k+1
+    cp = jnp.zeros((deg,), c.dtype)
+    for p in (0, 1):
+        sub = w[p::2]
+        suf = jnp.flip(jnp.cumsum(jnp.flip(sub)))
+        cp = cp.at[p::2].set(suf)
+    cp = jnp.concatenate([cp, jnp.zeros((1,), c.dtype)])
     # the recurrence produces the doubled-c0 convention; our Clenshaw uses
     # the plain series, so halve c'_0
     cp = cp.at[0].multiply(0.5)

@@ -18,6 +18,8 @@ identical.
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
@@ -27,7 +29,25 @@ from ..models.cells import CellSpec, build_table
 from ..models.langevin import LangevinParams
 from ..models.lj import LJParams
 from ..models.pair_edm import PairEDMState
-from ..models.pair_edm_cells import CellPairState
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ShardedCellPairState:
+    """Replicated-leaf state for the work-sharded cells host (the
+    single-device host moved to a slot-resident layout; this host splits
+    cell chunks across devices over a replicated atom-order state)."""
+
+    core: PairEDMState
+    aid: jax.Array  # (C*cap,) slot -> atom id (n_atoms = empty)
+    table_overflow: jax.Array  # bool
+
+
+def init_sharded_cell_state(spec, core) -> ShardedCellPairState:
+    table = build_table(spec, core.x)
+    return ShardedCellPairState(
+        core=core, aid=table.aid, table_overflow=table.overflow
+    )
 from ..ops.chebyshev import fit_gauss_grid
 from .mesh import DATA_AXIS
 
@@ -95,7 +115,7 @@ def make_sharded_cell_step(
         )
         return xs3, aid2
 
-    def step_local(state: CellPairState):
+    def step_local(state: ShardedCellPairState):
         core = state.core
         dtype = core.x.dtype
         dev = jax.lax.axis_index(axis)
@@ -274,7 +294,7 @@ def make_sharded_cell_step(
             None,
         )
         return (
-            CellPairState(core=new_core, aid=aid, table_overflow=overflow),
+            ShardedCellPairState(core=new_core, aid=aid, table_overflow=overflow),
             e_bias,
         )
 

@@ -179,7 +179,9 @@ def test_cell_list_host_matches_blocked():
         * a + 0.5 * a
     )
     box = [side * a] * 3
-    lp = LangevinParams(dt=0.002, friction=1.0, kT=0.8)
+    # kT=0: the slot-resident cell host draws noise in slot layout, so
+    # cross-host trajectory parity must be deterministic
+    lp = LangevinParams(dt=0.002, friction=1.0, kT=0.0)
     lj = LJParams()
     x0 = jnp.asarray(pts, jnp.float32)
 
@@ -203,16 +205,20 @@ def test_cell_list_host_matches_blocked():
     )
     new_c, _ = step_c(cstate, None)
 
+    from edm_tpu.models.pair_edm_cells import atom_positions
+
     np.testing.assert_allclose(
-        np.asarray(new_c.core.x), np.asarray(new_d.x), rtol=2e-4, atol=2e-5
+        np.asarray(atom_positions(spec, new_c)), np.asarray(new_d.x),
+        rtol=2e-4, atol=2e-5,
     )
 
-    # with hills on, run a stretch: finite, hills land, no overflow
+    # with hills on (thermal), run a stretch: finite, hills land, no overflow
+    lpT = LangevinParams(dt=0.002, friction=1.0, kT=0.8)
     core_c = pair_edm.init_state(
         state, x0, jax.random.PRNGKey(1), pair_lookup="chebyshev"
     )
     cstate = init_cell_state(spec, core_c)
-    step_c = make_cell_step(params, lp, lj, spec, hill_stride=5, rebuild_stride=5)
+    step_c = make_cell_step(params, lpT, lj, spec, hill_stride=5, rebuild_stride=5)
     run = jax.jit(lambda s: jax.lax.scan(step_c, s, None, length=30))
     cstate, e = run(cstate)
     assert np.isfinite(np.asarray(cstate.core.x)).all()
@@ -361,7 +367,7 @@ def test_pallas_cell_force_matches_xla(monkeypatch):
         params, lp, LJParams(), spec, hill_stride=10**6, use_pallas=True
     )(cst, None)
     np.testing.assert_allclose(
-        np.asarray(s_pal.core.x), np.asarray(s_xla.core.x), rtol=1e-5, atol=1e-6
+        np.asarray(s_pal.xs), np.asarray(s_xla.xs), rtol=1e-5, atol=1e-6
     )
     assert abs(float(s_pal.core.energy) - float(s_xla.core.energy)) < 1e-3 * max(
         1.0, abs(float(s_xla.core.energy))

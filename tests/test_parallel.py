@@ -112,14 +112,19 @@ def test_graft_entry_dryrun():
 
 def test_sharded_cell_host():
     """Spatially-sharded cell host on the 8-device mesh: first-step
-    trajectory matches the single-device cell host; hills accumulate."""
+    trajectory matches the single-device cell host (kT=0 — the hosts now
+    draw noise in different layouts); hills accumulate."""
     from edm_tpu.models import pair_edm
     from edm_tpu.models.cells import CellSpec
-    from edm_tpu.models.pair_edm_cells import init_cell_state, make_cell_step
-    from edm_tpu.parallel.cells import make_sharded_cell_step
+    from edm_tpu.models.pair_edm_cells import (
+        atom_positions,
+        init_cell_state,
+        make_cell_step,
+    )
+    from edm_tpu.parallel.cells import init_sharded_cell_state, make_sharded_cell_step
 
     params, bias_state, x0, box = _setup(8)  # 512 atoms, box > 3 cells/dim
-    lp = LangevinParams(dt=0.002, friction=1.0, kT=0.8)
+    lp = LangevinParams(dt=0.002, friction=1.0, kT=0.0)
     lj = LJParams()
     spec = CellSpec.create(box, cutoff=3.0, n_atoms=x0.shape[0])
     assert min(spec.ncells) >= 3
@@ -127,26 +132,26 @@ def test_sharded_cell_host():
     core = pair_edm.init_state(
         bias_state, x0, jax.random.PRNGKey(0), pair_lookup="chebyshev"
     )
-    cstate = init_cell_state(spec, core)
 
-    # single-device, no hills
+    # single-device (slot-resident), no hills
     step1 = make_cell_step(params, lp, lj, spec, hill_stride=10**6)
-    ref, _ = step1(cstate, None)
+    ref, _ = step1(init_cell_state(spec, core), None)
+    ref_x = np.asarray(atom_positions(spec, ref))
 
     mesh = make_mesh(8)
+    sstate = init_sharded_cell_state(spec, core)
     stepN = make_sharded_cell_step(
         params, lp, lj, spec, hill_stride=10**6, mesh=mesh
     )
-    got, _ = stepN(cstate)
-    np.testing.assert_allclose(
-        np.asarray(got.core.x), np.asarray(ref.core.x), rtol=2e-4, atol=2e-5
-    )
+    got, _ = stepN(sstate)
+    np.testing.assert_allclose(np.asarray(got.core.x), ref_x, rtol=2e-4, atol=2e-5)
 
-    # with hills: runs, accumulates, replicas stay consistent
+    # with hills (thermal): runs, accumulates, replicas stay consistent
+    lpT = LangevinParams(dt=0.002, friction=1.0, kT=0.8)
     stepH = make_sharded_cell_step(
-        params, lp, lj, spec, hill_stride=2, mesh=mesh, hill_capacity=512
+        params, lpT, lj, spec, hill_stride=2, mesh=mesh, hill_capacity=512
     )
-    st = cstate
+    st = sstate
     for _ in range(6):
         st, e = stepH(st)
     assert float(st.core.bias.cum_bias) > 0
