@@ -23,6 +23,7 @@ import numpy as np
 REF_STEPS_PER_SEC = 124.47  # reference CPU, see module docstring
 REF_HILLS_PER_SEC = 3333.5
 REF_STEPS_100K = 11.42  # same synthetic workload, 100k atoms (2M pairs/step)
+REF_STEPS_2D = 231.6  # 2-D coord EDM, 10k atoms, 1e6-pt grid (ref_bench2d.cpp)
 
 
 def bench_pairwise(n_atoms=10000, block=500, steps=100, hill_stride=10, dtype=None,
@@ -106,6 +107,49 @@ def bench_pairwise(n_atoms=10000, block=500, steps=100, hill_stride=10, dtype=No
     return steps / dt_s
 
 
+def bench_coord2d(n_atoms=10000, steps=50, hill_stride=10, dtype=None):
+    """2-D coordinate EDM under heavy hill load: 1e6-point grid (1000x1000),
+    bias_per_step capping, hill_density 250 — SURVEY config 4 / the
+    reference ref_bench2d.cpp workload (free particles, update_force +
+    strided add_hills).  Uses the separable MXU deposition path."""
+    import jax
+    import jax.numpy as jnp
+
+    from edm_tpu import bias as B
+    from edm_tpu.models import coord_edm
+    from edm_tpu.models.langevin import LangevinParams
+    from edm_tpu.utils.config import parse_edm_text
+
+    dtype = dtype or jnp.float32
+    cfg = parse_edm_text(
+        "tempering 0\nhill_prefactor 0.1\nbias_per_step 1.0\nhill_density 250\n"
+        "dimension 2\nbox_low 0 0\nbox_high 10 10\n"
+        "bias_spacing 0.01 0.01\nbias_sigma 0.05 0.05\n"
+    )
+    params, bias_state = B.subdivide(
+        cfg, 1.0, 1.0, [0, 0], [10, 10], [0, 0], [10, 10], [True, True], [0, 0],
+        dtype=dtype,
+    )
+    rng = np.random.default_rng(77)
+    x0 = jnp.asarray(rng.uniform(0, 10, (n_atoms, 2)), dtype)
+    lp = LangevinParams(dt=0.002, friction=1.0, kT=1.0)
+    step = coord_edm.make_step(params, lp, hill_stride=hill_stride)
+    state = coord_edm.init_state(params, bias_state, x0, jax.random.PRNGKey(0), lp)
+    seg = jax.jit(lambda s: jax.lax.scan(step, s, None, length=steps))
+    state, _ = seg(state)
+    _ = float(jnp.sum(state.x))
+    dt_s = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, e = seg(state)
+        finite = bool(jnp.isfinite(jnp.sum(state.x) + jnp.sum(e)))
+        dt = time.perf_counter() - t0
+        assert finite, "non-finite state in 2-D bench"
+        dt_s = dt if dt_s is None else min(dt_s, dt)
+    assert not bool(state.bias.overflow_error), "buffer overflow in 2-D bench"
+    return steps / dt_s
+
+
 def bench_deposition(grid_points=1_000_000, hills=200, dtype=None):
     import jax
     import jax.numpy as jnp
@@ -171,6 +215,14 @@ def main():
         "value": round(sps_exact, 2),
         "unit": "steps/s",
         "vs_baseline": round(sps_exact / REF_STEPS_PER_SEC, 2),
+    }), flush=True)
+
+    sps_2d = bench_coord2d()
+    print(json.dumps({
+        "metric": "MD steps/sec, 2-D coord EDM, 10000 atoms, 1e6-point grid (heavy hill load)",
+        "value": round(sps_2d, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(sps_2d / REF_STEPS_2D, 2),
     }), flush=True)
 
     sps_100k = bench_pairwise(n_atoms=100000, steps=30)

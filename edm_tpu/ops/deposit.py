@@ -239,6 +239,68 @@ def dense_tables_1d(gg: GaussGrid, centers: jax.Array):
     return Mval, Mder[..., 0], s
 
 
+def dense_tables_2d(gg: GaussGrid, centers: jax.Array):
+    """Separable per-dim unit tables for 2-D deposition: a Gaussian hill is
+    ``u_x (x) * u_y (y)``, so a batch deposit is an MXU outer-product matmul
+    ``values += (h * Ux)^T @ Uy`` instead of an H x window scatter (TPU
+    scatters run ~0.2 G elem/s; a 57^2-point window over a 2048-hill batch
+    costs ~30 ms — the matmul ~0.2 ms).
+
+    Returns (Ux (H,Gx), Uy (H,Gy), DUx, DUy, s (H,)).
+
+    DIVERGENCE (README ledger): the support cutoff is applied per dim
+    (square |dp_d| < sqrt(8)) instead of the reference's circular
+    dp^2 < 8 (gaussian_grid.h:299) — corner points with 8 < dp2 < 16 keep
+    their exp(-dp2) <= e^-8 contribution instead of being dropped.  The
+    bias-limiter invariant (deposited integral == h*s) holds exactly with
+    the matching square-support s.  Requires fully periodic grid+boundary
+    (no McGovern-De Pablo corrections, which are not separable)."""
+    spec = gg.spec
+    g = spec.grid
+    assert spec.dim == 2
+    assert all(g.periodic) and all(spec.boundary_periodic)
+    dtype = gg.dtype
+    centers = jnp.asarray(centers, dtype)
+    x = gg.remap(centers)  # (H, 2)
+
+    tabs = []
+    for d in range(2):
+        G = g.nbins[d]
+        gxs = g.min[d] + g.dx[d] * jnp.arange(G, dtype=dtype)
+        dpd = gxs[None, :] - x[:, d : d + 1]  # (H, G)
+        L = g.max[d] - g.min[d]
+        dpd = dpd - ref_round(dpd / L) * L
+        dp = dpd / spec.sigma[d]
+        dp2 = dp * dp
+        ok = dp2 < GAUSS_SUPPORT + 1e-12
+        # per-dim normalization 1/(sqrt(pi)*sigma') — the reference deposits
+        # normalized Gaussians (peak h / prod_d sqrt(2 pi) sigma_d)
+        norm = 1.0 / (math.sqrt(math.pi) * spec.sigma[d])
+        u = jnp.where(ok, jnp.exp(-dp2) * norm, 0.0)
+        # stored-gradient factor: d/d(grid point) of the normalized Gaussian
+        du = u * (-2.0 * dp / spec.sigma[d])
+        tabs.append((u, du))
+    (ux, dux), (uy, duy) = tabs
+    vol = np.asarray(g.dx[0] * g.dx[1], dtype)
+    s = jnp.sum(ux, axis=1) * jnp.sum(uy, axis=1) * vol
+    return ux, uy, dux, duy, s
+
+
+def deposit_from_tables_2d(gg: GaussGrid, ux, uy, dux, duy, heights):
+    """Commit a separable 2-D deposit as three (Gx,H)x(H,Gy) matmuls."""
+    import jax as _jax
+
+    heights = jnp.asarray(heights, gg.dtype)
+    hp = _jax.lax.Precision.HIGHEST
+    hux = heights[:, None] * ux
+    values = gg.grid.values + jnp.matmul(hux.T, uy, precision=hp)
+    dx_part = jnp.matmul((heights[:, None] * dux).T, uy, precision=hp)
+    dy_part = jnp.matmul(hux.T, duy, precision=hp)
+    derivs = gg.grid.derivs + jnp.stack([dx_part, dy_part], axis=-1)
+    grid = dataclasses.replace(gg.grid, values=values, derivs=derivs)
+    return dataclasses.replace(gg, grid=grid)
+
+
 def deposit_from_tables(gg: GaussGrid, Mval, Mder, heights):
     """Commit a dense-table deposit (matvec; no scatter)."""
     heights = jnp.asarray(heights, gg.dtype)

@@ -124,3 +124,54 @@ def test_spatial_rebin():
     # step still runs after rebinning
     state, e = step(state)
     assert bool(jnp.isfinite(e))
+
+
+def test_spatial_2d_coordinate_grid():
+    """2-D coordinate CV sharded along dim 0 only (dims 1+ span globally):
+    the >HBM-grid decomposition of SURVEY §7 step 7. Stitch parity against
+    a serial 2-D run with matched replay heights."""
+    cfg2 = parse_edm_text(
+        "tempering 0\nhill_prefactor 1.0\nbias_per_step 100\ndimension 2\n"
+        "box_low 0 0\nbox_high 10 4\nbias_spacing 0.05 0.05\nbias_sigma 0.2 0.2\n"
+    )
+    setup, template = spatial_subdivide(cfg2, 1.0, 1.0, N_DEV, SKIN, dtype=jnp.float64)
+    mesh = make_mesh(N_DEV)
+    xs = []
+    for d in range(N_DEV):
+        xs.append([d * 1.25 + 0.4, 1.0, 0.0])
+        xs.append([d * 1.25 + 1.1, 3.0, 0.0])
+    x0 = np.asarray(xs)
+    lp = LangevinParams(dt=1e-8, friction=0.0, kT=0.0)
+    state = init_spatial_state(
+        setup, template, x0, jax.random.PRNGKey(0), capacity=4, mesh=mesh
+    )
+    step = make_spatial_coord_step(setup, lp, hill_stride=1, mesh=mesh)
+    n_rounds = 2
+    for _ in range(n_rounds):
+        state, e = step(state)
+    assert bool(jnp.isfinite(e))
+
+    # serial oracle via direct windowed deposits (cap never engages at
+    # bias_per_step 100, so every hill deposits in full; the engine's 2-D
+    # fully-periodic fast path uses square support — the sharded grids are
+    # non-periodic locally and stay on the windowed circular-support path,
+    # so the oracle must too)
+    from edm_tpu import GaussGrid
+
+    g_f = GaussGrid.create(
+        [0, 0], [10, 4], [0.05, 0.05], [True, True], [0.2, 0.2],
+        dtype=jnp.float64,
+    )
+    h = np.full((x0.shape[0],), cfg2.hill_prefactor / 2.0)
+    for _ in range(n_rounds):
+        g_f, _ = g_f.add_value(
+            jnp.asarray(x0[:, :2], jnp.float64), jnp.asarray(h, jnp.float64)
+        )
+
+    xg, vg = gather_spatial_grid(setup, state)  # (n0_global,), (n0_global, n1)
+    order = np.argsort(xg)
+    np.testing.assert_allclose(
+        vg[order], np.asarray(g_f.grid.values), atol=1e-9
+    )
+    # total volume: n_dev * global area
+    assert abs(setup.params.total_volume - N_DEV * 40.0) < 1e-9
