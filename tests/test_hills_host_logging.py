@@ -140,3 +140,57 @@ def test_cells_host_collect_records(tmp_path):
     assert lines, "no hill events logged from the cells host"
     total = sum(float(l[5]) for l in lines)
     assert abs(total - float(state.core.bias.cum_bias)) < 1e-6
+
+
+def test_native_hills_formatter_byte_parity(tmp_path):
+    """The C++ formatter (native/hillslog.cpp) must produce byte-identical
+    output to the Python path for random capped rounds."""
+    import os
+    import dataclasses as dc
+
+    from edm_tpu.native import load_hillslog
+
+    if load_hillslog() is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+
+    cfg = parse_edm_text(
+        "tempering 0\nhill_prefactor 1.0\nbias_per_step 0.6\ndimension 1\n"
+        "box_low 0\nbox_high 10\nbias_spacing 0.0097\nbias_sigma 0.2\n"
+    )
+    params, state = B.subdivide(
+        cfg, 1.0, 1.0, [0], [10], [0], [10], [True], [0], dtype=jnp.float64
+    )
+    rng = np.random.default_rng(4)
+    logs = {}
+    for which in ("native", "python"):
+        os.environ.pop("EDM_TPU_NO_NATIVE", None)
+        if which == "python":
+            os.environ["EDM_TPU_NO_NATIVE"] = "1"
+        # reset the module-level cache so the env var takes effect
+        import edm_tpu.native as N
+
+        N._HL_TRIED = False
+        N._HL_LIB = None
+        st = state
+        log = HillsLog(str(tmp_path / which), 1, params.total_volume)
+        cum = 0.0
+        for r in range(4):
+            pos = jnp.asarray(rng.uniform(1, 9, (6, 1)))
+            st, rec = B.add_hills_round(params, st, pos, jnp.ones(6), 6.0)
+            log.log_round(r, cum, rec, pos)
+            cum += float(rec.round_bias)
+        log.close()
+        logs[which] = (tmp_path / which).read_text()
+        rng = np.random.default_rng(4)  # same stream for both passes
+    os.environ.pop("EDM_TPU_NO_NATIVE", None)
+    import edm_tpu.native as N
+
+    N._HL_TRIED = False
+    N._HL_LIB = None
+    assert logs["native"] == logs["python"]
+    assert logs["native"].count("\n") >= 8
+    # capping engaged: undo and drain events present in the stream
+    types = {l.split()[1] for l in logs["native"].strip().splitlines()}
+    assert "u" in types and "b" in types
