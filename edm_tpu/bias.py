@@ -41,9 +41,9 @@ from .gauss import GaussGrid
 from .grid import Grid, GridSpec
 from .ops.deposit import (
     dense_tables_1d,
-    dense_tables_2d,
+    dense_tables_sep,
     deposit_from_tables,
-    deposit_from_tables_2d,
+    deposit_from_tables_sep,
     deposit_precomputed,
     hill_windows,
 )
@@ -389,12 +389,12 @@ def add_hills_round(
         # the whole domain (W >= G) needs the windowed multi-image path
         and (not gspec1.grid.periodic[0] or gspec1.window_shape[0] < gspec1.grid.nbins[0])
     )
-    # 2-D fully-periodic grids: separable outer-product deposition on the
-    # MXU (ops/deposit.dense_tables_2d; square-support divergence in the
-    # README ledger) — the windowed scatter path is ~100x slower at 1e6-point
-    # grids under heavy hill load
+    # 2-D/3-D fully-periodic grids: separable outer-product deposition on
+    # the MXU (ops/deposit.dense_tables_sep; square-support divergence in
+    # the README ledger) — the windowed scatter path is ~100x slower at
+    # 1e6-point grids under heavy hill load
     use_dense2 = (
-        D == 2
+        D in (2, 3)
         and all(gspec1.grid.periodic)
         and all(gspec1.boundary_periodic)
         and all(w < n for w, n in zip(gspec1.window_shape, gspec1.grid.nbins))
@@ -418,7 +418,7 @@ def add_hills_round(
     if use_dense:
         bMval, bMder, s_buf = dense_tables_1d(state.bias, win_pos)
     elif use_dense2:
-        bux, buy, bdux, bduy, s_buf = dense_tables_2d(state.bias, win_pos)
+        btabs, s_buf = dense_tables_sep(state.bias, win_pos)
     else:
         buf_hw = hill_windows(state.bias, win_pos)
         s_buf = jnp.sum(buf_hw.value_w, axis=-1) * vol
@@ -426,7 +426,7 @@ def add_hills_round(
     if use_dense:
         bias1 = deposit_from_tables(state.bias, bMval, bMder, dr.dep_heights)
     elif use_dense2:
-        bias1 = deposit_from_tables_2d(state.bias, bux, buy, bdux, bduy, dr.dep_heights)
+        bias1 = deposit_from_tables_sep(state.bias, btabs, dr.dep_heights)
     else:
         bias1, _ = deposit_precomputed(state.bias, buf_hw, dr.dep_heights)
     # write the window's post-drain heights back into the full buffer
@@ -467,7 +467,7 @@ def add_hills_round(
     if use_dense:
         hMval, hMder, s_h = dense_tables_1d(bias1, positions)
     elif use_dense2:
-        hux, huy, hdux, hduy, s_h = dense_tables_2d(bias1, positions)
+        htabs, s_h = dense_tables_sep(bias1, positions)
     else:
         hills_hw = hill_windows(bias1, positions)
         s_h = jnp.sum(hills_hw.value_w, axis=-1) * vol
@@ -476,7 +476,7 @@ def add_hills_round(
     if use_dense:
         bias2 = deposit_from_tables(bias1, hMval, hMder, cr.dep_heights)
     elif use_dense2:
-        bias2 = deposit_from_tables_2d(bias1, hux, huy, hdux, hduy, cr.dep_heights)
+        bias2 = deposit_from_tables_sep(bias1, htabs, cr.dep_heights)
     else:
         bias2, _ = deposit_precomputed(bias1, hills_hw, cr.dep_heights)
 

@@ -239,32 +239,34 @@ def dense_tables_1d(gg: GaussGrid, centers: jax.Array):
     return Mval, Mder[..., 0], s
 
 
-def dense_tables_2d(gg: GaussGrid, centers: jax.Array):
-    """Separable per-dim unit tables for 2-D deposition: a Gaussian hill is
-    ``u_x (x) * u_y (y)``, so a batch deposit is an MXU outer-product matmul
-    ``values += (h * Ux)^T @ Uy`` instead of an H x window scatter (TPU
-    scatters run ~0.2 G elem/s; a 57^2-point window over a 2048-hill batch
-    costs ~30 ms — the matmul ~0.2 ms).
+def dense_tables_sep(gg: GaussGrid, centers: jax.Array):
+    """Separable per-dim unit tables for N-D deposition: a Gaussian hill is
+    ``prod_d u_d(x_d)``, so a batch deposit is an MXU contraction
+    (2-D: ``values += (h * Ux)^T @ Uy``; 3-D: an einsum that XLA factors
+    into an outer product + one matmul) instead of an H x window scatter
+    (TPU scatters run ~0.2 G elem/s; a 57^2-point window over a 2048-hill
+    batch costs ~30 ms — the matmul ~0.2 ms).
 
-    Returns (Ux (H,Gx), Uy (H,Gy), DUx, DUy, s (H,)).
+    Returns ([(u_d (H,G_d), du_d (H,G_d)) per dim], s (H,)).
 
     DIVERGENCE (README ledger): the support cutoff is applied per dim
-    (square |dp_d| < sqrt(8)) instead of the reference's circular
-    dp^2 < 8 (gaussian_grid.h:299) — corner points with 8 < dp2 < 16 keep
+    (square/cube |dp_d| < sqrt(8)) instead of the reference's spherical
+    dp^2 < 8 (gaussian_grid.h:299) — corner points with 8 < dp2 < D*8 keep
     their exp(-dp2) <= e^-8 contribution instead of being dropped.  The
     bias-limiter invariant (deposited integral == h*s) holds exactly with
-    the matching square-support s.  Requires fully periodic grid+boundary
-    (no McGovern-De Pablo corrections, which are not separable)."""
+    the matching separable-support s.  Requires fully periodic
+    grid+boundary (no McGovern-De Pablo corrections, which are not
+    separable)."""
     spec = gg.spec
     g = spec.grid
-    assert spec.dim == 2
+    D = spec.dim
     assert all(g.periodic) and all(spec.boundary_periodic)
     dtype = gg.dtype
     centers = jnp.asarray(centers, dtype)
-    x = gg.remap(centers)  # (H, 2)
+    x = gg.remap(centers)  # (H, D)
 
     tabs = []
-    for d in range(2):
+    for d in range(D):
         G = g.nbins[d]
         gxs = g.min[d] + g.dx[d] * jnp.arange(G, dtype=dtype)
         dpd = gxs[None, :] - x[:, d : d + 1]  # (H, G)
@@ -280,25 +282,51 @@ def dense_tables_2d(gg: GaussGrid, centers: jax.Array):
         # stored-gradient factor: d/d(grid point) of the normalized Gaussian
         du = u * (-2.0 * dp / spec.sigma[d])
         tabs.append((u, du))
+    vol = np.asarray(np.prod(g.dx), dtype)
+    s = vol
+    for u, _ in tabs:
+        s = s * jnp.sum(u, axis=1)
+    return tabs, s
+
+
+def deposit_from_tables_sep(gg: GaussGrid, tabs, heights):
+    """Commit a separable N-D deposit as einsum contractions over hills."""
+    import jax as _jax
+
+    D = gg.spec.dim
+    heights = jnp.asarray(heights, gg.dtype)
+    hp = _jax.lax.Precision.HIGHEST
+    axes = "xyz"[:D]
+    spec_str = ",".join(f"h{a}" for a in axes) + "->" + axes
+    us = [u for u, _ in tabs]
+    dus = [du for _, du in tabs]
+
+    def contract(which_deriv):
+        ops = []
+        for k in range(D):
+            u = dus[k] if k == which_deriv else us[k]
+            if k == 0:
+                u = heights[:, None] * u
+            ops.append(u)
+        return jnp.einsum(spec_str, *ops, precision=hp)
+
+    values = gg.grid.values + contract(-1)
+    derivs = gg.grid.derivs + jnp.stack(
+        [contract(d) for d in range(D)], axis=-1
+    )
+    grid = dataclasses.replace(gg.grid, values=values, derivs=derivs)
+    return dataclasses.replace(gg, grid=grid)
+
+
+# backward-compatible 2-D wrappers
+def dense_tables_2d(gg: GaussGrid, centers: jax.Array):
+    tabs, s = dense_tables_sep(gg, centers)
     (ux, dux), (uy, duy) = tabs
-    vol = np.asarray(g.dx[0] * g.dx[1], dtype)
-    s = jnp.sum(ux, axis=1) * jnp.sum(uy, axis=1) * vol
     return ux, uy, dux, duy, s
 
 
 def deposit_from_tables_2d(gg: GaussGrid, ux, uy, dux, duy, heights):
-    """Commit a separable 2-D deposit as three (Gx,H)x(H,Gy) matmuls."""
-    import jax as _jax
-
-    heights = jnp.asarray(heights, gg.dtype)
-    hp = _jax.lax.Precision.HIGHEST
-    hux = heights[:, None] * ux
-    values = gg.grid.values + jnp.matmul(hux.T, uy, precision=hp)
-    dx_part = jnp.matmul((heights[:, None] * dux).T, uy, precision=hp)
-    dy_part = jnp.matmul(hux.T, duy, precision=hp)
-    derivs = gg.grid.derivs + jnp.stack([dx_part, dy_part], axis=-1)
-    grid = dataclasses.replace(gg.grid, values=values, derivs=derivs)
-    return dataclasses.replace(gg, grid=grid)
+    return deposit_from_tables_sep(gg, [(ux, dux), (uy, duy)], heights)
 
 
 def deposit_from_tables(gg: GaussGrid, Mval, Mder, heights):

@@ -81,3 +81,50 @@ def test_engine_round_uses_dense2d():
     np.testing.assert_allclose(
         np.asarray(rec.hill_dep_h), 0.5 / 30.0, rtol=1e-12
     )
+
+
+def test_dense3d_matches_windowed():
+    """3-D separable (einsum) deposition vs the windowed reference path."""
+    from edm_tpu.ops.deposit import dense_tables_sep, deposit_from_tables_sep
+
+    g = GaussGrid.create(
+        [0.0] * 3, [4.0] * 3, [0.1] * 3, [True] * 3, [0.25] * 3,
+        dtype=jnp.float64,
+    )
+    rng = np.random.default_rng(3)
+    centers = jnp.asarray(rng.uniform(0, 4, (12, 3)))
+    heights = jnp.asarray(rng.uniform(0.1, 0.5, (12,)))
+    g_ref, added_ref = g.add_value(centers, heights)
+    tabs, s = dense_tables_sep(g, centers)
+    g_fast = deposit_from_tables_sep(g, tabs, heights)
+    scale = float(jnp.max(jnp.abs(g_ref.grid.values)))
+    np.testing.assert_allclose(
+        np.asarray(g_fast.grid.values), np.asarray(g_ref.grid.values),
+        atol=2e-3 * scale,
+    )
+    np.testing.assert_allclose(
+        np.asarray(heights * s), np.asarray(added_ref), rtol=1e-3
+    )
+    # exact limiter invariant for this path
+    vol = 0.1**3
+    got = float(jnp.sum(g_fast.grid.values)) * vol
+    want = float(jnp.sum(heights * s))
+    assert abs(got - want) < 1e-9 * max(1.0, abs(want))
+
+
+def test_engine_round_3d_periodic():
+    cfg = parse_edm_text(
+        "tempering 0\nhill_prefactor 0.5\nbias_per_step 50\ndimension 3\n"
+        "box_low 0 0 0\nbox_high 4 4 4\nbias_spacing 0.1 0.1 0.1\n"
+        "bias_sigma 0.25 0.25 0.25\n"
+    )
+    params, state = B.subdivide(
+        cfg, 1.0, 1.0, [0]*3, [4]*3, [0]*3, [4]*3, [True]*3, [0]*3,
+        dtype=jnp.float64,
+    )
+    rng = np.random.default_rng(5)
+    pos = jnp.asarray(rng.uniform(0, 4, (10, 3)))
+    state2, rec = B.add_hills_round(params, state, pos, jnp.zeros(10), 10.0)
+    vol = float(np.prod(state2.bias.spec.grid.dx))
+    integral = float(jnp.sum(state2.bias.grid.values)) * vol
+    assert abs(integral - float(state2.cum_bias)) < 1e-9 * max(1.0, integral)
