@@ -255,8 +255,16 @@ def make_spatial_coord_step(
     hill_stride: int,
     mesh,
     external_force: Optional[Callable] = None,
+    collect_records: bool = False,
 ):
-    """Jit-compiled sharded step.  ``external_force(x_global) -> (e, f)``."""
+    """Jit-compiled sharded step.  ``external_force(x_global) -> (e, f)``.
+
+    ``collect_records=True``: the step additionally returns a per-device
+    HillRoundLog (stacked over the mesh axis) with positions in GLOBAL
+    coordinates — write per-replica HILLS_<r> files with
+    ``log_spatial_round`` (the reference's per-rank hill trace,
+    edm_bias.cpp:1075-1084; replayed hills log 'h' on the replaying rank,
+    as in the reference, which never emits its defined 'n' type)."""
     params = setup.params
     D = params.cfg.dim
     axis = DATA_AXIS
@@ -313,7 +321,7 @@ def make_spatial_coord_step(
             h_g = jax.lax.all_gather(h, axis, tiled=True)
             act_g = jax.lax.all_gather(accept, axis, tiled=True)
             pos_g_loc = to_local(pos_g)
-            new_bs, _ = B.add_hills_round(
+            new_bs, rec = B.add_hills_round(
                 params,
                 bs,
                 pos_g_loc,
@@ -323,28 +331,74 @@ def make_spatial_coord_step(
                 axis_name=axis,
                 override_heights=h_g,
             )
-            return new_bs
+            log = (
+                B.HillRoundLog(jnp.ones((), bool), pos_g, rec)
+                if collect_records
+                else None
+            )
+            return new_bs, log
 
         def without_hills(bs):
-            return bs
+            n_log = cap * mesh.devices.size
+            log = (
+                B.round_log_zeros(params, bs, n_log)
+                if collect_records
+                else None
+            )
+            return bs, log
 
-        bias_state = jax.lax.cond(do_hills, with_hills, without_hills, s.bias)
+        bias_state, log = jax.lax.cond(do_hills, with_hills, without_hills, s.bias)
 
         out = SpatialCoordState(
             x=x, v=v, f=f, valid=s.valid, key=key, bias=bias_state,
             step=s.step + 1, energy=energy,
         )
-        return jax.tree.map(lambda a: a[None], out), energy
+        out = jax.tree.map(lambda a: a[None], out)
+        if collect_records:
+            log = jax.tree.map(lambda a: a[None], log)
+            return out, energy, log
+        return out, energy
 
     def one_step(state):
         specs = jax.tree.map(lambda _: P(DATA_AXIS), state)
+        if collect_records:
+            # probe the log pytree structure (no axis ops) for out_specs
+            n_log = state.x.shape[1] * mesh.devices.size
+            bias_one = jax.tree.map(
+                lambda a: jax.ShapeDtypeStruct(a.shape[1:], a.dtype), state.bias
+            )
+            log_shape = jax.eval_shape(
+                lambda bs: B.round_log_zeros(params, bs, n_log), bias_one
+            )
+            out_specs = (specs, P(), jax.tree.map(lambda _: P(DATA_AXIS), log_shape))
+        else:
+            out_specs = (specs, P())
         fn = jax.shard_map(
             step_local,
             mesh=mesh,
             in_specs=(specs,),
-            out_specs=(specs, P()),
+            out_specs=out_specs,
             check_vma=False,
         )
         return fn(state)
 
     return jax.jit(one_step)
+
+
+def log_spatial_round(hills_logs, logs, round_counter: int, cum_before: float):
+    """Replay one step's stacked per-device HillRoundLog into per-replica
+    HILLS files.  ``hills_logs``: list of utils.hills_log.HillsLog, one per
+    device (reference: '<hills_filename>_<rank>', edm_bias.cpp:1075-1084).
+    Returns the global bias added this round (identical on every device)."""
+    import numpy as np_
+
+    logs = jax.device_get(logs)
+    happened = bool(np_.asarray(logs.happened).any())
+    if not happened:
+        return 0.0
+    round_total = 0.0
+    for d, hl in enumerate(hills_logs):
+        rec_d = jax.tree_util.tree_map(lambda a: a[d], logs.rec)
+        hl.log_round(round_counter, cum_before, rec_d, logs.positions[d])
+        round_total += float(rec_d.round_bias)
+    return round_total

@@ -175,3 +175,46 @@ def test_spatial_2d_coordinate_grid():
     )
     # total volume: n_dev * global area
     assert abs(setup.params.total_volume - N_DEV * 40.0) < 1e-9
+
+
+def test_spatial_per_replica_hills_logging(tmp_path):
+    """Per-device HILLS_<r> files from the sharded host (the reference's
+    per-rank trace); every replica logs every deposit it performed,
+    including replayed remote hills."""
+    from edm_tpu.parallel.spatial import log_spatial_round
+    from edm_tpu.utils.hills_log import HillsLog
+
+    cfg, setup, mesh, x0, lp, state, _ = _setup()
+    step = make_spatial_coord_step(setup, lp, hill_stride=1, mesh=mesh,
+                                   collect_records=True)
+    logs_files = [
+        HillsLog(str(tmp_path / f"HILLS_{d}"), 1, setup.params.total_volume)
+        for d in range(N_DEV)
+    ]
+    cum = 0.0
+    for r in range(2):
+        state, e, logs = step(state)
+        cum += log_spatial_round(logs_files, logs, r, cum)
+    for hl in logs_files:
+        hl.close()
+
+    per_dev_totals = []
+    for d in range(N_DEV):
+        txt = (tmp_path / f"HILLS_{d}").read_text()
+        lines = [l.split() for l in txt.strip().splitlines()]
+        assert lines, f"device {d} logged nothing"
+        for l in lines:
+            assert l[1] in ("h", "u", "b", "v", "z") and len(l) == 7
+        per_dev_totals.append(sum(float(l[5]) for l in lines))
+    # psum semantics: global cum_bias == sum over devices of logged deposits
+    assert abs(sum(per_dev_totals) - float(np.asarray(state.bias.cum_bias)[0])) < 1e-5
+    # replay delivery: device 0 logged nonzero deposits for hills whose
+    # GLOBAL position belongs to other devices' slabs (x > slab+skin)
+    txt0 = (tmp_path / "HILLS_0").read_text()
+    remote = [
+        l.split() for l in txt0.strip().splitlines()
+        if float(l.split()[3]) > setup.slab_w + SKIN and float(l.split()[5]) != 0.0
+    ]
+    # positions are logged in global coordinates; the wrapped image of the
+    # 9.95 atom deposits on device 0 (logged at its global position)
+    assert any(float(l[3]) > 9.0 for l in remote)
