@@ -401,13 +401,13 @@ def add_hills_round(
     )
 
     # ---- 2. drain the deferred buffer (edm_bias.cpp:432, 313-380)
-    # Only a bounded window of the buffer (DRAIN_BATCH slots from buf_left)
-    # is evaluated per round: the cap rarely lets more than a handful of
+    # Only a bounded window of the buffer (256 slots from buf_left) is
+    # evaluated per round: bias_per_step rarely lets more than a handful of
     # hills drain anyway, and evaluating deposition geometry for the whole
     # (possibly 8k-slot) buffer costs more than the entire MD step.  Hills
     # beyond the window simply wait (FIFO preserved; rounds keep skipping
     # while leftovers exist, exactly as with an unbounded drain).
-    DRAIN = min(1024, CAP)
+    DRAIN = min(256, CAP)
     win_pos = jax.lax.dynamic_slice(
         state.buf_pos, (state.buf_left, jnp.int32(0)), (DRAIN, D)
     )

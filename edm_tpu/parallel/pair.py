@@ -73,6 +73,7 @@ def make_sharded_pair_step(
     mesh,
     hill_capacity: int = 2048,
     cheb_deg: int = 64,
+    collect_records: bool = False,
 ):
     """Jit-compiled sharded MD step over ``mesh``; drives PairEDMState whose
     atom arrays are sharded on axis 0.
@@ -173,7 +174,7 @@ def make_sharded_pair_step(
             # est_hill_count is the PREVIOUS round's pair count (the
             # reference's last_calls, fix_edm_pair.cpp:105,243-246); ncalls
             # only becomes the estimate for the next round
-            new_bs, _ = B.add_hills_round(
+            new_bs, rec = B.add_hills_round(
                 params, bs, hills_g, runif_g, last_calls.astype(dtype), active=active_g
             )
             new_cheb = (
@@ -181,26 +182,40 @@ def make_sharded_pair_step(
                 if state.cheb is not None
                 else state.cheb
             )
-            return new_bs, ncalls, truncated, new_cheb
+            # every device replays the identical gathered round, so ONE log
+            # stream represents every replica (the reference's per-rank
+            # files differ only by which rank originated each hill)
+            log = (
+                B.HillRoundLog(jnp.ones((), bool), hills_g, rec)
+                if collect_records
+                else None
+            )
+            return new_bs, ncalls, truncated, new_cheb, log
 
         def without_hills(args):
             bs, last_calls = args
-            return bs, last_calls, jnp.zeros((), bool), state.cheb
+            n_log = hill_capacity * mesh.devices.size
+            log = (
+                B.round_log_zeros(params, bs, n_log)
+                if collect_records
+                else None
+            )
+            return bs, last_calls, jnp.zeros((), bool), state.cheb, log
 
-        bias_state, last_calls, truncated, cheb = jax.lax.cond(
+        bias_state, last_calls, truncated, cheb, log = jax.lax.cond(
             do_hills, with_hills, without_hills, (bias_state, state.last_calls)
         )
 
-        return (
-            PairEDMState(
-                x=x, v=v, f=f, key=key, bias=bias_state,
-                step=state.step + 1, last_calls=last_calls,
-                energy=e_bias,
-                hills_truncated=state.hills_truncated | truncated,
-                cheb=cheb,
-            ),
-            e_bias,
+        new_state = PairEDMState(
+            x=x, v=v, f=f, key=key, bias=bias_state,
+            step=state.step + 1, last_calls=last_calls,
+            energy=e_bias,
+            hills_truncated=state.hills_truncated | truncated,
+            cheb=cheb,
         )
+        if collect_records:
+            return new_state, e_bias, log
+        return new_state, e_bias
 
     def _state_specs(state):
         bias_specs = jax.tree.map(lambda _: P(), state.bias)
@@ -212,11 +227,21 @@ def make_sharded_pair_step(
         )
 
     def one_step(state):
+        if collect_records:
+            n_log = hill_capacity * mesh.devices.size
+            log_shape = jax.eval_shape(
+                lambda bs: B.round_log_zeros(params, bs, n_log), state.bias
+            )
+            out_specs = (
+                _state_specs(state), P(), jax.tree.map(lambda _: P(), log_shape)
+            )
+        else:
+            out_specs = (_state_specs(state), P())
         fn = jax.shard_map(
             lambda s: step_local(s, None),
             mesh=mesh,
             in_specs=(_state_specs(state),),
-            out_specs=(_state_specs(state), P()),
+            out_specs=out_specs,
             check_vma=False,
         )
         return fn(state)

@@ -189,3 +189,38 @@ def test_sharded_coord_host():
         np.testing.assert_array_equal(shards[0], s)
     # 64 walkers x 3 hill rounds: histogram recorded all accepted hills
     assert float(jnp.sum(st.bias.cv_hist.values)) > 0
+
+
+def test_sharded_pair_hills_logging(tmp_path):
+    """Replicated-grid sharded pair host emits the HILLS stream (one log
+    represents every replica — they replay identical gathered rounds)."""
+    from edm_tpu.parallel import make_mesh, make_sharded_pair_step, shard_pair_state
+    from edm_tpu.utils.hills_log import HillsLog
+
+    params, bias_state, x0, box = _setup(4)
+    lp = LangevinParams(dt=0.002, friction=1.0, kT=0.8)
+    mesh = make_mesh(8)
+    core = pair_edm.init_state(bias_state, x0, jax.random.PRNGKey(0))
+    state = shard_pair_state(core, mesh)
+    step = make_sharded_pair_step(
+        params, lp, LJParams(), box, hill_stride=2, mesh=mesh,
+        hill_capacity=64, collect_records=True,
+    )
+    log = HillsLog(str(tmp_path / "SH_0"), 1, params.total_volume)
+    cum = 0.0
+    rounds = 0
+    for r in range(4):
+        state, e, lg = step(state)
+        import numpy as _np
+
+        lg = jax.device_get(lg)
+        if bool(_np.asarray(lg.happened)):
+            rec = lg.rec
+            log.log_round(rounds, cum, rec, lg.positions)
+            cum += float(_np.asarray(rec.round_bias))
+            rounds += 1
+    log.close()
+    lines = [l.split() for l in (tmp_path / "SH_0").read_text().strip().splitlines()]
+    assert lines and all(l[1] in "hubvz" and len(l) == 7 for l in lines)
+    total = sum(float(l[5]) for l in lines)
+    assert abs(total - float(state.bias.cum_bias)) < 1e-4
