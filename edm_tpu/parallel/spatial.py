@@ -249,6 +249,46 @@ def gather_spatial_grid(setup: SpatialSetup, state: SpatialCoordState):
     return np.concatenate(xg), np.concatenate(rows)
 
 
+def write_spatial_grid(setup: SpatialSetup, state: SpatialCoordState, filename: str):
+    """Stitch the global bias grid from the owned slab rows and write it as
+    one Plumed-1 file — the reference's multi_write (grid.h:509-674) without
+    the per-point Allreduce+Barrier election (gather-to-host + one write,
+    SURVEY §3.5)."""
+    from ..grid import Grid, GridSpec
+    from ..utils.gridio import write_grid
+
+    spec = state.bias.bias.spec.grid
+    vals = np.asarray(state.bias.bias.grid.values)
+    ders = np.asarray(state.bias.bias.grid.derivs)
+    n_dev, slab_w, lo0 = setup.n_dev, setup.slab_w, setup.box_low0
+    dx = spec.dx[0]
+    xs_local = spec.min[0] + dx * np.arange(spec.nbins[0])
+    own = (xs_local >= 0.0) & (xs_local < slab_w)
+    gvals = np.concatenate([vals[d][own] for d in range(n_dev)], axis=0)
+    gders = np.concatenate([ders[d][own] for d in range(n_dev)], axis=0)
+    D = spec.dim
+    gspec = GridSpec.create(
+        [lo0] + [spec.min[d] for d in range(1, D)],
+        [lo0 + slab_w * n_dev]
+        + [
+            spec.max[d] - (0 if spec.periodic[d] else spec.dx[d])
+            for d in range(1, D)
+        ],
+        list(spec.dx),
+        [True] + [spec.periodic[d] for d in range(1, D)],
+    )
+    import jax.numpy as _jnp
+
+    g = Grid(
+        values=_jnp.asarray(gvals),
+        derivs=_jnp.asarray(gders),
+        spec=gspec,
+        interpolate=True,
+    )
+    write_grid(g, filename)
+    return g
+
+
 def make_spatial_coord_step(
     setup: SpatialSetup,
     lp: LangevinParams,

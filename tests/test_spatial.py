@@ -218,3 +218,19 @@ def test_spatial_per_replica_hills_logging(tmp_path):
     # positions are logged in global coordinates; the wrapped image of the
     # 9.95 atom deposits on device 0 (logged at its global position)
     assert any(float(l[3]) > 9.0 for l in remote)
+
+
+def test_write_spatial_grid_roundtrip(tmp_path):
+    """Stitched global grid writes as one Plumed-1 file and reads back."""
+    from edm_tpu.parallel.spatial import write_spatial_grid
+    from edm_tpu.utils.gridio import read_grid_file
+
+    cfg, setup, mesh, x0, lp, state, step = _setup()
+    state, _ = step(state)
+    out = tmp_path / "GBIAS"
+    g = write_spatial_grid(setup, state, str(out))
+    back = read_grid_file(str(out), dim=1, interpolate=True, dtype=jnp.float64)
+    np.testing.assert_allclose(
+        np.asarray(back.values), np.asarray(g.values), atol=1e-8
+    )
+    assert back.spec.nbins[0] == 1000  # 8 slabs x 125 owned rows
