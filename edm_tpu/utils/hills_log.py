@@ -4,7 +4,11 @@
 Line format (8-decimal fixed):
   ``step type_char hills_added x... height bias_added cum_bias/volume``
 with event types: 'h' add, 'u' add-undo, 'b' buffered-add, 'v' buffer-undo,
-'n' neighbor, 'z' buffer-zero (edm_bias.h:20-25).
+'n' neighbor, 'z' buffer-zero (edm_bias.h:20-25).  Note the reference never
+emits 'n' (NEIGH_HILL is defined but unused; replayed neighbor hills log
+'h' on the replaying rank) and emits 'z' only in EDM_MPI_DEBUG builds
+(edm_bias.cpp:360-371) — production streams contain h/u/b/v only, here and
+there.
 
 The compiled round returns per-hill effective/deferred heights and integral
 weights (RoundRecords); this module reconstructs the reference's sequential
