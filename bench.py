@@ -85,7 +85,8 @@ def bench_pairwise(n_atoms=10000, block=500, steps=100, hill_stride=10, dtype=No
             hill_capacity=2048, block_size=block,
         )
 
-    seg = jax.jit(lambda s: jax.lax.scan(step, s, None, length=steps))
+    # unroll=2 merges adjacent steps' op schedules (~3% on the relay)
+    seg = jax.jit(lambda s: jax.lax.scan(step, s, None, length=steps, unroll=2))
     # warmup/compile; NB on this stack block_until_ready does not reliably
     # block through the remote relay — force a host scalar fetch to time
     def atoms_of(s):
@@ -135,7 +136,7 @@ def bench_coord2d(n_atoms=10000, steps=50, hill_stride=10, dtype=None):
     lp = LangevinParams(dt=0.002, friction=1.0, kT=1.0)
     step = coord_edm.make_step(params, lp, hill_stride=hill_stride)
     state = coord_edm.init_state(params, bias_state, x0, jax.random.PRNGKey(0), lp)
-    seg = jax.jit(lambda s: jax.lax.scan(step, s, None, length=steps))
+    seg = jax.jit(lambda s: jax.lax.scan(step, s, None, length=steps, unroll=2))
     state, _ = seg(state)
     _ = float(jnp.sum(state.x))
     dt_s = None

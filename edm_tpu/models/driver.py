@@ -56,7 +56,7 @@ def run_simulation(
         return dataclasses.replace(s, bias=new_bias)
 
     seg = jax.jit(
-        lambda s: jax.lax.scan(step_fn, s, None, length=write_stride)
+        lambda s: jax.lax.scan(step_fn, s, None, length=write_stride, unroll=2)
     )
 
     if hills_log is not None:
