@@ -254,7 +254,59 @@ def make_cell_step(
             )
         return xn
 
+    def _half_stencil(xs, mc):
+        """(Cg, cap, *) -> half-stencil neighbor views via 13 lattice rolls
+        (HALF_OFFSETS order); padded cells (Cg > C) get zero masks."""
+        from ..ops.cellforce_pallas import HALF_OFFSETS
+
+        gx = xs[:C].reshape(nx, ny, nz, cap, 3)
+        gm = mc[:C].reshape(nx, ny, nz, cap)
+        xs_out, m_out = [], []
+        for di, dj, dk in HALF_OFFSETS:
+            xs_out.append(jnp.roll(gx, (-di, -dj, -dk), axis=(0, 1, 2)))
+            m_out.append(jnp.roll(gm, (-di, -dj, -dk), axis=(0, 1, 2)))
+        k13 = len(HALF_OFFSETS)
+        xn = jnp.stack(xs_out, axis=3).reshape(C, k13 * cap, 3)
+        mn = jnp.stack(m_out, axis=3).reshape(C, k13 * cap)
+        if Cg > C:
+            xn = jnp.concatenate(
+                [xn, jnp.zeros((Cg - C, k13 * cap, 3), xs.dtype)], 0
+            )
+            mn = jnp.concatenate(
+                [mn, jnp.zeros((Cg - C, k13 * cap), mc.dtype)], 0
+            )
+        return xn, mn
+
     def force_fn_for(state: CellPairState):
+        def pallas_newton_force(xs):
+            from ..ops.cellforce_pallas import (
+                HALF_OFFSETS,
+                cell_forces_pallas_newton,
+            )
+
+            xn_h, mn_h = _half_stencil(xs, state.mc)
+            cheb = state.core.cheb
+            f_loc, f_ngb, eb = cell_forces_pallas_newton(
+                xs, xn_h, state.mc, mn_h, cheb.cval, cheb.cder,
+                cap=cap, deg=cheb.cval.shape[0] - 1, box=spec.box,
+                lj_eps=lj.epsilon, lj_sig=lj.sigma, lj_rcut=lj.rcut,
+                cv_lo=cheb.lo, cv_hi=cheb.hi,
+            )
+            # Newton credit: the kernel saw each cross-cell pair once from
+            # the low side; subtract its column sums from the neighbor cell
+            # (f_ngb[c, k] belongs to cell c + HALF_OFFSETS[k], which the
+            # lattice roll by +offset delivers)
+            fg = f_loc[:C].reshape(nx, ny, nz, cap, 3)
+            ng = f_ngb[:C].reshape(nx, ny, nz, len(HALF_OFFSETS), cap, 3)
+            for k, (di, dj, dk) in enumerate(HALF_OFFSETS):
+                fg = fg - jnp.roll(ng[:, :, :, k], (di, dj, dk), axis=(0, 1, 2))
+            f_rows = fg.reshape(C, cap, 3)
+            if Cg > C:
+                f_rows = jnp.concatenate(
+                    [f_rows, jnp.zeros((Cg - C, cap, 3), xs.dtype)], 0
+                )
+            return jnp.sum(eb), f_rows
+
         def pallas_force(xs):
             from ..ops.cellforce_pallas import cell_forces_pallas
 
@@ -270,8 +322,10 @@ def make_cell_step(
             return 0.5 * jnp.sum(eb), f_rows
 
         def force_fn(xs):
-            if use_pallas:
+            if use_pallas == "full":
                 return pallas_force(xs)
+            if use_pallas:
+                return pallas_newton_force(xs)
             dtype = xs.dtype
             aid2 = state.aid.reshape(Cg, cap)
             xs3, aid2p = _xs_padded(xs, aid2, dtype)

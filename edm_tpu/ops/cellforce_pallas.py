@@ -24,6 +24,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 CELLS_PER_PROGRAM = 8
 
+# Half stencil: the 13 lexicographically-positive cell offsets.  Every
+# unordered cross-cell pair (c, c+d) appears exactly once (for ncells >= 3
+# per dim, d1 != d2 (mod ncells) for distinct half offsets); the reverse
+# force is credited to the neighbor cell by rolling the kernel's column
+# sums (Newton's third law — halves the pair FLOPs of the 27-stencil).
+HALF_OFFSETS = tuple(
+    (dx, dy, dz)
+    for dx in (-1, 0, 1)
+    for dy in (-1, 0, 1)
+    for dz in (-1, 0, 1)
+    if (dx, dy, dz) > (0, 0, 0)
+)
+
 
 def _kernel(
     xc_ref,  # (8, cap*3)   local cell coords, xyz-major ([x all; y all; z all])
@@ -106,6 +119,163 @@ def _kernel(
         return 0
 
     jax.lax.fori_loop(0, CELLS_PER_PROGRAM, one_cell, 0, unroll=True)
+
+
+def _kernel_newton(
+    xc_ref,  # (8, cap*3)    local cell coords, xyz-major
+    xn_ref,  # (8, 13cap*3)  half-stencil coords, xyz-major
+    mc_ref,  # (8, cap)      1.0 for real local atoms
+    mn_ref,  # (8, 13cap)    1.0 for real half-stencil atoms
+    cv_ref,  # (1, DEGP)     chebyshev value coeffs
+    cd_ref,  # (1, DEGP)     chebyshev deriv coeffs
+    fx_ref,  # (8, cap) out: force on local atoms from ALL pairs seen here
+    fy_ref,
+    fz_ref,
+    fnx_ref,  # (8, 13cap) out: +sum_i f_over_r*d — NEGATE and roll to credit
+    fny_ref,  #             the neighbor cell's atoms (Newton's third law)
+    fnz_ref,
+    eb_ref,  # (8, cap) out: bias energy rows (self block pre-halved)
+    *,
+    params,
+):
+    """Half-stencil variant of ``_kernel``: each cell evaluates its self
+    block (cap x cap, diagonal masked, both orderings present so row sums
+    are complete) plus 13 cross blocks (cap x 13cap, one ordering only);
+    the missing reverse forces come out as column sums for the caller to
+    roll back onto the neighbor cells.  Same pair math, ~half the FLOPs of
+    the 27-stencil ordered-pair kernel."""
+    cap, ncand, deg, bx, by, bz, eps, sig, rcut, cv_lo, cv_hi = params
+    width = cap + ncand  # candidate axis: [self cell | 13 neighbor cells]
+
+    def one_cell(b, _):
+        xl = xc_ref[b, :]
+        xn = xn_ref[b, :]
+        lx, ly, lz = xl[0:cap], xl[cap : 2 * cap], xl[2 * cap : 3 * cap]
+        nx = jnp.concatenate([lx, xn[0:ncand]])
+        ny = jnp.concatenate([ly, xn[ncand : 2 * ncand]])
+        nz = jnp.concatenate([lz, xn[2 * ncand : 3 * ncand]])
+
+        def mimage(d, L):
+            return d - jnp.floor(d / L + 0.5) * L
+
+        dx = mimage(lx[:, None] - nx[None, :], bx)
+        dy = mimage(ly[:, None] - ny[None, :], by)
+        dz = mimage(lz[:, None] - nz[None, :], bz)
+        r2 = dx * dx + dy * dy + dz * dz
+
+        ok = mc_ref[b, :][:, None] * jnp.concatenate(
+            [mc_ref[b, :], mn_ref[b, :]]
+        )[None, :]
+        # the self block's diagonal is the only same-slot case (cross blocks
+        # are distinct cells for ncells >= 3)
+        ri = jax.lax.broadcasted_iota(jnp.int32, (cap, width), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (cap, width), 1)
+        ok = jnp.where(ri == ci, 0.0, ok)
+
+        r2s = jnp.where(ok > 0.5, jnp.maximum(r2, 1e-12), 1.0)
+        inv_r = jax.lax.rsqrt(r2s)
+        r = r2s * inv_r
+        inv_r2 = inv_r * inv_r
+
+        lj_on = jnp.where(r < rcut, ok, 0.0)
+        sr2 = (sig * sig) * inv_r2
+        sr6 = sr2 * sr2 * sr2
+        fmag_r = 4.0 * eps * (12.0 * sr6 * sr6 - 6.0 * sr6) * inv_r2 * lj_on
+
+        cv_on = jnp.where((r >= cv_lo) & (r <= cv_hi), ok, 0.0)
+        t = (2.0 * jnp.clip(r, cv_lo, cv_hi) - (cv_lo + cv_hi)) / (cv_hi - cv_lo)
+        t2 = 2.0 * t
+        b1 = jnp.zeros_like(t)
+        b2 = jnp.zeros_like(t)
+        d1 = jnp.zeros_like(t)
+        d2 = jnp.zeros_like(t)
+        for k in range(deg, 0, -1):
+            b0 = cv_ref[0, k] + t2 * b1 - b2
+            b2, b1 = b1, b0
+            e0 = cd_ref[0, k] + t2 * d1 - d2
+            d2, d1 = d1, e0
+        val = (cv_ref[0, 0] + t * b1 - b2) * cv_on
+        der = (cd_ref[0, 0] + t * d1 - d2) * cv_on
+
+        f_over_r = fmag_r - der * inv_r * cv_on
+        gx = f_over_r * dx
+        gy = f_over_r * dy
+        gz = f_over_r * dz
+
+        fx_ref[b, :] = jnp.sum(gx, axis=1)
+        fy_ref[b, :] = jnp.sum(gy, axis=1)
+        fz_ref[b, :] = jnp.sum(gz, axis=1)
+        fnx_ref[b, :] = jnp.sum(gx[:, cap:], axis=0)
+        fny_ref[b, :] = jnp.sum(gy[:, cap:], axis=0)
+        fnz_ref[b, :] = jnp.sum(gz[:, cap:], axis=0)
+        # self-block pairs appear in both orderings (i,j)/(j,i): halve; the
+        # cross blocks see each pair once so full weight keeps E = sum(eb)
+        w = jnp.where(ci < cap, 0.5, 1.0)
+        eb_ref[b, :] = jnp.sum(val * w, axis=1)
+        return 0
+
+    jax.lax.fori_loop(0, CELLS_PER_PROGRAM, one_cell, 0, unroll=True)
+
+
+def cell_forces_pallas_newton(
+    xc, xn, mc, mn, cval, cder, *,
+    cap, deg, box, lj_eps, lj_sig, lj_rcut, cv_lo, cv_hi,
+):
+    """Half-stencil Newton force kernel.
+
+    xc (Cg, cap, 3) local slot coords; xn (Cg, 13cap, 3) half-stencil
+    coords (HALF_OFFSETS order); mc/mn float masks.  Returns
+    (f_local (Cg, cap, 3), f_neigh (Cg, 13cap, 3), eb (Cg, cap)) where
+    ``f_neigh[c, k*cap:(k+1)*cap]`` must be SUBTRACTED from cell
+    ``c + HALF_OFFSETS[k]``'s slots (the caller rolls the lattice).
+    Energy is ``jnp.sum(eb)`` — no 0.5 factor (pairs counted once)."""
+    Cg = xc.shape[0]
+    ncand = xn.shape[1]
+    assert Cg % CELLS_PER_PROGRAM == 0
+    n_prog = Cg // CELLS_PER_PROGRAM
+    DEGP = cval.shape[0]
+
+    xc_f = jnp.concatenate([xc[..., 0], xc[..., 1], xc[..., 2]], axis=1)
+    xn_f = jnp.concatenate([xn[..., 0], xn[..., 1], xn[..., 2]], axis=1)
+
+    params = (
+        cap, ncand, deg,
+        float(box[0]), float(box[1]), float(box[2]),
+        float(lj_eps), float(lj_sig), float(lj_rcut),
+        float(cv_lo), float(cv_hi),
+    )
+    kernel = functools.partial(_kernel_newton, params=params)
+    P = CELLS_PER_PROGRAM
+
+    def row_spec(width):
+        return pl.BlockSpec((P, width), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    fx, fy, fz, fnx, fny, fnz, eb = pl.pallas_call(
+        kernel,
+        grid=(n_prog,),
+        in_specs=[
+            row_spec(3 * cap),
+            row_spec(3 * ncand),
+            row_spec(cap),
+            row_spec(ncand),
+            pl.BlockSpec((1, DEGP), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, DEGP), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            row_spec(cap), row_spec(cap), row_spec(cap),
+            row_spec(ncand), row_spec(ncand), row_spec(ncand),
+            row_spec(cap),
+        ],
+        out_shape=(
+            [jax.ShapeDtypeStruct((Cg, cap), jnp.float32)] * 3
+            + [jax.ShapeDtypeStruct((Cg, ncand), jnp.float32)] * 3
+            + [jax.ShapeDtypeStruct((Cg, cap), jnp.float32)]
+        ),
+    )(xc_f, xn_f, mc, mn, cval[None, :], cder[None, :])
+
+    f = jnp.stack([fx, fy, fz], axis=-1)
+    fn = jnp.stack([fnx, fny, fnz], axis=-1)
+    return f, fn, eb
 
 
 def cell_forces_pallas(

@@ -363,15 +363,22 @@ def test_pallas_cell_force_matches_xla(monkeypatch):
     cst = dc.replace(cst, core=core2)
 
     s_xla, _ = make_cell_step(params, lp, LJParams(), spec, hill_stride=10**6)(cst, None)
-    s_pal, _ = make_cell_step(
-        params, lp, LJParams(), spec, hill_stride=10**6, use_pallas=True
-    )(cst, None)
-    np.testing.assert_allclose(
-        np.asarray(s_pal.xs), np.asarray(s_xla.xs), rtol=1e-5, atol=1e-6
-    )
-    assert abs(float(s_pal.core.energy) - float(s_xla.core.energy)) < 1e-3 * max(
-        1.0, abs(float(s_xla.core.energy))
-    )
+    # use_pallas=True is the half-stencil Newton kernel; "full" the 27-stencil
+    for variant in (True, "full"):
+        s_pal, _ = make_cell_step(
+            params, lp, LJParams(), spec, hill_stride=10**6, use_pallas=variant
+        )(cst, None)
+        np.testing.assert_allclose(
+            np.asarray(s_pal.xs), np.asarray(s_xla.xs), rtol=1e-5, atol=1e-6
+        )
+        # forces include the step's fresh force pass: f32 reorder noise only
+        scale = np.abs(np.asarray(s_xla.fs)).max()
+        np.testing.assert_allclose(
+            np.asarray(s_pal.fs), np.asarray(s_xla.fs), atol=1e-4 * max(scale, 1.0)
+        )
+        assert abs(float(s_pal.core.energy) - float(s_xla.core.energy)) < 1e-3 * max(
+            1.0, abs(float(s_xla.core.energy))
+        )
 
 
 def test_coordinate_edm_2d():
