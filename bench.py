@@ -73,10 +73,13 @@ def bench_pairwise(n_atoms=10000, block=500, steps=100, hill_stride=10, dtype=No
         # deg 48 / chunk 81 tuned on-chip (see docs/algorithms.md for the
         # accuracy budget; profile in git history); the exact-interp path
         # uses the same compact cutoff-pair tiles without the Pallas kernel
+        # energy_stride=10: the bias energy (observability only, like LAMMPS
+        # thermo) is evaluated on hill-round steps; forces are identical
         step = make_cell_step(
             params, lp, lj, spec, hill_stride=hill_stride,
             rebuild_stride=10, hill_capacity=2048,
             cell_chunk=81, use_pallas=(pair_lookup == "chebyshev"),
+            energy_stride=10,
         )
     else:
         state = core

@@ -152,6 +152,7 @@ def make_cell_step(
     type_pair=None,
     use_pallas: bool = False,
     collect_records: bool = False,
+    energy_stride: int = 1,
 ):
     if min(spec.ncells) < 3:
         raise ValueError(
@@ -277,7 +278,7 @@ def make_cell_step(
             )
         return xn, mn
 
-    def force_fn_for(state: CellPairState):
+    def force_fn_for(state: CellPairState, do_energy=None):
         def pallas_newton_force(xs):
             from ..ops.cellforce_pallas import (
                 HALF_OFFSETS,
@@ -286,12 +287,24 @@ def make_cell_step(
 
             xn_h, mn_h = _half_stencil(xs, state.mc)
             cheb = state.core.cheb
-            f_loc, f_ngb, eb = cell_forces_pallas_newton(
-                xs, xn_h, state.mc, mn_h, cheb.cval, cheb.cder,
-                cap=cap, deg=cheb.cval.shape[0] - 1, box=spec.box,
-                lj_eps=lj.epsilon, lj_sig=lj.sigma, lj_rcut=lj.rcut,
-                cv_lo=cheb.lo, cv_hi=cheb.hi,
-            )
+
+            def call(energy):
+                return cell_forces_pallas_newton(
+                    xs, xn_h, state.mc, mn_h, cheb.cval, cheb.cder,
+                    cap=cap, deg=cheb.cval.shape[0] - 1, box=spec.box,
+                    lj_eps=lj.epsilon, lj_sig=lj.sigma, lj_rcut=lj.rcut,
+                    cv_lo=cheb.lo, cv_hi=cheb.hi, energy=energy,
+                )
+
+            if do_energy is None:
+                f_loc, f_ngb, eb = call(True)
+            else:
+                # energy_stride > 1: the value Clenshaw chain (~40% of the
+                # kernel FLOPs) runs only on energy steps; forces are
+                # identical either way
+                f_loc, f_ngb, eb = jax.lax.cond(
+                    do_energy, lambda _: call(True), lambda _: call(False), None
+                )
             # Newton credit: the kernel saw each cross-cell pair once from
             # the low side; subtract its column sums from the neighbor cell
             # (f_ngb[c, k] belongs to cell c + HALF_OFFSETS[k], which the
@@ -477,9 +490,16 @@ def make_cell_step(
 
     def step(state: CellPairState, _) -> Tuple[CellPairState, jax.Array]:
         core = state.core
-        xs, vs, fs, e_bias, key = baoab_step(
-            lp, state.xs, state.vs, state.fs, core.key, force_fn_for(state)
+        do_energy = (
+            None if energy_stride == 1 else (core.step % energy_stride) == 0
         )
+        xs, vs, fs, e_bias, key = baoab_step(
+            lp, state.xs, state.vs, state.fs, core.key,
+            force_fn_for(state, do_energy)
+        )
+        if do_energy is not None:
+            # carry the last computed bias energy through skipped steps
+            e_bias = jnp.where(do_energy, e_bias, core.energy)
         # padded slots carry no atoms: pin them (noise would random-walk them)
         xs = xs * state.mc[..., None]
         vs = vs * state.mc[..., None]

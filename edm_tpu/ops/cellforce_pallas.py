@@ -143,8 +143,13 @@ def _kernel_newton(
     are complete) plus 13 cross blocks (cap x 13cap, one ordering only);
     the missing reverse forces come out as column sums for the caller to
     roll back onto the neighbor cells.  Same pair math, ~half the FLOPs of
-    the 27-stencil ordered-pair kernel."""
-    cap, ncand, deg, bx, by, bz, eps, sig, rcut, cv_lo, cv_hi = params
+    the 27-stencil ordered-pair kernel.
+
+    With ``energy=False`` the value Clenshaw chain (only consumed for the
+    reported bias energy, not the dynamics) is skipped — the derivative
+    chain alone drives the forces — and eb_ref is written as zeros.  The
+    chain is ~40% of the kernel's FLOPs at deg 48."""
+    cap, ncand, deg, bx, by, bz, eps, sig, rcut, cv_lo, cv_hi, energy = params
     width = cap + ncand  # candidate axis: [self cell | 13 neighbor cells]
 
     def one_cell(b, _):
@@ -190,11 +195,11 @@ def _kernel_newton(
         d1 = jnp.zeros_like(t)
         d2 = jnp.zeros_like(t)
         for k in range(deg, 0, -1):
-            b0 = cv_ref[0, k] + t2 * b1 - b2
-            b2, b1 = b1, b0
+            if energy:
+                b0 = cv_ref[0, k] + t2 * b1 - b2
+                b2, b1 = b1, b0
             e0 = cd_ref[0, k] + t2 * d1 - d2
             d2, d1 = d1, e0
-        val = (cv_ref[0, 0] + t * b1 - b2) * cv_on
         der = (cd_ref[0, 0] + t * d1 - d2) * cv_on
 
         f_over_r = fmag_r - der * inv_r * cv_on
@@ -208,10 +213,14 @@ def _kernel_newton(
         fnx_ref[b, :] = jnp.sum(gx[:, cap:], axis=0)
         fny_ref[b, :] = jnp.sum(gy[:, cap:], axis=0)
         fnz_ref[b, :] = jnp.sum(gz[:, cap:], axis=0)
-        # self-block pairs appear in both orderings (i,j)/(j,i): halve; the
-        # cross blocks see each pair once so full weight keeps E = sum(eb)
-        w = jnp.where(ci < cap, 0.5, 1.0)
-        eb_ref[b, :] = jnp.sum(val * w, axis=1)
+        if energy:
+            val = (cv_ref[0, 0] + t * b1 - b2) * cv_on
+            # self-block pairs appear in both orderings (i,j)/(j,i): halve;
+            # cross blocks see each pair once so E = sum(eb)
+            w = jnp.where(ci < cap, 0.5, 1.0)
+            eb_ref[b, :] = jnp.sum(val * w, axis=1)
+        else:
+            eb_ref[b, :] = jnp.zeros((cap,), jnp.float32)
         return 0
 
     jax.lax.fori_loop(0, CELLS_PER_PROGRAM, one_cell, 0, unroll=True)
@@ -219,7 +228,7 @@ def _kernel_newton(
 
 def cell_forces_pallas_newton(
     xc, xn, mc, mn, cval, cder, *,
-    cap, deg, box, lj_eps, lj_sig, lj_rcut, cv_lo, cv_hi,
+    cap, deg, box, lj_eps, lj_sig, lj_rcut, cv_lo, cv_hi, energy=True,
 ):
     """Half-stencil Newton force kernel.
 
@@ -242,7 +251,7 @@ def cell_forces_pallas_newton(
         cap, ncand, deg,
         float(box[0]), float(box[1]), float(box[2]),
         float(lj_eps), float(lj_sig), float(lj_rcut),
-        float(cv_lo), float(cv_hi),
+        float(cv_lo), float(cv_hi), bool(energy),
     )
     kernel = functools.partial(_kernel_newton, params=params)
     P = CELLS_PER_PROGRAM

@@ -380,6 +380,24 @@ def test_pallas_cell_force_matches_xla(monkeypatch):
             1.0, abs(float(s_xla.core.energy))
         )
 
+    # energy_stride: identical dynamics, energy recomputed on the stride
+    # only (der-only kernel in between) and carried through skipped steps
+    step1 = make_cell_step(
+        params, lp, LJParams(), spec, hill_stride=10**6, use_pallas=True
+    )
+    step2 = make_cell_step(
+        params, lp, LJParams(), spec, hill_stride=10**6, use_pallas=True,
+        energy_stride=2,
+    )
+    sa, sb = cst, cst
+    for i in range(3):
+        sa, _ = step1(sa, None)
+        sb, _ = step2(sb, None)
+        np.testing.assert_array_equal(np.asarray(sa.xs), np.asarray(sb.xs))
+        # step counter starts at 0: energy computed on even core.step
+        if int(sa.core.step) % 2 == 1:
+            assert float(sb.core.energy) == float(sa.core.energy)
+
 
 def test_coordinate_edm_2d():
     """2-D coordinate CV end to end (reference fix edm with dim 2):
