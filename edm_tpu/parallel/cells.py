@@ -65,12 +65,18 @@ def make_sharded_cell_step(
     row_cap: int = 1024,
     m_per_row: int = 16,
     cheb_deg: int = 64,
+    collect_records: bool = False,
 ):
     """Replicated-state sharded step: every leaf of CellPairState is
     replicated; the *work* (cell chunks) is split across the mesh and the
     per-atom forces / hill batches are combined with collectives.
 
     Run it like the single-device step: ``state, e = step_fn(state)``.
+    With ``collect_records`` the step also returns a ``B.HillRoundLog`` over
+    the gathered global round (every device replays the identical round on
+    its grid replica, so one log stream represents every replica — the
+    reference's per-rank hills files, edm_bias.cpp:586-599, differ only by
+    which rank originated each hill).
     """
     n_dev = mesh.devices.size
     axis = DATA_AXIS
@@ -263,17 +269,27 @@ def make_sharded_cell_step(
             runifs_g = jax.lax.all_gather(local_runifs, axis, tiled=True)
             active_g = jax.lax.all_gather(local_active, axis, tiled=True)
 
-            new_bs, _ = B.add_hills_round(
+            new_bs, rec = B.add_hills_round(
                 params, bs, hills_g, runifs_g, last_calls.astype(dtype), active=active_g
             )
             new_cheb = fit_gauss_grid(new_bs.bias, core.cheb.cval.shape[0] - 1)
-            return new_bs, ncalls, truncated, new_cheb
+            log = (
+                B.HillRoundLog(jnp.ones((), bool), hills_g, rec)
+                if collect_records
+                else None
+            )
+            return new_bs, ncalls, truncated, new_cheb, log
 
         def without_hills(args):
             bs, last_calls = args
-            return bs, last_calls, jnp.zeros((), bool), core.cheb
+            log = (
+                B.round_log_zeros(params, bs, hill_capacity * n_dev)
+                if collect_records
+                else None
+            )
+            return bs, last_calls, jnp.zeros((), bool), core.cheb, log
 
-        bias_state, last_calls, truncated, cheb = jax.lax.cond(
+        bias_state, last_calls, truncated, cheb, log = jax.lax.cond(
             do_hills, with_hills, without_hills, (core.bias, core.last_calls)
         )
 
@@ -293,20 +309,32 @@ def make_sharded_cell_step(
             lambda _: (state.aid, state.table_overflow),
             None,
         )
-        return (
-            ShardedCellPairState(core=new_core, aid=aid, table_overflow=overflow),
-            e_bias,
+        new_state = ShardedCellPairState(
+            core=new_core, aid=aid, table_overflow=overflow
         )
+        if collect_records:
+            return new_state, e_bias, log
+        return new_state, e_bias
 
     def _specs(state):
         return jax.tree.map(lambda _: P(), state)
 
     def one_step(state):
+        if collect_records:
+            log_shape = jax.eval_shape(
+                lambda bs: B.round_log_zeros(params, bs, hill_capacity * n_dev),
+                state.core.bias,
+            )
+            out_specs = (
+                _specs(state), P(), jax.tree.map(lambda _: P(), log_shape)
+            )
+        else:
+            out_specs = (_specs(state), P())
         fn = jax.shard_map(
             step_local,
             mesh=mesh,
             in_specs=(_specs(state),),
-            out_specs=(_specs(state), P()),
+            out_specs=out_specs,
             check_vma=False,
         )
         return fn(state)

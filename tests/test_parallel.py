@@ -224,3 +224,39 @@ def test_sharded_pair_hills_logging(tmp_path):
     assert lines and all(l[1] in "hubvz" and len(l) == 7 for l in lines)
     total = sum(float(l[5]) for l in lines)
     assert abs(total - float(state.bias.cum_bias)) < 1e-4
+
+
+def test_sharded_cells_hills_logging(tmp_path):
+    """Sharded cell-list host emits the HILLS stream too (the last compiled
+    host without it; one gathered log stream represents every replica)."""
+    from edm_tpu.models.cells import CellSpec
+    from edm_tpu.parallel.cells import init_sharded_cell_state, make_sharded_cell_step
+    from edm_tpu.utils.hills_log import HillsLog
+
+    params, bias_state, x0, box = _setup(8)
+    lp = LangevinParams(dt=0.002, friction=1.0, kT=0.8)
+    mesh = make_mesh(8)
+    spec = CellSpec.create(box, cutoff=3.0, n_atoms=x0.shape[0])
+    core = pair_edm.init_state(
+        bias_state, x0, jax.random.PRNGKey(0), pair_lookup="chebyshev"
+    )
+    state = init_sharded_cell_state(spec, core)
+    step = make_sharded_cell_step(
+        params, lp, LJParams(), spec, hill_stride=2, mesh=mesh,
+        hill_capacity=64, collect_records=True,
+    )
+    log = HillsLog(str(tmp_path / "SC_0"), 1, params.total_volume)
+    cum = 0.0
+    rounds = 0
+    for r in range(4):
+        state, e, lg = step(state)
+        lg = jax.device_get(lg)
+        if bool(np.asarray(lg.happened)):
+            log.log_round(rounds, cum, lg.rec, lg.positions)
+            cum += float(np.asarray(lg.rec.round_bias))
+            rounds += 1
+    log.close()
+    lines = [l.split() for l in (tmp_path / "SC_0").read_text().strip().splitlines()]
+    assert lines and all(l[1] in "hubvz" and len(l) == 7 for l in lines)
+    total = sum(float(l[5]) for l in lines)
+    assert abs(total - float(state.core.bias.cum_bias)) < 1e-4
