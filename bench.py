@@ -83,9 +83,13 @@ def bench_pairwise(n_atoms=10000, block=500, steps=100, hill_stride=10, dtype=No
     from edm_tpu.models.cells import CellSpec
     from edm_tpu.models.pair_edm_cells import init_cell_state, make_cell_step
 
+    # panelized spectral table: 4 panels x deg 16 evaluates ~2x cheaper than
+    # the old global deg-48 fit at ~50x better worst-case force accuracy
+    # (see ops/chebyshev.py docstring)
     core = pair_edm.init_state(
         bias_state, jnp.asarray(pts, dtype), jax.random.PRNGKey(0),
-        n_est=n_atoms * 40, pair_lookup=pair_lookup, cheb_deg=48,
+        n_est=n_atoms * 40, pair_lookup=pair_lookup, cheb_deg=16,
+        cheb_panels=4,
     )
     spec = CellSpec.create(box, cutoff=3.05, n_atoms=n_atoms)
     if min(spec.ncells) >= 3:

@@ -160,7 +160,7 @@ def make_step(
             # refit at the carried table's degree, not the cheb_deg arg:
             # a mismatch would give the cond branches different shapes
             new_cheb = (
-                fit_gauss_grid(new_bs.bias, state.cheb.cval.shape[0] - 1)
+                fit_gauss_grid(new_bs.bias, state.cheb.deg, state.cheb.npanels)
                 if state.cheb is not None
                 else state.cheb
             )
@@ -209,16 +209,23 @@ def init_state(
     n_est: Optional[int] = None,
     pair_lookup: str = "interp",
     cheb_deg: int = 64,
+    cheb_panels: int = 1,
 ) -> PairEDMState:
     """``n_est``: initial est_hill_count, the reference's conservative
     atom->nmax guess (fix_edm_pair.cpp:105).
 
     ``pair_lookup``: 'interp' (exact cubic-Hermite grid lookup) or
     'chebyshev' (gather-free spectral table, refit after each hill round;
-    the fast path for large pair counts)."""
+    the fast path for large pair counts).  ``cheb_panels > 1`` selects the
+    panelized series (ops/chebyshev module docstring): ~panels-fold cheaper
+    evaluation at equal accuracy for the same total coefficient count."""
     x0 = jnp.asarray(x0)
     n = x0.shape[0] if n_est is None else n_est
-    cheb = fit_gauss_grid(bias_state.bias, cheb_deg) if pair_lookup == "chebyshev" else None
+    cheb = (
+        fit_gauss_grid(bias_state.bias, cheb_deg, cheb_panels)
+        if pair_lookup == "chebyshev"
+        else None
+    )
     return PairEDMState(
         x=x0,
         v=jnp.zeros_like(x0),

@@ -225,7 +225,7 @@ def make_step_blocked(
                 axis_name=axis_name,
             )
             new_cheb = (
-                fit_gauss_grid(new_bs.bias, state.cheb.cval.shape[0] - 1)
+                fit_gauss_grid(new_bs.bias, state.cheb.deg, state.cheb.npanels)
                 if state.cheb is not None
                 else state.cheb
             )

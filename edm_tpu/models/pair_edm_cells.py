@@ -255,65 +255,74 @@ def make_cell_step(
             )
         return xn
 
-    def _half_stencil(xs, mc):
-        """(Cg, cap, *) -> half-stencil neighbor views via 13 lattice rolls
-        (HALF_OFFSETS order); padded cells (Cg > C) get zero masks."""
-        from ..ops.cellforce_pallas import HALF_OFFSETS
-
-        gx = xs[:C].reshape(nx, ny, nz, cap, 3)
-        gm = mc[:C].reshape(nx, ny, nz, cap)
-        xs_out, m_out = [], []
-        for di, dj, dk in HALF_OFFSETS:
-            xs_out.append(jnp.roll(gx, (-di, -dj, -dk), axis=(0, 1, 2)))
-            m_out.append(jnp.roll(gm, (-di, -dj, -dk), axis=(0, 1, 2)))
-        k13 = len(HALF_OFFSETS)
-        xn = jnp.stack(xs_out, axis=3).reshape(C, k13 * cap, 3)
-        mn = jnp.stack(m_out, axis=3).reshape(C, k13 * cap)
-        if Cg > C:
-            xn = jnp.concatenate(
-                [xn, jnp.zeros((Cg - C, k13 * cap, 3), xs.dtype)], 0
-            )
-            mn = jnp.concatenate(
-                [mn, jnp.zeros((Cg - C, k13 * cap), mc.dtype)], 0
-            )
-        return xn, mn
-
     def force_fn_for(state: CellPairState, do_energy=None):
         def pallas_newton_force(xs):
+            """Planar half-stencil Newton pass: the rolled neighbor views
+            are concatenated straight into the kernel's xyz-major layout
+            and the reverse-force credits are applied per component — no
+            (Cg, 13cap, 3) intermediates (strided layout copies run ~10x
+            below HBM peak and would otherwise rival the kernel time)."""
             from ..ops.cellforce_pallas import (
                 HALF_OFFSETS,
-                cell_forces_pallas_newton,
+                cell_forces_pallas_newton_planar,
             )
 
-            xn_h, mn_h = _half_stencil(xs, state.mc)
+            k13 = len(HALF_OFFSETS)
+            g = xs[:C].reshape(nx, ny, nz, cap, 3)
+            gm = state.mc[:C].reshape(nx, ny, nz, cap)
+            cols = []
+            for c in range(3):
+                cols += [
+                    jnp.roll(g[..., c], (-di, -dj, -dk), (0, 1, 2)).reshape(C, cap)
+                    for (di, dj, dk) in HALF_OFFSETS
+                ]
+            xn_f = jnp.concatenate(cols, axis=1)  # (C, 3*13cap) xyz-major
+            mn_f = jnp.concatenate(
+                [
+                    jnp.roll(gm, (-di, -dj, -dk), (0, 1, 2)).reshape(C, cap)
+                    for (di, dj, dk) in HALF_OFFSETS
+                ],
+                axis=1,
+            )
+            xc_f = jnp.concatenate([xs[..., 0], xs[..., 1], xs[..., 2]], axis=1)
+            if Cg > C:
+                xn_f = jnp.concatenate(
+                    [xn_f, jnp.zeros((Cg - C, 3 * k13 * cap), xs.dtype)], 0
+                )
+                mn_f = jnp.concatenate(
+                    [mn_f, jnp.zeros((Cg - C, k13 * cap), xs.dtype)], 0
+                )
             cheb = state.core.cheb
 
             def call(energy):
-                return cell_forces_pallas_newton(
-                    xs, xn_h, state.mc, mn_h, cheb.cval, cheb.cder,
-                    cap=cap, deg=cheb.cval.shape[0] - 1, box=spec.box,
+                return cell_forces_pallas_newton_planar(
+                    xc_f, xn_f, state.mc, mn_f, cheb.cval, cheb.cder,
+                    cap=cap, box=spec.box,
                     lj_eps=lj.epsilon, lj_sig=lj.sigma, lj_rcut=lj.rcut,
                     cv_lo=cheb.lo, cv_hi=cheb.hi, energy=energy,
                 )
 
             if do_energy is None:
-                f_loc, f_ngb, eb = call(True)
+                fx, fy, fz, fnx, fny, fnz, eb = call(True)
             else:
                 # energy_stride > 1: the value Clenshaw chain (~40% of the
                 # kernel FLOPs) runs only on energy steps; forces are
                 # identical either way
-                f_loc, f_ngb, eb = jax.lax.cond(
+                fx, fy, fz, fnx, fny, fnz, eb = jax.lax.cond(
                     do_energy, lambda _: call(True), lambda _: call(False), None
                 )
             # Newton credit: the kernel saw each cross-cell pair once from
             # the low side; subtract its column sums from the neighbor cell
-            # (f_ngb[c, k] belongs to cell c + HALF_OFFSETS[k], which the
-            # lattice roll by +offset delivers)
-            fg = f_loc[:C].reshape(nx, ny, nz, cap, 3)
-            ng = f_ngb[:C].reshape(nx, ny, nz, len(HALF_OFFSETS), cap, 3)
-            for k, (di, dj, dk) in enumerate(HALF_OFFSETS):
-                fg = fg - jnp.roll(ng[:, :, :, k], (di, dj, dk), axis=(0, 1, 2))
-            f_rows = fg.reshape(C, cap, 3)
+            # (fn[c, k] belongs to cell c + HALF_OFFSETS[k], which the
+            # lattice roll by +offset delivers), per component
+            outs = []
+            for f1, n1 in ((fx, fnx), (fy, fny), (fz, fnz)):
+                fgc = f1[:C].reshape(nx, ny, nz, cap)
+                ngc = n1[:C].reshape(nx, ny, nz, k13, cap)
+                for k, (di, dj, dk) in enumerate(HALF_OFFSETS):
+                    fgc = fgc - jnp.roll(ngc[:, :, :, k], (di, dj, dk), (0, 1, 2))
+                outs.append(fgc.reshape(C, cap))
+            f_rows = jnp.stack(outs, axis=-1)
             if Cg > C:
                 f_rows = jnp.concatenate(
                     [f_rows, jnp.zeros((Cg - C, cap, 3), xs.dtype)], 0
@@ -328,7 +337,7 @@ def make_cell_step(
             f_rows, eb = cell_forces_pallas(
                 xs, xn, state.mc, state.mn, state.sid, state.nid,
                 cheb.cval, cheb.cder,
-                cap=cap, deg=cheb.cval.shape[0] - 1, box=spec.box,
+                cap=cap, box=spec.box,
                 lj_eps=lj.epsilon, lj_sig=lj.sigma, lj_rcut=lj.rcut,
                 cv_lo=cheb.lo, cv_hi=cheb.hi,
             )
@@ -516,10 +525,10 @@ def make_cell_step(
                 params, bs, hills, runifs, last_calls.astype(xs.dtype),
                 active=active, axis_name=axis_name,
             )
-            # refit at the carried table's degree (a mismatched cheb_deg arg
-            # would give cond branches different coefficient shapes)
+            # refit at the carried table's degree/panels (a mismatched
+            # cheb_deg arg would give cond branches different shapes)
             new_cheb = (
-                fit_gauss_grid(new_bs.bias, core.cheb.cval.shape[0] - 1)
+                fit_gauss_grid(new_bs.bias, core.cheb.deg, core.cheb.npanels)
                 if core.cheb is not None
                 else None
             )

@@ -38,6 +38,47 @@ HALF_OFFSETS = tuple(
 )
 
 
+def _cheb_val_der(cv_ref, cd_ref, r, ok, *, deg, npanels, cv_lo, cv_hi, energy):
+    """In-kernel (possibly panelized) Chebyshev val+der evaluation.
+
+    cv_ref/cd_ref are (npanels, deg+1) VMEM refs; panel coefficients are
+    picked per lane with an (npanels-1)-deep select chain (no gathers).
+    ``energy=False`` skips the value chain entirely (returns val=None)."""
+    cv_on = jnp.where((r >= cv_lo) & (r <= cv_hi), ok, 0.0)
+    rc = jnp.clip(r, cv_lo, cv_hi)
+    if npanels == 1:
+        t = (2.0 * rc - (cv_lo + cv_hi)) / (cv_hi - cv_lo)
+
+        def coef(ref, k):
+            return ref[0, k]
+    else:
+        pw = (cv_hi - cv_lo) / npanels
+        pf = jnp.clip(jnp.floor((rc - cv_lo) / pw), 0.0, float(npanels - 1))
+        t = (2.0 * (rc - cv_lo - pf * pw) - pw) / pw
+        masks = [pf >= p for p in range(1, npanels)]
+
+        def coef(ref, k):
+            v = jnp.where(masks[0], ref[1, k], ref[0, k])
+            for p in range(2, npanels):
+                v = jnp.where(masks[p - 1], ref[p, k], v)
+            return v
+
+    t2 = 2.0 * t
+    b1 = jnp.zeros_like(t)
+    b2 = jnp.zeros_like(t)
+    d1 = jnp.zeros_like(t)
+    d2 = jnp.zeros_like(t)
+    for k in range(deg, 0, -1):
+        if energy:
+            b0 = coef(cv_ref, k) + t2 * b1 - b2
+            b2, b1 = b1, b0
+        e0 = coef(cd_ref, k) + t2 * d1 - d2
+        d2, d1 = d1, e0
+    der = (coef(cd_ref, 0) + t * d1 - d2) * cv_on
+    val = (coef(cv_ref, 0) + t * b1 - b2) * cv_on if energy else None
+    return val, der, cv_on
+
+
 def _kernel(
     xc_ref,  # (8, cap*3)   local cell coords, xyz-major ([x all; y all; z all])
     xn_ref,  # (8, 27cap*3) stencil coords, same layout
@@ -54,7 +95,7 @@ def _kernel(
     *,
     params,
 ):
-    cap, ncand, deg, bx, by, bz, eps, sig, rcut, cv_lo, cv_hi = params
+    cap, ncand, deg, npanels, bx, by, bz, eps, sig, rcut, cv_lo, cv_hi = params
 
     def one_cell(b, _):
         xl = xc_ref[b, :]
@@ -95,20 +136,10 @@ def _kernel(
         fmag_r = 4.0 * eps * (12.0 * sr6 * sr6 - 6.0 * sr6) * inv_r2 * lj_on
 
         # spectral bias: clenshaw val+der on clamped r
-        cv_on = jnp.where((r >= cv_lo) & (r <= cv_hi), ok, 0.0)
-        t = (2.0 * jnp.clip(r, cv_lo, cv_hi) - (cv_lo + cv_hi)) / (cv_hi - cv_lo)
-        t2 = 2.0 * t
-        b1 = jnp.zeros_like(t)
-        b2 = jnp.zeros_like(t)
-        d1 = jnp.zeros_like(t)
-        d2 = jnp.zeros_like(t)
-        for k in range(deg, 0, -1):
-            b0 = cv_ref[0, k] + t2 * b1 - b2
-            b2, b1 = b1, b0
-            e0 = cd_ref[0, k] + t2 * d1 - d2
-            d2, d1 = d1, e0
-        val = (cv_ref[0, 0] + t * b1 - b2) * cv_on
-        der = (cd_ref[0, 0] + t * d1 - d2) * cv_on
+        val, der, cv_on = _cheb_val_der(
+            cv_ref, cd_ref, r, ok, deg=deg, npanels=npanels,
+            cv_lo=cv_lo, cv_hi=cv_hi, energy=True,
+        )
 
         f_over_r = fmag_r - der * inv_r * cv_on
 
@@ -149,7 +180,8 @@ def _kernel_newton(
     reported bias energy, not the dynamics) is skipped — the derivative
     chain alone drives the forces — and eb_ref is written as zeros.  The
     chain is ~40% of the kernel's FLOPs at deg 48."""
-    cap, ncand, deg, bx, by, bz, eps, sig, rcut, cv_lo, cv_hi, energy = params
+    (cap, ncand, deg, npanels, bx, by, bz, eps, sig, rcut,
+     cv_lo, cv_hi, energy) = params
     width = cap + ncand  # candidate axis: [self cell | 13 neighbor cells]
 
     def one_cell(b, _):
@@ -187,20 +219,10 @@ def _kernel_newton(
         sr6 = sr2 * sr2 * sr2
         fmag_r = 4.0 * eps * (12.0 * sr6 * sr6 - 6.0 * sr6) * inv_r2 * lj_on
 
-        cv_on = jnp.where((r >= cv_lo) & (r <= cv_hi), ok, 0.0)
-        t = (2.0 * jnp.clip(r, cv_lo, cv_hi) - (cv_lo + cv_hi)) / (cv_hi - cv_lo)
-        t2 = 2.0 * t
-        b1 = jnp.zeros_like(t)
-        b2 = jnp.zeros_like(t)
-        d1 = jnp.zeros_like(t)
-        d2 = jnp.zeros_like(t)
-        for k in range(deg, 0, -1):
-            if energy:
-                b0 = cv_ref[0, k] + t2 * b1 - b2
-                b2, b1 = b1, b0
-            e0 = cd_ref[0, k] + t2 * d1 - d2
-            d2, d1 = d1, e0
-        der = (cd_ref[0, 0] + t * d1 - d2) * cv_on
+        val, der, cv_on = _cheb_val_der(
+            cv_ref, cd_ref, r, ok, deg=deg, npanels=npanels,
+            cv_lo=cv_lo, cv_hi=cv_hi, energy=energy,
+        )
 
         f_over_r = fmag_r - der * inv_r * cv_on
         gx = f_over_r * dx
@@ -214,7 +236,6 @@ def _kernel_newton(
         fny_ref[b, :] = jnp.sum(gy[:, cap:], axis=0)
         fnz_ref[b, :] = jnp.sum(gz[:, cap:], axis=0)
         if energy:
-            val = (cv_ref[0, 0] + t * b1 - b2) * cv_on
             # self-block pairs appear in both orderings (i,j)/(j,i): halve;
             # cross blocks see each pair once so E = sum(eb)
             w = jnp.where(ci < cap, 0.5, 1.0)
@@ -228,27 +249,49 @@ def _kernel_newton(
 
 def cell_forces_pallas_newton(
     xc, xn, mc, mn, cval, cder, *,
-    cap, deg, box, lj_eps, lj_sig, lj_rcut, cv_lo, cv_hi, energy=True,
+    cap, box, lj_eps, lj_sig, lj_rcut, cv_lo, cv_hi, energy=True,
 ):
     """Half-stencil Newton force kernel.
 
     xc (Cg, cap, 3) local slot coords; xn (Cg, 13cap, 3) half-stencil
-    coords (HALF_OFFSETS order); mc/mn float masks.  Returns
+    coords (HALF_OFFSETS order); mc/mn float masks; cval/cder
+    (npanels, deg+1) (or (deg+1,) for a global series).  Returns
     (f_local (Cg, cap, 3), f_neigh (Cg, 13cap, 3), eb (Cg, cap)) where
     ``f_neigh[c, k*cap:(k+1)*cap]`` must be SUBTRACTED from cell
     ``c + HALF_OFFSETS[k]``'s slots (the caller rolls the lattice).
     Energy is ``jnp.sum(eb)`` — no 0.5 factor (pairs counted once)."""
-    Cg = xc.shape[0]
-    ncand = xn.shape[1]
-    assert Cg % CELLS_PER_PROGRAM == 0
-    n_prog = Cg // CELLS_PER_PROGRAM
-    DEGP = cval.shape[0]
-
     xc_f = jnp.concatenate([xc[..., 0], xc[..., 1], xc[..., 2]], axis=1)
     xn_f = jnp.concatenate([xn[..., 0], xn[..., 1], xn[..., 2]], axis=1)
+    fx, fy, fz, fnx, fny, fnz, eb = cell_forces_pallas_newton_planar(
+        xc_f, xn_f, mc, mn, cval, cder,
+        cap=cap, box=box, lj_eps=lj_eps, lj_sig=lj_sig, lj_rcut=lj_rcut,
+        cv_lo=cv_lo, cv_hi=cv_hi, energy=energy,
+    )
+    f = jnp.stack([fx, fy, fz], axis=-1)
+    fn = jnp.stack([fnx, fny, fnz], axis=-1)
+    return f, fn, eb
+
+
+def cell_forces_pallas_newton_planar(
+    xc_f, xn_f, mc, mn, cval, cder, *,
+    cap, box, lj_eps, lj_sig, lj_rcut, cv_lo, cv_hi, energy=True,
+):
+    """Planar-layout entry for the Newton kernel: xc_f (Cg, 3cap) and
+    xn_f (Cg, 3*13cap) are already xyz-major ([x-plane | y | z]); returns
+    the raw per-component outputs (fx, fy, fz, fnx, fny, fnz, eb) without
+    stacking — callers that keep planar layouts avoid two full-size HBM
+    materializations per step (the dominant non-compute cost at 100k
+    atoms: strided layout copies run ~10x below HBM peak)."""
+    Cg = xc_f.shape[0]
+    ncand = xn_f.shape[1] // 3
+    assert Cg % CELLS_PER_PROGRAM == 0
+    n_prog = Cg // CELLS_PER_PROGRAM
+    cv2 = cval if cval.ndim == 2 else cval[None, :]
+    cd2 = cder if cder.ndim == 2 else cder[None, :]
+    NP, DEGP = cv2.shape
 
     params = (
-        cap, ncand, deg,
+        cap, ncand, DEGP - 1, NP,
         float(box[0]), float(box[1]), float(box[2]),
         float(lj_eps), float(lj_sig), float(lj_rcut),
         float(cv_lo), float(cv_hi), bool(energy),
@@ -267,8 +310,8 @@ def cell_forces_pallas_newton(
             row_spec(3 * ncand),
             row_spec(cap),
             row_spec(ncand),
-            pl.BlockSpec((1, DEGP), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, DEGP), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NP, DEGP), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NP, DEGP), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             row_spec(cap), row_spec(cap), row_spec(cap),
@@ -280,18 +323,17 @@ def cell_forces_pallas_newton(
             + [jax.ShapeDtypeStruct((Cg, ncand), jnp.float32)] * 3
             + [jax.ShapeDtypeStruct((Cg, cap), jnp.float32)]
         ),
-    )(xc_f, xn_f, mc, mn, cval[None, :], cder[None, :])
+    )(xc_f, xn_f, mc, mn, cv2, cd2)
 
-    f = jnp.stack([fx, fy, fz], axis=-1)
-    fn = jnp.stack([fnx, fny, fnz], axis=-1)
-    return f, fn, eb
+    return fx, fy, fz, fnx, fny, fnz, eb
 
 
 def cell_forces_pallas(
     xc, xn, mc, mn, sid, nid, cval, cder, *,
-    cap, deg, box, lj_eps, lj_sig, lj_rcut, cv_lo, cv_hi,
+    cap, box, lj_eps, lj_sig, lj_rcut, cv_lo, cv_hi,
 ):
-    """xc (Cg, cap, 3), xn (Cg, 27cap, 3), masks/ids as floats.
+    """xc (Cg, cap, 3), xn (Cg, 27cap, 3), masks/ids as floats; cval/cder
+    (npanels, deg+1) (or (deg+1,) for a global series).
 
     Returns per-local-slot forces (Cg, cap, 3) and bias-energy rows
     (Cg, cap).  Cg must be a multiple of CELLS_PER_PROGRAM.
@@ -300,14 +342,16 @@ def cell_forces_pallas(
     ncand = xn.shape[1]
     assert Cg % CELLS_PER_PROGRAM == 0
     n_prog = Cg // CELLS_PER_PROGRAM
-    DEGP = cval.shape[0]
+    cv2 = cval if cval.ndim == 2 else cval[None, :]
+    cd2 = cder if cder.ndim == 2 else cder[None, :]
+    NP, DEGP = cv2.shape
 
     # xyz-major flattening keeps per-plane slices static in the kernel
     xc_f = jnp.concatenate([xc[..., 0], xc[..., 1], xc[..., 2]], axis=1)
     xn_f = jnp.concatenate([xn[..., 0], xn[..., 1], xn[..., 2]], axis=1)
 
     params = (
-        cap, ncand, deg,
+        cap, ncand, DEGP - 1, NP,
         float(box[0]), float(box[1]), float(box[2]),
         float(lj_eps), float(lj_sig), float(lj_rcut),
         float(cv_lo), float(cv_hi),
@@ -328,12 +372,12 @@ def cell_forces_pallas(
             row_spec(ncand),
             row_spec(cap),
             row_spec(ncand),
-            pl.BlockSpec((1, DEGP), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, DEGP), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NP, DEGP), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NP, DEGP), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[row_spec(cap), row_spec(cap), row_spec(cap), row_spec(cap)],
         out_shape=[jax.ShapeDtypeStruct((Cg, cap), jnp.float32)] * 4,
-    )(xc_f, xn_f, mc, mn, sid, nid, cval[None, :], cder[None, :])
+    )(xc_f, xn_f, mc, mn, sid, nid, cv2, cd2)
 
     f = jnp.stack([fx, fy, fz], axis=-1)
     return f, eb

@@ -19,6 +19,16 @@ bit-exact; only the MD pair-force evaluation uses the spectral form
 Accuracy: for sigma/dx-resolved grids the fit error is spectral in
 deg/(range/sigma); degree ~2.5x range/sigma gives ~1e-6 relative force
 error — far below the thermostat noise floor.
+
+Panelized form: a GLOBAL series needs deg ~2.5x range/sigma, and the
+unrolled Clenshaw chain is the dominant FLOP cost of the entire MD force
+kernel.  Splitting [lo, hi] into P equal panels with an independent series
+per panel needs only deg ~2.5x (range/P)/sigma per panel: evaluation cost
+drops ~P-fold (plus P-1 selects per iteration to pick the lane's panel
+coefficients) at BETTER accuracy.  Measured on a 500-hill sigma=0.1
+profile over [0,3]: global deg-48 max relative force error 0.38; 4 panels
+x deg 16: 0.008 at ~60% of the op count.  ``fit_gauss_grid(..., panels=P)``
+selects the form; coefficients are always stored (P, deg+1).
 """
 
 from __future__ import annotations
@@ -97,22 +107,69 @@ def clenshaw(c: jax.Array, x: jax.Array, lo: float, hi: float) -> jax.Array:
     return c[0] + t * b1 - b2
 
 
+def panel_of(x, lo: float, hi: float, npanels: int):
+    """Per-lane panel index (float) and local Chebyshev coordinate t."""
+    pw = (hi - lo) / npanels
+    pf = jnp.clip(jnp.floor((x - lo) / pw), 0.0, float(npanels - 1))
+    t = (2.0 * (x - lo - pf * pw) - pw) / pw
+    return pf, jnp.clip(t, -1.0, 1.0)
+
+
+def clenshaw_panels(c: jax.Array, x: jax.Array, lo: float, hi: float) -> jax.Array:
+    """Evaluate a panelized series: c is (P, deg+1); each lane uses the
+    series of its panel (coefficients picked by a P-1-deep select chain —
+    no gathers)."""
+    P, degp = c.shape
+    if P == 1:
+        return clenshaw(c[0], x, lo, hi)
+    pf, t = panel_of(x, lo, hi, P)
+    masks = [pf >= p for p in range(1, P)]
+
+    def coef(k):
+        v = jnp.full_like(t, c[0, k])
+        for p in range(1, P):
+            v = jnp.where(masks[p - 1], c[p, k], v)
+        return v
+
+    t2 = 2.0 * t
+    b1 = jnp.zeros_like(t)
+    b2 = jnp.zeros_like(t)
+    for k in range(degp - 1, 0, -1):
+        b0 = coef(k) + t2 * b1 - b2
+        b2 = b1
+        b1 = b0
+    return coef(0) + t * b1 - b2
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class ChebTable:
-    """Fitted spectral form of a 1-D bias grid: value + derivative series."""
+    """Fitted spectral form of a 1-D bias grid: value + derivative series.
 
-    cval: jax.Array  # (deg+1,)
-    cder: jax.Array  # (deg+1,)
+    Coefficients are stored (npanels, deg+1); npanels == 1 is the plain
+    global series."""
+
+    cval: jax.Array  # (P, deg+1)
+    cder: jax.Array  # (P, deg+1)
     lo: float = dataclasses.field(metadata=dict(static=True))
     hi: float = dataclasses.field(metadata=dict(static=True))
 
+    @property
+    def deg(self) -> int:
+        return self.cval.shape[-1] - 1
+
+    @property
+    def npanels(self) -> int:
+        return self.cval.shape[0] if self.cval.ndim == 2 else 1
+
     def value_deriv(self, r: jax.Array) -> Tuple[jax.Array, jax.Array]:
         """Evaluate (value, dU/dr) with out-of-domain clamped to 0."""
+        cv = self.cval if self.cval.ndim == 2 else self.cval[None, :]
+        cd = self.cder if self.cder.ndim == 2 else self.cder[None, :]
         ok = (r >= self.lo) & (r <= self.hi)
         rc = jnp.clip(r, self.lo, self.hi)
-        v = clenshaw(self.cval, rc, self.lo, self.hi)
-        d = clenshaw(self.cder, rc, self.lo, self.hi)
+        v = clenshaw_panels(cv, rc, self.lo, self.hi)
+        d = clenshaw_panels(cd, rc, self.lo, self.hi)
         zero = jnp.zeros((), v.dtype)
         return jnp.where(ok, v, zero), jnp.where(ok, d, zero)
 
@@ -121,33 +178,44 @@ import functools
 
 
 @functools.lru_cache(maxsize=64)
-def _ls_fit_matrix(grid_key, deg: int) -> np.ndarray:
-    """Static least-squares fit matrix P (deg+1, G): coeffs = P @ grid_values.
+def _ls_fit_matrix(grid_key, deg: int, panels: int = 1) -> np.ndarray:
+    """Static least-squares fit matrix M (P, deg+1, G):
+    ``coeffs[p] = M[p] @ grid_values``.
 
     Chebyshev-Vandermonde at the uniform grid points, pseudo-inverted in
-    float64 once per (spec, deg).  Fitting the *node values* (exact samples
-    of the analytic Gaussian sum) rather than the C^1 spline gives true
-    spectral accuracy — the spline's curvature kinks otherwise floor the
-    error at ~1e-3."""
+    float64 once per (spec, deg, panels).  Fitting the *node values* (exact
+    samples of the analytic Gaussian sum) rather than the C^1 spline gives
+    true spectral accuracy — the spline's curvature kinks otherwise floor
+    the error at ~1e-3.  Each panel fits the grid points inside its
+    sub-range extended by one spacing on each side (conditioning +
+    near-continuity at panel joints)."""
     lo, hi, dx, n = grid_key
     xs = lo + dx * np.arange(n)
-    t = np.clip((2.0 * xs - (lo + hi)) / (hi - lo), -1.0, 1.0)
-    V = np.polynomial.chebyshev.chebvander(t, deg)
-    return np.linalg.pinv(V)
+    out = np.zeros((panels, deg + 1, n))
+    pw = (hi - lo) / panels
+    for p in range(panels):
+        plo, phi = lo + p * pw, lo + (p + 1) * pw
+        m = (xs >= plo - 1.05 * dx) & (xs <= phi + 1.05 * dx)
+        t = np.clip((2.0 * xs[m] - (plo + phi)) / (phi - plo), -1.2, 1.2)
+        V = np.polynomial.chebyshev.chebvander(t, deg)
+        out[p][:, m] = np.linalg.pinv(V)
+    return out
 
 
-def fit_gauss_grid(gauss_grid, deg: int = 64) -> ChebTable:
+def fit_gauss_grid(gauss_grid, deg: int = 64, panels: int = 1) -> ChebTable:
     """Fit the current 1-D bias grid's node values by least squares.
 
-    Stable for deg up to ~(2/pi)*G uniform samples; callers should keep
-    deg <= 0.6 * grid points."""
+    Stable for deg up to ~(2/pi) * (G/panels) uniform samples; callers
+    should keep deg <= 0.6 * grid points per panel."""
     spec = gauss_grid.spec
     assert spec.dim == 1, "spectral table is for 1-D CV grids"
     g = spec.grid
     lo, hi = g.min[0], g.min[0] + g.dx[0] * (g.nbins[0] - 1)
-    P = jnp.asarray(
-        _ls_fit_matrix((g.min[0], hi, g.dx[0], g.nbins[0]), deg), gauss_grid.dtype
+    M = jnp.asarray(
+        _ls_fit_matrix((g.min[0], hi, g.dx[0], g.nbins[0]), deg, panels),
+        gauss_grid.dtype,
     )
-    cval = P @ gauss_grid.grid.values
-    cder = derivative_coeffs(cval, lo, hi)
+    cval = M @ gauss_grid.grid.values  # (P, deg+1)
+    pw = (hi - lo) / panels
+    cder = jax.vmap(lambda c: derivative_coeffs(c, 0.0, pw))(cval)
     return ChebTable(cval=cval, cder=cder, lo=float(lo), hi=float(hi))

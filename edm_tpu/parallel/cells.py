@@ -272,7 +272,7 @@ def make_sharded_cell_step(
             new_bs, rec = B.add_hills_round(
                 params, bs, hills_g, runifs_g, last_calls.astype(dtype), active=active_g
             )
-            new_cheb = fit_gauss_grid(new_bs.bias, core.cheb.cval.shape[0] - 1)
+            new_cheb = fit_gauss_grid(new_bs.bias, core.cheb.deg, core.cheb.npanels)
             log = (
                 B.HillRoundLog(jnp.ones((), bool), hills_g, rec)
                 if collect_records

@@ -178,7 +178,7 @@ def make_sharded_pair_step(
                 params, bs, hills_g, runif_g, last_calls.astype(dtype), active=active_g
             )
             new_cheb = (
-                fit_gauss_grid(new_bs.bias, state.cheb.cval.shape[0] - 1)
+                fit_gauss_grid(new_bs.bias, state.cheb.deg, state.cheb.npanels)
                 if state.cheb is not None
                 else state.cheb
             )

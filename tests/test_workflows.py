@@ -198,3 +198,32 @@ def test_rdf_convergence_to_target():
     assert l1_unbiased > 3 * l1_target, "biasing did not move sampling off baseline"
     # mode within one sigma-bin of the target well
     assert abs(hx[p.argmax()] - R0) <= hspec.dx[0] + 1e-9
+
+
+def test_panelized_chebyshev_accuracy():
+    """The panelized spectral table (4 panels x deg 16) matches the global
+    deg-48 fit's force accuracy on a rough many-hill bias profile at ~2/3
+    of the per-pair evaluation cost (52 active coefficients vs 49, but a
+    deg-16 Clenshaw chain instead of deg-48)."""
+    import numpy as np
+    from edm_tpu import GaussGrid
+    from edm_tpu.ops.chebyshev import fit_gauss_grid
+
+    rng = np.random.default_rng(5)
+    g = GaussGrid.create([0.0], [3.0], [0.02], [False], [0.1], dtype=jnp.float64)
+    centers = jnp.asarray(rng.uniform(0.3, 2.7, (400, 1)))
+    heights = jnp.asarray(rng.uniform(0.0, 0.01, (400,)))
+    g, _ = g.add_value(centers, heights)
+
+    rs = jnp.linspace(0.05, 2.9, 1500)
+    v_ex, d_ex = g.get_value_deriv(rs[:, None])
+    scale = float(jnp.max(jnp.abs(d_ex)))
+
+    t_panel = fit_gauss_grid(g, deg=16, panels=4)
+    t_global = fit_gauss_grid(g, deg=48)
+    _, d_p = t_panel.value_deriv(rs)
+    _, d_g = t_global.value_deriv(rs)
+    err_p = float(jnp.max(jnp.abs(d_p - d_ex[..., 0]))) / scale
+    err_g = float(jnp.max(jnp.abs(d_g - d_ex[..., 0]))) / scale
+    assert err_p < 0.03, err_p
+    assert err_p < 2.0 * err_g, (err_p, err_g)
