@@ -191,10 +191,11 @@ def make_cell_step(
             jnp.concatenate([aid2, jnp.full((pad, cap), n, jnp.int32)], 0),
         )
 
-    def chunk_pairs(xs3, aid2, ci, dtype, need_disp=True):
+    def chunk_pairs(xs3, aid2, ci, dtype, need_disp=True, squared=False):
         """Dense pair tile for cells [ci*chunk, ...): returns (disp, r, valid,
         local aid (B,cap), local validity).  need_disp=False skips the
-        displacement materialization (accept passes need distances only)."""
+        displacement materialization (accept passes need distances only);
+        squared=True returns r^2 (invalid = inf) without the sqrt."""
         c0 = ci * cell_chunk
         xc = jax.lax.dynamic_slice_in_dim(xs3, c0, cell_chunk)  # (B, cap, 3)
         ac = jax.lax.dynamic_slice_in_dim(aid2, c0, cell_chunk)  # (B, cap)
@@ -213,7 +214,8 @@ def make_cell_step(
             disp = None
         anf = an.reshape(bsz, 1, 27 * cap)
         valid = (ac[:, :, None] < n) & (anf < n) & (ac[:, :, None] != anf)
-        r = jnp.sqrt(jnp.where(valid, r2, jnp.inf))
+        rm = jnp.where(valid, r2, jnp.inf)
+        r = rm if squared else jnp.sqrt(rm)
         if types_arr is None:
             cv_ok = None
         else:
@@ -396,12 +398,16 @@ def make_cell_step(
             [sten_g, jnp.zeros((Cp - Cg, 27), jnp.int32)], 0
         )
 
-        def row_uniform(slot_rows):
-            keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(slot_rows)
-            return jax.vmap(lambda k: jax.random.uniform(k, (27 * cap,), dtype))(keys)
+        # counter-hash uniforms (ops/hashrng): ~2x cheaper than Threefry at
+        # the ~2e8 draws/round this pass needs, re-derivable in pass 2
+        from ..ops.hashrng import seeds_from_key, uniform_rows_cols
 
-        def accept_of(r, runif):
-            candidate = jnp.isfinite(r) & (r < bmax_cv)
+        seeds = seeds_from_key(key)
+
+        def row_uniform(slot_rows):
+            return uniform_rows_cols(seeds, slot_rows, 27 * cap, dtype)
+
+        def accept_of(candidate, runif):
             if params.cfg.hill_density < 0:
                 acc = candidate
             else:
@@ -412,15 +418,16 @@ def make_cell_step(
 
         def p1_chunk(carry, ci):
             row_counts, ncalls = carry
-            # r-only tile: the accept pass needs distances, not displacements
-            _, r, valid, _, cv_ok = chunk_pairs(
-                xs3, aid2p, ci, dtype, need_disp=False
+            # r2-only tile: the accept pass needs neither displacements nor
+            # the sqrt (candidate test compares squared distances)
+            _, r2m, valid, _, cv_ok = chunk_pairs(
+                xs3, aid2p, ci, dtype, need_disp=False, squared=True
             )
             if cv_ok is not None:
-                r = jnp.where(cv_ok, r, jnp.inf)
+                r2m = jnp.where(cv_ok, r2m, jnp.inf)
             rows = (ci * cell_chunk * cap + jnp.arange(cell_chunk * cap)).astype(jnp.int32)
             runif = row_uniform(rows).reshape(cell_chunk, cap, 27 * cap)
-            candidate, acc = accept_of(r, runif)
+            candidate, acc = accept_of(r2m < bmax_cv * bmax_cv, runif)
             rc = jnp.sum(acc.astype(jnp.int32), axis=2).reshape(-1).astype(jnp.int32)
             row_counts = jax.lax.dynamic_update_slice_in_dim(
                 row_counts, rc, ci * cell_chunk * cap, axis=0
@@ -466,7 +473,7 @@ def make_cell_step(
             )
             r = jnp.where(cv_ok2, r, jnp.inf)
         runif = row_uniform(rows_c)
-        _, acc = accept_of(r, runif)
+        _, acc = accept_of(jnp.isfinite(r) & (r < bmax_cv), runif)
 
         hills_rows = jnp.zeros((row_cap, m_per_row), dtype)
         runif_rows = jnp.ones((row_cap, m_per_row), dtype)
