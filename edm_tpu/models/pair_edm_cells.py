@@ -107,6 +107,92 @@ def _atoms_from_slots(spec: CellSpec, aid_g, xs, vs, fs):
     return x, v, f
 
 
+def newton_lattice_force(
+    xs, mc_rows, mc_cand, ncells, cap, box, lj, cheb, do_energy=None,
+):
+    """Half-stencil Newton force pass over an (nx, ny, nz) slot lattice.
+
+    xs (Cg, cap, 3) with Cg = C rounded up to the kernel's program size;
+    ``mc_rows`` masks which slots act as LOCAL rows (enumerate pairs /
+    receive row forces), ``mc_cand`` which slots are visible as stencil
+    CANDIDATES.  They differ only in sharded slab decomposition, where a
+    device's halo columns are candidates but not rows (their pairs are
+    enumerated by the owning device).  Returns (energy, f_rows (Cg, cap, 3)).
+
+    Planar layout throughout: rolled neighbor views concatenate straight
+    into the kernel's xyz-major input and reverse-force credits apply per
+    component (strided layout copies run ~10x below HBM peak and would
+    otherwise rival the kernel time).
+    """
+    from ..ops.cellforce_pallas import (
+        HALF_OFFSETS,
+        cell_forces_pallas_newton_planar,
+    )
+
+    nx, ny, nz = ncells
+    C = nx * ny * nz
+    Cg = xs.shape[0]
+    k13 = len(HALF_OFFSETS)
+    g = xs[:C].reshape(nx, ny, nz, cap, 3)
+    gm = mc_cand[:C].reshape(nx, ny, nz, cap)
+    cols = []
+    for c in range(3):
+        cols += [
+            jnp.roll(g[..., c], (-di, -dj, -dk), (0, 1, 2)).reshape(C, cap)
+            for (di, dj, dk) in HALF_OFFSETS
+        ]
+    xn_f = jnp.concatenate(cols, axis=1)  # (C, 3*13cap) xyz-major
+    mn_f = jnp.concatenate(
+        [
+            jnp.roll(gm, (-di, -dj, -dk), (0, 1, 2)).reshape(C, cap)
+            for (di, dj, dk) in HALF_OFFSETS
+        ],
+        axis=1,
+    )
+    xc_f = jnp.concatenate([xs[..., 0], xs[..., 1], xs[..., 2]], axis=1)
+    if Cg > C:
+        xn_f = jnp.concatenate(
+            [xn_f, jnp.zeros((Cg - C, 3 * k13 * cap), xs.dtype)], 0
+        )
+        mn_f = jnp.concatenate(
+            [mn_f, jnp.zeros((Cg - C, k13 * cap), xs.dtype)], 0
+        )
+
+    def call(energy):
+        return cell_forces_pallas_newton_planar(
+            xc_f, xn_f, mc_rows, mn_f, cheb.cval, cheb.cder,
+            cap=cap, box=box,
+            lj_eps=lj.epsilon, lj_sig=lj.sigma, lj_rcut=lj.rcut,
+            cv_lo=cheb.lo, cv_hi=cheb.hi, energy=energy,
+        )
+
+    if do_energy is None:
+        fx, fy, fz, fnx, fny, fnz, eb = call(True)
+    else:
+        # energy_stride > 1: the value Clenshaw chain (~40% of the kernel
+        # FLOPs) runs only on energy steps; forces are identical either way
+        fx, fy, fz, fnx, fny, fnz, eb = jax.lax.cond(
+            do_energy, lambda _: call(True), lambda _: call(False), None
+        )
+    # Newton credit: the kernel saw each cross-cell pair once from the low
+    # side; subtract its column sums from the neighbor cell (fn[c, k]
+    # belongs to cell c + HALF_OFFSETS[k], which the lattice roll by
+    # +offset delivers), per component
+    outs = []
+    for f1, n1 in ((fx, fnx), (fy, fny), (fz, fnz)):
+        fgc = f1[:C].reshape(nx, ny, nz, cap)
+        ngc = n1[:C].reshape(nx, ny, nz, k13, cap)
+        for k, (di, dj, dk) in enumerate(HALF_OFFSETS):
+            fgc = fgc - jnp.roll(ngc[:, :, :, k], (di, dj, dk), (0, 1, 2))
+        outs.append(fgc.reshape(C, cap))
+    f_rows = jnp.stack(outs, axis=-1)
+    if Cg > C:
+        f_rows = jnp.concatenate(
+            [f_rows, jnp.zeros((Cg - C, cap, 3), xs.dtype)], 0
+        )
+    return jnp.sum(eb), f_rows
+
+
 def atom_positions(spec: CellSpec, state: CellPairState) -> jax.Array:
     """Up-to-date atom-order positions (core.x is only rebuild-fresh)."""
     n = spec.n_atoms
@@ -153,7 +239,18 @@ def make_cell_step(
     use_pallas: bool = False,
     collect_records: bool = False,
     energy_stride: int = 1,
+    slab_axis: Optional[str] = None,
+    slab_ndev: int = 1,
 ):
+    """``slab_axis``/``slab_ndev``: run the force pass slab-sharded under
+    ``shard_map`` over that mesh axis — each device evaluates the Newton
+    kernel on its contiguous range of x-columns plus one halo column per
+    side and the per-slot forces combine with one psum (the TPU analog of
+    the reference's spatial domain decomposition, edm_bias.cpp:98-222,
+    with the hill exchange collapsed into the replicated-state psum).
+    Everything else (integration, hill rounds, rebuilds) runs replicated
+    and deterministic — identical on every device, no further collectives.
+    Requires use_pallas (the Newton kernel path)."""
     if min(spec.ncells) < 3:
         raise ValueError(
             "cell list needs >= 3 cells per dim (box >= 3x interaction "
@@ -257,79 +354,83 @@ def make_cell_step(
             )
         return xn
 
+    nxd_slab = -(-nx // slab_ndev) if slab_axis is not None else None
+
     def force_fn_for(state: CellPairState, do_energy=None):
         def pallas_newton_force(xs):
-            """Planar half-stencil Newton pass: the rolled neighbor views
-            are concatenated straight into the kernel's xyz-major layout
-            and the reverse-force credits are applied per component — no
-            (Cg, 13cap, 3) intermediates (strided layout copies run ~10x
-            below HBM peak and would otherwise rival the kernel time)."""
-            from ..ops.cellforce_pallas import (
-                HALF_OFFSETS,
-                cell_forces_pallas_newton_planar,
-            )
+            if slab_axis is None:
+                return newton_lattice_force(
+                    xs, state.mc, state.mc, spec.ncells, cap, spec.box, lj,
+                    state.core.cheb, do_energy,
+                )
+            return slab_newton_force(xs)
 
-            k13 = len(HALF_OFFSETS)
-            g = xs[:C].reshape(nx, ny, nz, cap, 3)
-            gm = state.mc[:C].reshape(nx, ny, nz, cap)
-            cols = []
-            for c in range(3):
-                cols += [
-                    jnp.roll(g[..., c], (-di, -dj, -dk), (0, 1, 2)).reshape(C, cap)
-                    for (di, dj, dk) in HALF_OFFSETS
-                ]
-            xn_f = jnp.concatenate(cols, axis=1)  # (C, 3*13cap) xyz-major
-            mn_f = jnp.concatenate(
-                [
-                    jnp.roll(gm, (-di, -dj, -dk), (0, 1, 2)).reshape(C, cap)
-                    for (di, dj, dk) in HALF_OFFSETS
-                ],
-                axis=1,
-            )
-            xc_f = jnp.concatenate([xs[..., 0], xs[..., 1], xs[..., 2]], axis=1)
-            if Cg > C:
-                xn_f = jnp.concatenate(
-                    [xn_f, jnp.zeros((Cg - C, 3 * k13 * cap), xs.dtype)], 0
-                )
-                mn_f = jnp.concatenate(
-                    [mn_f, jnp.zeros((Cg - C, k13 * cap), xs.dtype)], 0
-                )
+        def slab_newton_force(xs):
+            from ..ops.cellforce_pallas import CELLS_PER_PROGRAM
+
+            dev = jax.lax.axis_index(slab_axis)
+            x0 = dev * nxd_slab
             cheb = state.core.cheb
+            if nxd_slab + 2 <= nx:
+                # sub-lattice: my columns + one halo column per side.  The
+                # sub-lattice's own periodic x-wrap joins columns >= 2
+                # apart globally (or exactly the real wrap when it spans
+                # the lattice), so wrapped pairs are either correct or
+                # beyond the cutoff (cell edge >= interaction range).
+                w = nxd_slab + 2
+                gx = xs[:C].reshape(nx, ny, nz, cap, 3)
+                gm = state.mc[:C].reshape(nx, ny, nz, cap)
+                sub = jnp.roll(gx, 1 - x0, axis=0)[:w]
+                subm = jnp.roll(gm, 1 - x0, axis=0)[:w]
+                jj = jnp.arange(w)
+                # halo columns are candidates, not rows; tail devices past
+                # the lattice own nothing
+                row_ok = (jj >= 1) & (jj <= nxd_slab) & (x0 + jj - 1 < nx)
+                rows = subm * row_ok[:, None, None, None].astype(subm.dtype)
+                C_sub = w * ny * nz
+                Cg_sub = -(-C_sub // CELLS_PER_PROGRAM) * CELLS_PER_PROGRAM
 
-            def call(energy):
-                return cell_forces_pallas_newton_planar(
-                    xc_f, xn_f, state.mc, mn_f, cheb.cval, cheb.cder,
-                    cap=cap, box=spec.box,
-                    lj_eps=lj.epsilon, lj_sig=lj.sigma, lj_rcut=lj.rcut,
-                    cv_lo=cheb.lo, cv_hi=cheb.hi, energy=energy,
+                def flat(a, extra):
+                    a = a.reshape((C_sub,) + extra)
+                    if Cg_sub > C_sub:
+                        a = jnp.concatenate(
+                            [a, jnp.zeros((Cg_sub - C_sub,) + extra, a.dtype)], 0
+                        )
+                    return a
+
+                e, f_sub = newton_lattice_force(
+                    flat(sub, (cap, 3)), flat(rows, (cap,)), flat(subm, (cap,)),
+                    (w, ny, nz), cap, spec.box, lj, cheb, do_energy,
                 )
-
-            if do_energy is None:
-                fx, fy, fz, fnx, fny, fnz, eb = call(True)
+                fsg = f_sub[:C_sub].reshape(w, ny, nz, cap, 3)
+                if nx > w:
+                    fsg = jnp.concatenate(
+                        [fsg, jnp.zeros((nx - w, ny, nz, cap, 3), xs.dtype)], 0
+                    )
+                f_full = jnp.roll(fsg, x0 - 1, axis=0).reshape(C, cap, 3)
             else:
-                # energy_stride > 1: the value Clenshaw chain (~40% of the
-                # kernel FLOPs) runs only on energy steps; forces are
-                # identical either way
-                fx, fy, fz, fnx, fny, fnz, eb = jax.lax.cond(
-                    do_energy, lambda _: call(True), lambda _: call(False), None
+                # lattice too small to slice a slab+halo: run the full
+                # kernel with rows restricted to my columns (correct, no
+                # compute saving — only reached at test-scale lattices)
+                colx = (jnp.arange(C, dtype=jnp.int32) // (ny * nz))
+                mine = (colx >= x0) & (colx < x0 + nxd_slab)
+                mine = mine.astype(xs.dtype)[:, None]
+                if Cg > C:
+                    mine = jnp.concatenate(
+                        [mine, jnp.zeros((Cg - C, 1), xs.dtype)], 0
+                    )
+                e, f_rows_g = newton_lattice_force(
+                    xs, state.mc * mine, state.mc, spec.ncells, cap,
+                    spec.box, lj, cheb, do_energy,
                 )
-            # Newton credit: the kernel saw each cross-cell pair once from
-            # the low side; subtract its column sums from the neighbor cell
-            # (fn[c, k] belongs to cell c + HALF_OFFSETS[k], which the
-            # lattice roll by +offset delivers), per component
-            outs = []
-            for f1, n1 in ((fx, fnx), (fy, fny), (fz, fnz)):
-                fgc = f1[:C].reshape(nx, ny, nz, cap)
-                ngc = n1[:C].reshape(nx, ny, nz, k13, cap)
-                for k, (di, dj, dk) in enumerate(HALF_OFFSETS):
-                    fgc = fgc - jnp.roll(ngc[:, :, :, k], (di, dj, dk), (0, 1, 2))
-                outs.append(fgc.reshape(C, cap))
-            f_rows = jnp.stack(outs, axis=-1)
+                f_full = f_rows_g[:C]
             if Cg > C:
-                f_rows = jnp.concatenate(
-                    [f_rows, jnp.zeros((Cg - C, cap, 3), xs.dtype)], 0
+                f_full = jnp.concatenate(
+                    [f_full, jnp.zeros((Cg - C, cap, 3), xs.dtype)], 0
                 )
-            return jnp.sum(eb), f_rows
+            f_rows = jax.lax.psum(f_full, slab_axis)
+            e = jax.lax.psum(e, slab_axis)
+            return e, f_rows
 
         def pallas_force(xs):
             from ..ops.cellforce_pallas import cell_forces_pallas

@@ -298,6 +298,9 @@ def cell_forces_pallas_newton_planar(
     )
     kernel = functools.partial(_kernel_newton, params=params)
     P = CELLS_PER_PROGRAM
+    # only the host CPU platform needs interpret mode; the axon-relayed
+    # TPU backend reports platform "axon" (sitecustomize pins it)
+    interpret = jax.default_backend() == "cpu"
 
     def row_spec(width):
         return pl.BlockSpec((P, width), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -305,6 +308,7 @@ def cell_forces_pallas_newton_planar(
     fx, fy, fz, fnx, fny, fnz, eb = pl.pallas_call(
         kernel,
         grid=(n_prog,),
+        interpret=interpret,
         in_specs=[
             row_spec(3 * cap),
             row_spec(3 * ncand),
@@ -358,6 +362,9 @@ def cell_forces_pallas(
     )
     kernel = functools.partial(_kernel, params=params)
     P = CELLS_PER_PROGRAM
+    # only the host CPU platform needs interpret mode; the axon-relayed
+    # TPU backend reports platform "axon" (sitecustomize pins it)
+    interpret = jax.default_backend() == "cpu"
 
     def row_spec(width):
         return pl.BlockSpec((P, width), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -365,6 +372,7 @@ def cell_forces_pallas(
     fx, fy, fz, eb = pl.pallas_call(
         kernel,
         grid=(n_prog,),
+        interpret=interpret,
         in_specs=[
             row_spec(3 * cap),
             row_spec(3 * ncand),

@@ -340,3 +340,48 @@ def make_sharded_cell_step(
         return fn(state)
 
     return jax.jit(one_step)
+
+
+def make_slab_cell_step(
+    params: B.BiasParams,
+    lp: LangevinParams,
+    lj: LJParams,
+    spec: CellSpec,
+    hill_stride: int,
+    mesh,
+    **kw,
+):
+    """Slot-resident slab-sharded cells host — the production multi-chip
+    force path.
+
+    Wraps ``models.pair_edm_cells.make_cell_step`` (same state, same
+    physics, same Pallas Newton kernel) in ``shard_map`` with the force
+    pass slab-decomposed over the mesh's x-columns (one psum of slot
+    forces per step).  Integration, hill rounds, and rebuilds run
+    replicated and deterministic, so the state stays bitwise identical
+    across devices with no further collectives — the reference's entire
+    MPI hill-exchange layer (edm_bias.cpp:614-920) has no analog here.
+
+    Use with ``models.pair_edm_cells.init_cell_state`` state; returns a
+    jitted ``state, e = step(state)``.
+    """
+    from ..models.pair_edm_cells import make_cell_step
+
+    kw.setdefault("use_pallas", True)
+    inner = make_cell_step(
+        params, lp, lj, spec, hill_stride,
+        slab_axis=DATA_AXIS, slab_ndev=mesh.devices.size, **kw,
+    )
+
+    def one_step(state):
+        specs = jax.tree.map(lambda _: P(), state)
+        fn = jax.shard_map(
+            lambda s: inner(s, None),
+            mesh=mesh,
+            in_specs=(specs,),
+            out_specs=(specs, P()),
+            check_vma=False,
+        )
+        return fn(state)
+
+    return jax.jit(one_step)

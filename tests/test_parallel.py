@@ -260,3 +260,41 @@ def test_sharded_cells_hills_logging(tmp_path):
     assert lines and all(l[1] in "hubvz" and len(l) == 7 for l in lines)
     total = sum(float(l[5]) for l in lines)
     assert abs(total - float(state.core.bias.cum_bias)) < 1e-4
+
+
+def test_slab_cell_host_matches_single_device():
+    """Slab-sharded slot-resident cells host (Newton kernel per x-slab +
+    halo, one psum/step) reproduces the single-device host's trajectory
+    bitwise-ish at kT=0, including hill rounds (replicated, deterministic)."""
+    from edm_tpu.models.cells import CellSpec
+    from edm_tpu.models.pair_edm_cells import init_cell_state, make_cell_step
+    from edm_tpu.parallel.cells import make_slab_cell_step
+
+    params, bias_state, x0, box = _setup(10)
+    lp = LangevinParams(dt=0.002, friction=1.0, kT=0.0)
+    spec = CellSpec.create(box, cutoff=3.0, n_atoms=x0.shape[0])
+    assert min(spec.ncells) >= 3
+    core = pair_edm.init_state(
+        bias_state, x0, jax.random.PRNGKey(0), pair_lookup="chebyshev",
+        cheb_deg=16, cheb_panels=4,
+    )
+    st0 = init_cell_state(spec, core)
+
+    step1 = make_cell_step(
+        params, lp, LJParams(), spec, hill_stride=2, use_pallas=True
+    )
+    mesh = make_mesh(8)
+    stepN = make_slab_cell_step(
+        params, lp, LJParams(), spec, hill_stride=2, mesh=mesh
+    )
+    s1, sN = st0, st0
+    for _ in range(4):
+        s1, _ = step1(s1, None)
+        sN, _ = stepN(sN)
+    np.testing.assert_allclose(
+        np.asarray(sN.xs), np.asarray(s1.xs), rtol=1e-5, atol=1e-6
+    )
+    assert abs(
+        float(sN.core.bias.cum_bias) - float(s1.core.bias.cum_bias)
+    ) < 1e-5
+    assert float(sN.core.bias.cum_bias) > 0
