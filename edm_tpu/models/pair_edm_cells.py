@@ -358,12 +358,10 @@ def make_cell_step(
 
     def force_fn_for(state: CellPairState, do_energy=None):
         def pallas_newton_force(xs):
-            if slab_axis is None:
-                return newton_lattice_force(
-                    xs, state.mc, state.mc, spec.ncells, cap, spec.box, lj,
-                    state.core.cheb, do_energy,
-                )
-            return slab_newton_force(xs)
+            return newton_lattice_force(
+                xs, state.mc, state.mc, spec.ncells, cap, spec.box, lj,
+                state.core.cheb, do_energy,
+            )
 
         def slab_newton_force(xs):
             from ..ops.cellforce_pallas import CELLS_PER_PROGRAM
@@ -446,11 +444,71 @@ def make_cell_step(
             )
             return 0.5 * jnp.sum(eb), f_rows
 
+        def pallas_rc_force(xs):
+            """Newton pass with in-kernel credit accumulation (resident
+            force planes): same prep as the planar path, but no credit
+            outputs or application rolls."""
+            from ..ops.cellforce_pallas import (
+                HALF_OFFSETS,
+                cell_forces_pallas_newton_rescredit,
+            )
+
+            k13 = len(HALF_OFFSETS)
+            g = xs[:C].reshape(nx, ny, nz, cap, 3)
+            gm = state.mc[:C].reshape(nx, ny, nz, cap)
+            cols = []
+            for c in range(3):
+                cols += [
+                    jnp.roll(g[..., c], (-di, -dj, -dk), (0, 1, 2)).reshape(C, cap)
+                    for (di, dj, dk) in HALF_OFFSETS
+                ]
+            xn_f = jnp.concatenate(cols, axis=1)
+            mn_f = jnp.concatenate(
+                [
+                    jnp.roll(gm, (-di, -dj, -dk), (0, 1, 2)).reshape(C, cap)
+                    for (di, dj, dk) in HALF_OFFSETS
+                ],
+                axis=1,
+            )
+            xc_f = jnp.concatenate([xs[..., 0], xs[..., 1], xs[..., 2]], axis=1)
+            if Cg > C:
+                xn_f = jnp.concatenate(
+                    [xn_f, jnp.zeros((Cg - C, 3 * k13 * cap), xs.dtype)], 0
+                )
+                mn_f = jnp.concatenate(
+                    [mn_f, jnp.zeros((Cg - C, k13 * cap), xs.dtype)], 0
+                )
+            cheb = state.core.cheb
+
+            def call(energy):
+                return cell_forces_pallas_newton_rescredit(
+                    xc_f, xn_f, state.mc, mn_f, cheb.cval, cheb.cder,
+                    cap=cap, ncells=spec.ncells, box=spec.box,
+                    lj_eps=lj.epsilon, lj_sig=lj.sigma, lj_rcut=lj.rcut,
+                    cv_lo=cheb.lo, cv_hi=cheb.hi, energy=energy,
+                )
+
+            if do_energy is None:
+                fx, fy, fz, eb = call(True)
+            else:
+                fx, fy, fz, eb = jax.lax.cond(
+                    do_energy, lambda _: call(True), lambda _: call(False), None
+                )
+            return jnp.sum(eb), jnp.stack([fx, fy, fz], axis=-1)
+
         def force_fn(xs):
+            if slab_axis is not None:
+                if not use_pallas:
+                    raise ValueError("slab mode requires use_pallas")
+                return slab_newton_force(xs)
             if use_pallas == "full":
                 return pallas_force(xs)
-            if use_pallas:
+            if use_pallas == "newton":
+                # half-stencil kernel with host-side credit rolls (the
+                # "rc" default applies credits in-kernel instead)
                 return pallas_newton_force(xs)
+            if use_pallas:
+                return pallas_rc_force(xs)
             dtype = xs.dtype
             aid2 = state.aid.reshape(Cg, cap)
             xs3, aid2p = _xs_padded(xs, aid2, dtype)

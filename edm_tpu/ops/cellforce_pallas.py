@@ -272,6 +272,176 @@ def cell_forces_pallas_newton(
     return f, fn, eb
 
 
+def _kernel_newton_rc(
+    xc_ref,  # (8, cap*3)    local cell coords, xyz-major (streamed block)
+    xn_ref,  # (8, 13cap*3)  half-stencil coords, xyz-major (streamed block)
+    mc_ref,  # (8, cap)      local-row mask (streamed block)
+    mn_ref,  # (8, 13cap)    half-stencil candidate mask (streamed block)
+    cv_ref,  # (NP, DEGP)
+    cd_ref,  # (NP, DEGP)
+    fx_ref,  # (Cg, cap) RESIDENT out: accumulated x-forces (rows + credits)
+    fy_ref,  # (Cg, cap) RESIDENT
+    fz_ref,  # (Cg, cap) RESIDENT
+    eb_ref,  # (8, cap) out: bias-energy rows (streamed block)
+    *,
+    params,
+):
+    """Half-stencil Newton kernel with in-kernel credit accumulation.
+
+    Same pair math as ``_kernel_newton``, but the force outputs are
+    full-lattice VMEM-resident arrays with constant index maps: TPU Pallas
+    grids execute sequentially on the core, so each program can
+    read-modify-write its 13 neighbor cells' force rows directly (one
+    (cap,)-row RMW per component per neighbor).  This removes the
+    (Cg, 13cap) x 3 credit outputs (~34 MB at 100k atoms) and the 13
+    XLA lattice rolls that applied them."""
+    (cap, ncand, deg, npanels, nx_c, ny_c, nz_c, bx, by, bz, eps, sig, rcut,
+     cv_lo, cv_hi, energy) = params
+    width = cap + ncand
+    C = nx_c * ny_c * nz_c
+    p = pl.program_id(0)
+
+    @pl.when(p == 0)
+    def _init():
+        fx_ref[...] = jnp.zeros_like(fx_ref)
+        fy_ref[...] = jnp.zeros_like(fy_ref)
+        fz_ref[...] = jnp.zeros_like(fz_ref)
+
+    def one_cell(b, _):
+        i = p * CELLS_PER_PROGRAM + b
+        xl = xc_ref[b, :]
+        xn = xn_ref[b, :]
+        lx, ly, lz = xl[0:cap], xl[cap : 2 * cap], xl[2 * cap : 3 * cap]
+        nx = jnp.concatenate([lx, xn[0:ncand]])
+        ny = jnp.concatenate([ly, xn[ncand : 2 * ncand]])
+        nz = jnp.concatenate([lz, xn[2 * ncand : 3 * ncand]])
+
+        def mimage(d, L):
+            return d - jnp.floor(d / L + 0.5) * L
+
+        dx = mimage(lx[:, None] - nx[None, :], bx)
+        dy = mimage(ly[:, None] - ny[None, :], by)
+        dz = mimage(lz[:, None] - nz[None, :], bz)
+        r2 = dx * dx + dy * dy + dz * dz
+
+        ok = mc_ref[b, :][:, None] * jnp.concatenate(
+            [mc_ref[b, :], mn_ref[b, :]]
+        )[None, :]
+        ri = jax.lax.broadcasted_iota(jnp.int32, (cap, width), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (cap, width), 1)
+        ok = jnp.where(ri == ci, 0.0, ok)
+
+        r2s = jnp.where(ok > 0.5, jnp.maximum(r2, 1e-12), 1.0)
+        inv_r = jax.lax.rsqrt(r2s)
+        r = r2s * inv_r
+        inv_r2 = inv_r * inv_r
+
+        lj_on = jnp.where(r < rcut, ok, 0.0)
+        sr2 = (sig * sig) * inv_r2
+        sr6 = sr2 * sr2 * sr2
+        fmag_r = 4.0 * eps * (12.0 * sr6 * sr6 - 6.0 * sr6) * inv_r2 * lj_on
+
+        val, der, cv_on = _cheb_val_der(
+            cv_ref, cd_ref, r, ok, deg=deg, npanels=npanels,
+            cv_lo=cv_lo, cv_hi=cv_hi, energy=energy,
+        )
+
+        f_over_r = fmag_r - der * inv_r * cv_on
+        gx = f_over_r * dx
+        gy = f_over_r * dy
+        gz = f_over_r * dz
+
+        fx_ref[i, :] = fx_ref[i, :] + jnp.sum(gx, axis=1)
+        fy_ref[i, :] = fy_ref[i, :] + jnp.sum(gy, axis=1)
+        fz_ref[i, :] = fz_ref[i, :] + jnp.sum(gz, axis=1)
+        if energy:
+            w = jnp.where(ci < cap, 0.5, 1.0)
+            eb_ref[b, :] = jnp.sum(val * w, axis=1)
+        else:
+            eb_ref[b, :] = jnp.zeros((cap,), jnp.float32)
+
+        # Newton credits, applied in place: neighbor flat ids from the
+        # cell's lattice coordinates (wrapped per axis)
+        # int32 constants: under x64 a bare python int promotes to int64
+        # and lax.rem rejects the mixed dtypes
+        nzc = jnp.int32(nz_c)
+        nyc = jnp.int32(ny_c)
+        nxc = jnp.int32(nx_c)
+        iz = jax.lax.rem(i, nzc)
+        iy = jax.lax.rem(i // nzc, nyc)
+        ix = i // (nyc * nzc)
+        cgx = jnp.sum(gx[:, cap:], axis=0)
+        cgy = jnp.sum(gy[:, cap:], axis=0)
+        cgz = jnp.sum(gz[:, cap:], axis=0)
+        for k, (dxo, dyo, dzo) in enumerate(HALF_OFFSETS):
+            j = (
+                jax.lax.rem(ix + jnp.int32(dxo) + nxc, nxc) * (nyc * nzc)
+                + jax.lax.rem(iy + jnp.int32(dyo) + nyc, nyc) * nzc
+                + jax.lax.rem(iz + jnp.int32(dzo) + nzc, nzc)
+            )
+            sl = slice(k * cap, (k + 1) * cap)
+            fx_ref[j, :] = fx_ref[j, :] - cgx[sl]
+            fy_ref[j, :] = fy_ref[j, :] - cgy[sl]
+            fz_ref[j, :] = fz_ref[j, :] - cgz[sl]
+        return 0
+
+    jax.lax.fori_loop(0, CELLS_PER_PROGRAM, one_cell, 0, unroll=True)
+
+
+def cell_forces_pallas_newton_rescredit(
+    xc_f, xn_f, mc, mn, cval, cder, *,
+    cap, ncells, box, lj_eps, lj_sig, lj_rcut, cv_lo, cv_hi, energy=True,
+):
+    """Planar Newton kernel with resident in-kernel credit accumulation.
+
+    Inputs as ``cell_forces_pallas_newton_planar`` plus the lattice shape;
+    padded cells (beyond nx*ny*nz) must carry zero masks.  Returns
+    (fx, fy, fz (Cg, cap) — credits already applied — and eb (Cg, cap)).
+    The three force planes live in VMEM for the whole pass (3 x Cg x cap
+    floats), bounding the lattice at roughly 1M slots per core."""
+    Cg = xc_f.shape[0]
+    ncand = xn_f.shape[1] // 3
+    assert Cg % CELLS_PER_PROGRAM == 0
+    n_prog = Cg // CELLS_PER_PROGRAM
+    nx_c, ny_c, nz_c = ncells
+    cv2 = cval if cval.ndim == 2 else cval[None, :]
+    cd2 = cder if cder.ndim == 2 else cder[None, :]
+    NP, DEGP = cv2.shape
+
+    params = (
+        cap, ncand, DEGP - 1, NP, nx_c, ny_c, nz_c,
+        float(box[0]), float(box[1]), float(box[2]),
+        float(lj_eps), float(lj_sig), float(lj_rcut),
+        float(cv_lo), float(cv_hi), bool(energy),
+    )
+    kernel = functools.partial(_kernel_newton_rc, params=params)
+    P = CELLS_PER_PROGRAM
+    interpret = jax.default_backend() == "cpu"
+
+    def row_spec(width):
+        return pl.BlockSpec((P, width), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    def resident():
+        return pl.BlockSpec((Cg, cap), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    fx, fy, fz, eb = pl.pallas_call(
+        kernel,
+        grid=(n_prog,),
+        interpret=interpret,
+        in_specs=[
+            row_spec(3 * cap),
+            row_spec(3 * ncand),
+            row_spec(cap),
+            row_spec(ncand),
+            pl.BlockSpec((NP, DEGP), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NP, DEGP), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[resident(), resident(), resident(), row_spec(cap)],
+        out_shape=[jax.ShapeDtypeStruct((Cg, cap), jnp.float32)] * 4,
+    )(xc_f, xn_f, mc, mn, cv2, cd2)
+    return fx, fy, fz, eb
+
+
 def cell_forces_pallas_newton_planar(
     xc_f, xn_f, mc, mn, cval, cder, *,
     cap, box, lj_eps, lj_sig, lj_rcut, cv_lo, cv_hi, energy=True,
