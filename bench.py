@@ -93,7 +93,7 @@ def bench_pairwise(n_atoms=10000, block=500, steps=100, hill_stride=10, dtype=No
     )
     spec = CellSpec.create(box, cutoff=3.05, n_atoms=n_atoms)
     if min(spec.ncells) >= 3:
-        state = init_cell_state(spec, core)
+        state = init_cell_state(spec, core, with_ids=False)
         # deg 48 / chunk 81 tuned on-chip (see docs/algorithms.md for the
         # accuracy budget; profile in git history); the exact-interp path
         # uses the same compact cutoff-pair tiles without the Pallas kernel

@@ -54,9 +54,9 @@ class CellPairState:
     vs: jax.Array  # (Cg, cap, 3)
     fs: jax.Array  # (Cg, cap, 3)
     mc: jax.Array  # (Cg, cap) 1.0 for real local atoms (cached per rebuild)
-    mn: jax.Array  # (Cg, 27cap)
-    sid: jax.Array  # (Cg, cap) slot atom ids as float
-    nid: jax.Array  # (Cg, 27cap) stencil atom ids as float (-1 padding)
+    mn: Optional[jax.Array]  # (Cg, 27cap); None in light states (id masks
+    sid: Optional[jax.Array]  # are only consumed by the legacy "full"
+    nid: Optional[jax.Array]  # 27-stencil kernel and the XLA id paths)
     table_overflow: jax.Array  # bool
 
 
@@ -73,8 +73,14 @@ def _stencil_padded(spec: CellSpec, Cg: int) -> jnp.ndarray:
     )
 
 
-def _slots_from_atoms(spec: CellSpec, Cg: int, sten_g, x, v, f, aid_g):
-    """Gather atom arrays into slot layout + rebuild the cached masks."""
+def _slots_from_atoms(spec: CellSpec, Cg: int, sten_g, x, v, f, aid_g,
+                      with_ids: bool = True):
+    """Gather atom arrays into slot layout + rebuild the cached masks.
+
+    ``with_ids=False`` skips the (Cg, 27cap) stencil mask/id arrays (only
+    the legacy "full" kernel consumes them); when built, they come from 27
+    lattice rolls of the per-cell arrays — the translation-regular stencil
+    makes rolls equivalent to (and much faster than) the row gather."""
     n = spec.n_atoms
     cap = spec.cap
     aid_c = jnp.clip(aid_g, 0, n - 1)
@@ -82,12 +88,28 @@ def _slots_from_atoms(spec: CellSpec, Cg: int, sten_g, x, v, f, aid_g):
     vs = v[aid_c].reshape(Cg, cap, 3)
     fs = f[aid_c].reshape(Cg, cap, 3)
     aid2 = aid_g.reshape(Cg, cap)
-    an = aid2[sten_g].reshape(Cg, 27 * cap)
     dtype = x.dtype
     mc = (aid2 < n).astype(dtype)
-    mn = (an < n).astype(dtype)
-    sid = aid2.astype(dtype)
-    nid = jnp.where(an < n, an, -1).astype(dtype)
+    if with_ids:
+        C = spec.n_cells
+        nx, ny, nz = spec.ncells
+        sid = aid2.astype(dtype)
+        nid_g = jnp.where(aid2 < n, sid, -1.0)[:C].reshape(nx, ny, nz, cap)
+        pieces = []
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                for dk in (-1, 0, 1):
+                    pieces.append(
+                        jnp.roll(nid_g, (-di, -dj, -dk), (0, 1, 2)).reshape(C, cap)
+                    )
+        nid = jnp.concatenate(pieces, axis=1)
+        if Cg > C:
+            nid = jnp.concatenate(
+                [nid, jnp.full((Cg - C, 27 * cap), -1.0, dtype)], 0
+            )
+        mn = (nid >= 0).astype(dtype)
+    else:
+        mn = sid = nid = None
     # park padded slots at the cell of origin's first real coordinate is
     # unnecessary: they are masked from pair math and hills; zeros suffice
     xs = xs * mc[..., None]
@@ -204,7 +226,14 @@ def atom_positions(spec: CellSpec, state: CellPairState) -> jax.Array:
     )
 
 
-def init_cell_state(spec: CellSpec, core: PairEDMState) -> CellPairState:
+def init_cell_state(
+    spec: CellSpec, core: PairEDMState, with_ids: bool = True
+) -> CellPairState:
+    """``with_ids=False`` builds a light state without the (Cg, 27cap)
+    stencil id masks — they are only consumed by ``use_pallas="full"``;
+    the default Newton paths never read them and skipping them cuts the
+    rebuild's largest mask build.  The step follows the state's structure
+    (light in -> light rebuilds)."""
     Cg = _padded_cells(spec)
     sten_g = _stencil_padded(spec, Cg)
     table = build_table(spec, core.x)
@@ -213,7 +242,7 @@ def init_cell_state(spec: CellSpec, core: PairEDMState) -> CellPairState:
         [table.aid, jnp.full((Cg * spec.cap - spec.n_slots,), n, jnp.int32)]
     )
     xs, vs, fs, mc, mn, sid, nid = _slots_from_atoms(
-        spec, Cg, sten_g, core.x, core.v, core.f, aid_g
+        spec, Cg, sten_g, core.x, core.v, core.f, aid_g, with_ids=with_ids
     )
     return CellPairState(
         core=core, aid=aid_g, xs=xs, vs=vs, fs=fs,
@@ -433,6 +462,11 @@ def make_cell_step(
         def pallas_force(xs):
             from ..ops.cellforce_pallas import cell_forces_pallas
 
+            if state.mn is None:
+                raise ValueError(
+                    'use_pallas="full" needs the stencil id masks: build '
+                    "the state with init_cell_state(..., with_ids=True)"
+                )
             xn = _stencil_neighbors(xs)
             cheb = state.core.cheb
             f_rows, eb = cell_forces_pallas(
@@ -548,6 +582,173 @@ def make_cell_step(
             return 0.5 * jnp.sum(e_bs), f_slots
 
         return force_fn
+
+    def collect_hills_half(state: CellPairState, xs, key, last_calls, dtype):
+        """Two-level hill collection over HALF-stencil tiles.
+
+        Each unordered pair appears once (self block strictly upper,
+        13 lex-positive neighbor cells) and draws TWO independent
+        acceptance uniforms — the reference's two ordered candidates per
+        pair (fix_edm_pair.cpp:229-237, both i- and j-owned hills at the
+        same r).  Candidate tiles are dynamic slices of roll-built planar
+        views (no gathers) and distances stay squared until extraction.
+        Used whenever no type filter is active (the typed path keeps the
+        27-stencil gather collection)."""
+        from ..ops.cellforce_pallas import HALF_OFFSETS
+        from ..ops.hashrng import seeds_from_key, uniform_rows_cols
+
+        k13 = len(HALF_OFFSETS)
+        width = (k13 + 1) * cap
+        seeds = seeds_from_key(key)
+        thresh = (
+            None
+            if params.cfg.hill_density < 0
+            else params.cfg.hill_density / last_calls.astype(dtype)
+        )
+        g = xs[:C].reshape(nx, ny, nz, cap, 3)
+        gm = state.mc[:C].reshape(nx, ny, nz, cap)
+
+        def build_planar(gp):
+            return jnp.concatenate(
+                [gp.reshape(C, cap)]
+                + [
+                    jnp.roll(gp, (-di, -dj, -dk), (0, 1, 2)).reshape(C, cap)
+                    for (di, dj, dk) in HALF_OFFSETS
+                ],
+                axis=1,
+            )
+
+        n_chunks_h = -(-C // cell_chunk)
+        Cp_h = n_chunks_h * cell_chunk
+
+        def pad_rows(a):
+            if Cp_h > C:
+                return jnp.concatenate(
+                    [a, jnp.zeros((Cp_h - C, a.shape[1]), a.dtype)], 0
+                )
+            return a
+
+        cand = [pad_rows(build_planar(g[..., c])) for c in range(3)]
+        candm = pad_rows(build_planar(gm))
+        bb = box_arr.astype(dtype)
+        bmax2 = bmax_cv * bmax_cv
+
+        def half_tile(c0, B):
+            """r2 tile (B, cap, width) + geometric-candidate mask."""
+            r2 = None
+            ms = jax.lax.dynamic_slice_in_dim(candm, c0, B)
+            for d, L in zip(cand, (bb[0], bb[1], bb[2])):
+                sl = jax.lax.dynamic_slice_in_dim(d, c0, B)
+                dd = sl[:, :cap, None] - sl[:, None, :]
+                dd = dd - jnp.round(dd / L) * L
+                r2 = dd * dd if r2 is None else r2 + dd * dd
+            valid = (ms[:, :cap, None] * ms[:, None, :]) > 0.5
+            ri = jnp.arange(cap)[None, :, None]
+            ci = jnp.arange(width)[None, None, :]
+            # self block strictly upper: each intra-cell pair exactly once
+            valid = valid & jnp.where(ci < cap, ci > ri, True)
+            return r2, valid & (r2 < bmax2)
+
+        def draws(rows, B):
+            u = uniform_rows_cols(seeds, rows, 2 * width, dtype)
+            return u.reshape(B, cap, width, 2) if B else u
+
+        def p1_chunk(carry, hi):
+            row_counts, ncalls = carry
+            c0 = hi * cell_chunk
+            _, cand_ok = half_tile(c0, cell_chunk)
+            rows = (c0 * cap + jnp.arange(cell_chunk * cap)).astype(jnp.int32)
+            u = draws(rows, cell_chunk)
+            if thresh is None:
+                acc = jnp.broadcast_to(
+                    cand_ok[..., None], cand_ok.shape + (2,)
+                )
+            else:
+                acc = cand_ok[..., None] & (u < thresh)
+            rc = jnp.sum(acc.astype(jnp.int32), axis=(2, 3)).reshape(-1)
+            row_counts = jax.lax.dynamic_update_slice_in_dim(
+                row_counts, rc.astype(jnp.int32), c0 * cap, axis=0
+            )
+            ncalls = (
+                ncalls + 2 * jnp.sum(cand_ok.astype(jnp.int32))
+            ).astype(jnp.int32)
+            return (row_counts, ncalls), None
+
+        (row_counts, ncalls), _ = jax.lax.scan(
+            p1_chunk,
+            (jnp.zeros((Cp_h * cap,), jnp.int32), jnp.zeros((), jnp.int32)),
+            jnp.arange(n_chunks_h),
+        )
+
+        has = row_counts > 0
+        rranks = jnp.cumsum(has.astype(jnp.int32)) - 1
+        rtgt = jnp.where(has, rranks, row_cap)
+        rows_sel = jnp.full((row_cap,), Cp_h * cap, jnp.int32).at[rtgt].set(
+            jnp.arange(Cp_h * cap, dtype=jnp.int32), mode="drop"
+        )
+        n_rows = jnp.sum(has.astype(jnp.int32)).astype(jnp.int32)
+
+        # pass 2 on selected slot-rows: row gather of the planar views
+        rows_c = jnp.clip(rows_sel, 0, Cp_h * cap - 1)
+        cells_c = rows_c // cap
+        slot_c = rows_c % cap
+        r2 = None
+        ms = candm[cells_c]  # (row_cap, width)
+        for d, L in zip(cand, (bb[0], bb[1], bb[2])):
+            sl = d[cells_c]
+            lc = jnp.take_along_axis(sl, slot_c[:, None], axis=1)
+            dd = lc - sl
+            dd = dd - jnp.round(dd / L) * L
+            r2 = dd * dd if r2 is None else r2 + dd * dd
+        mrow = jnp.take_along_axis(ms, slot_c[:, None], axis=1)
+        row_valid = rows_sel < Cp_h * cap
+        ci = jnp.arange(width)[None, :]
+        valid = (
+            row_valid[:, None]
+            & ((mrow * ms) > 0.5)
+            & jnp.where(ci < cap, ci > slot_c[:, None], True)
+        )
+        cand_ok = valid & (r2 < bmax2)
+        r = jnp.sqrt(jnp.where(cand_ok, r2, jnp.inf))
+        u = uniform_rows_cols(seeds, rows_c, 2 * width, dtype).reshape(
+            row_cap, width, 2
+        )
+        if thresh is None:
+            acc = jnp.broadcast_to(cand_ok[..., None], cand_ok.shape + (2,))
+        else:
+            acc = cand_ok[..., None] & (u < thresh)
+        acc2 = acc.reshape(row_cap, 2 * width)
+        u2 = u.reshape(row_cap, 2 * width)
+        r21 = jnp.repeat(r, 2, axis=1)  # r[w] at work columns 2w, 2w+1
+
+        hills_rows = jnp.zeros((row_cap, m_per_row), dtype)
+        runif_rows = jnp.ones((row_cap, m_per_row), dtype)
+        valid_rows = jnp.zeros((row_cap, m_per_row), bool)
+        work = acc2
+        for m in range(m_per_row):
+            j = jnp.argmax(work, axis=1)
+            found = jnp.take_along_axis(work, j[:, None], axis=1)[:, 0]
+            hills_rows = hills_rows.at[:, m].set(
+                jnp.take_along_axis(r21, j[:, None], axis=1)[:, 0]
+            )
+            runif_rows = runif_rows.at[:, m].set(
+                jnp.take_along_axis(u2, j[:, None], axis=1)[:, 0]
+            )
+            valid_rows = valid_rows.at[:, m].set(found)
+            work = work.at[jnp.arange(row_cap), j].set(False)
+        row_overflow = jnp.any(row_counts > m_per_row)
+
+        hflat = hills_rows.reshape(-1)
+        uflat = runif_rows.reshape(-1)
+        vflat = valid_rows.reshape(-1)
+        ranks = jnp.cumsum(vflat.astype(jnp.int32)) - 1
+        tgt = jnp.where(vflat, ranks, hill_capacity)
+        hills = jnp.zeros((hill_capacity,), dtype).at[tgt].set(hflat, mode="drop")
+        runifs = jnp.ones((hill_capacity,), dtype).at[tgt].set(uflat, mode="drop")
+        count = jnp.sum(vflat.astype(jnp.int32)).astype(jnp.int32)
+        active = jnp.arange(hill_capacity) < count
+        truncated = (count > hill_capacity) | (n_rows > row_cap) | row_overflow
+        return hills[:, None], runifs, active, count, ncalls, truncated
 
     def collect_hills(state: CellPairState, xs, key, last_calls, dtype):
         """Two-level hill collection over cell-slot rows."""
@@ -684,7 +885,10 @@ def make_cell_step(
         def with_hills(args):
             bs, key, last_calls = args
             key, sub = jax.random.split(key)
-            hills, runifs, active, count, ncalls, truncated = collect_hills(
+            collector = (
+                collect_hills if types_arr is not None else collect_hills_half
+            )
+            hills, runifs, active, count, ncalls, truncated = collector(
                 state, xs, sub, last_calls, xs.dtype
             )
             new_bs, rec = B.add_hills_round(
@@ -728,7 +932,8 @@ def make_cell_step(
                 [t.aid, jnp.full((Cg * cap - spec.n_slots,), n, jnp.int32)]
             )
             nxs, nvs, nfs, mc, mn, sid, nid = _slots_from_atoms(
-                spec, Cg, sten_g, x_at, v_at, f_at, aid_g
+                spec, Cg, sten_g, x_at, v_at, f_at, aid_g,
+                with_ids=state.sid is not None,
             )
             return (
                 aid_g, nxs, nvs, nfs, mc, mn, sid, nid,

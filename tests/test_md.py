@@ -490,3 +490,56 @@ def test_coord_group_mask():
     # all bias deposited near atom 0's region (x~3), none near atom 1 (x~7)
     assert vals[(xs > 2) & (xs < 4)].sum() > 0
     assert vals[(xs > 6.2) & (xs < 7.8)].sum() < 1e-3
+
+
+def test_half_tile_hill_collection_census():
+    """The half-tile hill collector enumerates every in-range unordered
+    pair exactly once with TWO hills at its r (the reference's two ordered
+    candidates per pair, fix_edm_pair.cpp:229-237): with hill_density -1
+    (accept all) the collected multiset equals the brute-force pair census
+    and ncalls equals the ordered-candidate count."""
+    from edm_tpu.models import pair_edm
+    from edm_tpu.models.cells import CellSpec
+    from edm_tpu.models.pair_edm_cells import init_cell_state, make_cell_step
+    from edm_tpu.models.lj import LJParams
+    from edm_tpu.utils.config import parse_edm_text
+
+    cfg = parse_edm_text(
+        "tempering 0\nhill_prefactor 0.1\nbias_per_step 100\nhill_density -1\n"
+        "dimension 1\nbox_low 0\nbox_high 3.0\nbias_spacing 0.02\nbias_sigma 0.1\n"
+    )
+    params, bstate = B.subdivide(
+        cfg, 1.0, 1.0, [0], [3.0], [0], [3.0], [False], [0], dtype=jnp.float64
+    )
+    side, a = 7, 1.9
+    rng = np.random.default_rng(3)
+    pts = (
+        np.stack(np.meshgrid(*[np.arange(side)] * 3, indexing="ij"), -1)
+        .reshape(-1, 3) * a + 0.5 * a
+    )
+    pts += rng.uniform(-0.3, 0.3, pts.shape)
+    spec = CellSpec.create([side * a] * 3, cutoff=3.05, n_atoms=len(pts))
+    core = pair_edm.init_state(
+        bstate, jnp.asarray(pts, jnp.float64), jax.random.PRNGKey(0),
+        pair_lookup="chebyshev", cheb_deg=16, cheb_panels=4,
+    )
+    st = init_cell_state(spec, core)
+    lp = LangevinParams(dt=0.0, friction=0.0, kT=0.0)
+
+    d = pts[:, None, :] - pts[None, :, :]
+    box = side * a
+    d -= np.round(d / box) * box
+    r = np.sqrt((d ** 2).sum(-1))
+    np.fill_diagonal(r, np.inf)
+    bf = np.sort(r[np.triu_indices_from(r, 1)][r[np.triu_indices_from(r, 1)] < 3.0])
+
+    step = make_cell_step(
+        params, lp, LJParams(epsilon=0.0), spec, hill_stride=1,
+        hill_capacity=16384, m_per_row=96, collect_records=True,
+    )
+    st2, (e, log) = step(st, None)
+    assert int(st2.core.last_calls) == 2 * len(bf)
+    hills = np.asarray(log.positions)[:, 0]
+    hv = np.sort(hills[hills > 0])
+    np.testing.assert_allclose(hv, np.sort(np.concatenate([bf, bf])), rtol=1e-6)
+    assert not bool(st2.core.hills_truncated)
