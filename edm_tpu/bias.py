@@ -189,7 +189,8 @@ def subdivide(
 # --------------------------------------------------------------------- forces
 
 
-def update_forces(params: BiasParams, state: BiasState, positions, mask=None):
+def update_forces(params: BiasParams, state: BiasState, positions, mask=None,
+                  packed=None):
     """Batched bias energy/derivative lookup (edm_bias.cpp:276-311).
 
     positions: (N, >=D) — only the first D components form the CV, as in the
@@ -200,7 +201,7 @@ def update_forces(params: BiasParams, state: BiasState, positions, mask=None):
     x = jnp.asarray(positions)[..., :D]
     if params.b_outofbounds:
         return jnp.zeros((), state.bias.dtype), jnp.zeros_like(x, dtype=state.bias.dtype)
-    v, der = state.bias.get_value_deriv(x)
+    v, der = state.bias.get_value_deriv(x, packed=packed)
     if mask is not None:
         v = jnp.where(mask, v, 0)
         der = jnp.where(mask[..., None], der, 0)

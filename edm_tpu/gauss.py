@@ -273,12 +273,12 @@ class GaussGrid:
         ok = self.in_bounds(xin)
         return jnp.where(ok, self.grid.get_value(xin), jnp.zeros((), self.dtype))
 
-    def get_value_deriv(self, x: jax.Array):
+    def get_value_deriv(self, x: jax.Array, packed=None):
         """Boundary-aware value+gradient lookup (gaussian_grid.h:118-138)."""
         x = jnp.asarray(x, self.dtype)
         xin = jnp.where(self.in_bounds(x)[..., None], x, self.remap(x))
         ok = self.in_bounds(xin)
-        v, d = self.grid.get_value_deriv(xin)
+        v, d = self.grid.get_value_deriv(xin, packed=packed)
         zero = jnp.zeros((), self.dtype)
         return jnp.where(ok, v, zero), jnp.where(ok[..., None], d, zero)
 

@@ -218,10 +218,10 @@ class Grid:
         vals = self.values[tuple(jnp.moveaxis(idx, -1, 0))]
         return jnp.where(self.in_grid(x), vals, jnp.zeros((), self.dtype))
 
-    def get_value_deriv(self, x: jax.Array):
+    def get_value_deriv(self, x: jax.Array, packed=None):
         from .ops.interp import grid_value_deriv
 
-        return grid_value_deriv(self, jnp.asarray(x, self.dtype))
+        return grid_value_deriv(self, jnp.asarray(x, self.dtype), packed=packed)
 
     # -------------------------------------------------------------- mutation
 

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from .. import bias as B
 from .langevin import LangevinParams, baoab_step
+from ..ops.interp import packed_corner_table
 
 
 @jax.tree_util.register_dataclass
@@ -34,6 +35,9 @@ class CoordEDMState:
     bias: B.BiasState
     step: jax.Array  # int64
     energy: jax.Array  # last bias energy
+    # cached fused corner table for multi-dim interp force lookups
+    # (ops/interp.packed_corner_table); rebuilt after hill rounds
+    ptab: Optional[jax.Array] = None
 
 
 def make_step(
@@ -56,9 +60,11 @@ def make_step(
     D = params.cfg.dim
     gmask = None if group_mask is None else jnp.asarray(group_mask, bool)
 
-    def force_fn(bias_state):
+    def force_fn(bias_state, ptab):
         def fn(x):
-            e_b, der = B.update_forces(params, bias_state, x, mask=gmask)
+            e_b, der = B.update_forces(
+                params, bias_state, x, mask=gmask, packed=ptab
+            )
             f = jnp.zeros_like(x)
             f = f.at[..., :D].add(-der)
             e = e_b
@@ -72,7 +78,8 @@ def make_step(
 
     def step(state: CoordEDMState, _) -> Tuple[CoordEDMState, jax.Array]:
         x, v, f, energy, key = baoab_step(
-            lp, state.x, state.v, state.f, state.key, force_fn(state.bias)
+            lp, state.x, state.v, state.f, state.key,
+            force_fn(state.bias, state.ptab),
         )
 
         do_hills = (state.step % hill_stride) == 0
@@ -84,12 +91,17 @@ def make_step(
                 params, bs, x[..., :D], runiform, x.shape[0],
                 active=gmask, axis_name=axis_name,
             )
+            ptab = (
+                None
+                if state.ptab is None
+                else packed_corner_table(new_bs.bias.grid)
+            )
             log = (
                 B.HillRoundLog(jnp.ones((), bool), x[..., :D], rec)
                 if collect_records
                 else None
             )
-            return new_bs, log
+            return new_bs, ptab, log
 
         def without_hills(bs):
             # keep steps aligned with the reference convention: steps_ counts
@@ -99,15 +111,15 @@ def make_step(
                 if collect_records
                 else None
             )
-            return bs, log
+            return bs, state.ptab, log
 
-        bias_state, log = jax.lax.cond(
+        bias_state, ptab, log = jax.lax.cond(
             do_hills, with_hills, without_hills, state.bias
         )
 
         new_state = CoordEDMState(
             x=x, v=v, f=f, key=key, bias=bias_state,
-            step=state.step + 1, energy=energy,
+            step=state.step + 1, energy=energy, ptab=ptab,
         )
         return new_state, ((energy, log) if collect_records else energy)
 
@@ -120,8 +132,20 @@ def init_state(
     x0,
     key,
     lp: LangevinParams,
+    cache_lookup_table: Optional[bool] = None,
 ) -> CoordEDMState:
+    """``cache_lookup_table`` (default: auto for D >= 2 on bulk-sized
+    grids) caches the fused corner table in the state so the multi-dim
+    force lookup's ~4x-grid table build runs only after hill rounds."""
     x0 = jnp.asarray(x0)
+    D = params.cfg.dim
+    g = bias_state.bias.grid
+    if cache_lookup_table is None:
+        F = (1 + D) * (2 ** D)
+        cache_lookup_table = (
+            D >= 2 and x0.shape[0] >= 4096 and g.values.size * F <= 64_000_000
+        )
+    ptab = packed_corner_table(g) if cache_lookup_table else None
     return CoordEDMState(
         x=x0,
         v=jnp.zeros_like(x0),
@@ -130,6 +154,7 @@ def init_state(
         bias=bias_state,
         step=jnp.zeros((), jnp.int32),
         energy=jnp.zeros((), x0.dtype),
+        ptab=ptab,
     )
 
 

@@ -89,8 +89,50 @@ def _interp1d_matvec(grid, x, ok, xw, idx):
     )
 
 
-def grid_value_deriv(grid, x):
+def _shift_corner(arr, corner, periodic):
+    """Shift ``arr`` so element [i...] holds the value at [i + corner]
+    (periodic wrap, or clamped +1 like the reference's nidx clip)."""
+    for d, c in enumerate(corner):
+        if not c:
+            continue
+        if periodic[d]:
+            arr = jnp.roll(arr, -1, axis=d)
+        else:
+            first = jnp.take(arr, jnp.arange(1, arr.shape[d]), axis=d)
+            last = jnp.take(arr, jnp.asarray([arr.shape[d] - 1]), axis=d)
+            arr = jnp.concatenate([first, last], axis=d)
+    return arr
+
+
+def _packed_corner_table(grid):
+    """(G..., (1+D)*2^D) fused table: per grid point, value+gradient of all
+    2^D interpolation corners, contiguous in the minor axis.
+
+    The 2^D-corner lookup then needs ONE gather of a contiguous row per
+    query point instead of (1+D)*2^D scalar gathers — on v5e the XLA
+    gather rate (~0.12 G elem/s) makes the fetch count the entire cost of
+    the multi-dim force pass.  The table is rebuilt inline per call (12
+    lattice rolls for 2-D — ~4x the grid in HBM writes), which is still a
+    large net win for bulk lookups."""
+    D = grid.spec.dim
+    per = grid.spec.periodic
+    parts = []
+    for corner in itertools.product((0, 1), repeat=D):
+        parts.append(_shift_corner(grid.values, corner, per)[..., None])
+        parts.append(_shift_corner(grid.derivs, corner, per))
+    return jnp.concatenate(parts, axis=-1)
+
+
+packed_corner_table = _packed_corner_table  # public alias for host caching
+
+
+def grid_value_deriv(grid, x, packed=None):
     """Batched value+gradient lookup with optional interpolation.
+
+    ``packed``: optional prebuilt fused corner table from
+    ``_packed_corner_table(grid)`` — hosts that look up against a grid
+    that changes only on hill rounds cache it in their state (build cost
+    ~4x the grid per call otherwise).
 
     Args:
       grid: ``edm_tpu.grid.Grid`` with derivatives stored.
@@ -133,20 +175,42 @@ def grid_value_deriv(grid, x):
     ):
         return _interp1d_matvec(grid, x, ok, xw, idx)
 
+    # bulk multi-dim path: one fused-table row gather per point (see
+    # _packed_corner_table); bit-identical arithmetic to the scalar-gather
+    # path, just a packed fetch
+    F = (1 + D) * (2 ** D)
+    use_packed = packed is not None or (
+        D >= 2
+        and grid.derivs is not None
+        and x.size // D >= 4096
+        and grid.values.size * F <= 64_000_000
+    )
+    if use_packed and packed is None:
+        packed = _packed_corner_table(grid)
+    if use_packed:
+        gather = tuple(jnp.moveaxis(idx, -1, 0))
+        fetched = packed[gather]  # (..., F)
+
     # position relative to the floor grid point, in [0, dx)
     where = xw - lo - idx.astype(dtype) * dx
 
     value = jnp.zeros(x.shape[:-1], dtype)
     deriv = jnp.zeros(x.shape, dtype)
 
-    for corner in itertools.product((0, 1), repeat=D):
-        c = jnp.asarray(corner, jnp.int32)
-        nidx = idx + c
-        # periodic wrap of the +1 neighbor (reference stride trick grid.h:432-433)
-        nidx = jnp.where(per, nidx % nbins, jnp.clip(nidx, 0, nbins - 1))
-        gather = tuple(jnp.moveaxis(nidx, -1, 0))
-        tabf = grid.values[gather]  # (...,)
-        tabder = grid.derivs[gather]  # (..., D)
+    for ci_c, corner in enumerate(itertools.product((0, 1), repeat=D)):
+        if use_packed:
+            base = ci_c * (1 + D)
+            tabf = fetched[..., base]
+            tabder = fetched[..., base + 1 : base + 1 + D]
+        else:
+            c = jnp.asarray(corner, jnp.int32)
+            nidx = idx + c
+            # periodic wrap of the +1 neighbor (reference stride trick
+            # grid.h:432-433)
+            nidx = jnp.where(per, nidx % nbins, jnp.clip(nidx, 0, nbins - 1))
+            gather = tuple(jnp.moveaxis(nidx, -1, 0))
+            tabf = grid.values[gather]  # (...,)
+            tabder = grid.derivs[gather]  # (..., D)
 
         # qq: desired endpoint slope / endpoint value, 0/0-guarded (grid.h:113-116)
         safe = jnp.abs(tabf) >= 1e-7
