@@ -41,6 +41,9 @@ def shard_coord_state(state: CoordEDMState, mesh) -> CoordEDMState:
         bias=jax.tree.map(lambda l: jax.device_put(l, repl), state.bias),
         step=jax.device_put(state.step, repl),
         energy=jax.device_put(state.energy, repl),
+        # the sharded step rebuilds lookups per shard; drop any cached
+        # corner table so the carried structure stays consistent
+        ptab=None,
     )
 
 

@@ -169,3 +169,35 @@ def test_drain_empty_buffer():
     )
     assert float(got.bias_added) == 0.0
     assert not np.asarray(got.processed).any()
+
+
+def test_hashrng_uniforms():
+    """Counter-hash acceptance uniforms (ops/hashrng): deterministic per
+    (seed, row, col), uniform to MC-acceptance quality, decorrelated
+    between adjacent rows/columns."""
+    import jax
+    import numpy as np
+    from edm_tpu.ops.hashrng import seeds_from_key, uniform_rows_cols
+
+    seeds = seeds_from_key(jax.random.PRNGKey(42))
+    rows = jnp.arange(512, dtype=jnp.int32)
+    u1 = np.asarray(uniform_rows_cols(seeds, rows, 1024, jnp.float32))
+    u2 = np.asarray(uniform_rows_cols(seeds, rows, 1024, jnp.float32))
+    np.testing.assert_array_equal(u1, u2)  # re-derivable between passes
+    assert (u1 >= 0).all() and (u1 <= 1.0).all()
+    n = u1.size
+    assert abs(u1.mean() - 0.5) < 3.0 / np.sqrt(12 * n)  # ~3 sigma
+    assert abs(u1.var() - 1 / 12) < 0.002
+    # tail mass at the acceptance scales actually used (p ~ 1e-4)
+    for p in (1e-2, 1e-3):
+        frac = (u1 < p).mean()
+        assert abs(frac - p) < 5 * np.sqrt(p / n)
+    # neighbor decorrelation (rows and columns)
+    c = np.corrcoef(u1[:-1].ravel(), u1[1:].ravel())[0, 1]
+    assert abs(c) < 0.01
+    c2 = np.corrcoef(u1[:, :-1].ravel(), u1[:, 1:].ravel())[0, 1]
+    assert abs(c2) < 0.01
+    # different seeds -> different stream
+    seeds_b = seeds_from_key(jax.random.PRNGKey(43))
+    u3 = np.asarray(uniform_rows_cols(seeds_b, rows, 1024, jnp.float32))
+    assert np.mean(u1 == u3) < 0.01
