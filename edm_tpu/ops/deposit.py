@@ -525,8 +525,15 @@ def deposit(gg: GaussGrid, centers: jax.Array, heights: jax.Array):
             if (
                 G >= 16384
                 and deposit_pallas.supported(gg)
-                and jax.default_backend() == "tpu"
+                # the axon-relayed chip may report either platform name
+                and jax.default_backend() in ("tpu", "axon")
             ):
+                if W + 256 < G // 2:
+                    # sparse windows: per-hill spans instead of the dense
+                    # (grid x hills) sweep — ~G/W times less work
+                    return deposit_pallas.deposit_windowed_1d_pallas(
+                        gg, centers, heights
+                    )
                 return deposit_pallas.deposit_dense_1d_pallas(gg, centers, heights)
             return deposit_dense_1d(gg, centers, heights)
     return deposit_precomputed(gg, hill_windows(gg, centers), heights)
