@@ -363,23 +363,38 @@ def make_slab_cell_step(
     MPI hill-exchange layer (edm_bias.cpp:614-920) has no analog here.
 
     Use with ``models.pair_edm_cells.init_cell_state`` state; returns a
-    jitted ``state, e = step(state)``.
+    jitted ``state, e = step(state)`` — or ``state, (e, log) = step(state)``
+    with ``collect_records`` (the replicated hill rounds produce one
+    HillRoundLog stream representing every replica).
     """
     from ..models.pair_edm_cells import make_cell_step
 
     kw.setdefault("use_pallas", True)
+    collect_records = kw.get("collect_records", False)
     inner = make_cell_step(
         params, lp, lj, spec, hill_stride,
         slab_axis=DATA_AXIS, slab_ndev=mesh.devices.size, **kw,
     )
 
+    hill_capacity = kw.get("hill_capacity", 2048)
+
     def one_step(state):
         specs = jax.tree.map(lambda _: P(), state)
+        if collect_records:
+            log_shape = jax.eval_shape(
+                lambda bs: B.round_log_zeros(params, bs, hill_capacity),
+                state.core.bias,
+            )
+            out_specs = (
+                specs, (P(), jax.tree.map(lambda _: P(), log_shape)),
+            )
+        else:
+            out_specs = (specs, P())
         fn = jax.shard_map(
             lambda s: inner(s, None),
             mesh=mesh,
             in_specs=(specs,),
-            out_specs=(specs, P()),
+            out_specs=out_specs,
             check_vma=False,
         )
         return fn(state)

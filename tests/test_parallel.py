@@ -298,3 +298,42 @@ def test_slab_cell_host_matches_single_device():
         float(sN.core.bias.cum_bias) - float(s1.core.bias.cum_bias)
     ) < 1e-5
     assert float(sN.core.bias.cum_bias) > 0
+
+
+def test_slab_cell_host_hills_logging(tmp_path):
+    """Slab-sharded host threads collect_records through shard_map: the
+    replicated hill rounds give one HILLS stream for every replica and
+    the logged bias reconciles with cum_bias."""
+    from edm_tpu.models.cells import CellSpec
+    from edm_tpu.models.pair_edm_cells import init_cell_state
+    from edm_tpu.parallel.cells import make_slab_cell_step
+    from edm_tpu.utils.hills_log import HillsLog
+
+    params, bias_state, x0, box = _setup(8)
+    lp = LangevinParams(dt=0.002, friction=1.0, kT=0.8)
+    mesh = make_mesh(8)
+    spec = CellSpec.create(box, cutoff=3.0, n_atoms=x0.shape[0])
+    core = pair_edm.init_state(
+        bias_state, x0, jax.random.PRNGKey(0), pair_lookup="chebyshev",
+        cheb_deg=16, cheb_panels=4,
+    )
+    state = init_cell_state(spec, core)
+    step = make_slab_cell_step(
+        params, lp, LJParams(), spec, hill_stride=2, mesh=mesh,
+        hill_capacity=512, collect_records=True,
+    )
+    log = HillsLog(str(tmp_path / "SL_0"), 1, params.total_volume)
+    cum = 0.0
+    rounds = 0
+    for _ in range(4):
+        state, (e, lg) = step(state)
+        lg = jax.device_get(lg)
+        if bool(np.asarray(lg.happened)):
+            log.log_round(rounds, cum, lg.rec, lg.positions)
+            cum += float(np.asarray(lg.rec.round_bias))
+            rounds += 1
+    log.close()
+    lines = [l.split() for l in (tmp_path / "SL_0").read_text().strip().splitlines()]
+    assert lines and all(l[1] in "hubvz" and len(l) == 7 for l in lines)
+    total = sum(float(l[5]) for l in lines)
+    assert abs(total - float(state.core.bias.cum_bias)) < 1e-4
