@@ -129,6 +129,44 @@ def _atoms_from_slots(spec: CellSpec, aid_g, xs, vs, fs):
     return x, v, f
 
 
+def _planar_half_views(xs, mc, ncells, cap, Cg):
+    """Planar half-stencil inputs for the Newton kernels: xyz-major local
+    coords (Cg, 3cap), rolled neighbor coords (Cg, 3*13cap), and the rolled
+    candidate mask (Cg, 13cap).  Rolled views concatenate straight into the
+    kernel layout — strided layout copies run ~10x below HBM peak, so no
+    (Cg, 13cap, 3) intermediates are ever materialized."""
+    from ..ops.cellforce_pallas import HALF_OFFSETS
+
+    nx, ny, nz = ncells
+    C = nx * ny * nz
+    k13 = len(HALF_OFFSETS)
+    g = xs[:C].reshape(nx, ny, nz, cap, 3)
+    gm = mc[:C].reshape(nx, ny, nz, cap)
+    cols = []
+    for c in range(3):
+        cols += [
+            jnp.roll(g[..., c], (-di, -dj, -dk), (0, 1, 2)).reshape(C, cap)
+            for (di, dj, dk) in HALF_OFFSETS
+        ]
+    xn_f = jnp.concatenate(cols, axis=1)
+    mn_f = jnp.concatenate(
+        [
+            jnp.roll(gm, (-di, -dj, -dk), (0, 1, 2)).reshape(C, cap)
+            for (di, dj, dk) in HALF_OFFSETS
+        ],
+        axis=1,
+    )
+    xc_f = jnp.concatenate([xs[..., 0], xs[..., 1], xs[..., 2]], axis=1)
+    if Cg > C:
+        xn_f = jnp.concatenate(
+            [xn_f, jnp.zeros((Cg - C, 3 * k13 * cap), xs.dtype)], 0
+        )
+        mn_f = jnp.concatenate(
+            [mn_f, jnp.zeros((Cg - C, k13 * cap), xs.dtype)], 0
+        )
+    return xc_f, xn_f, mn_f
+
+
 def newton_lattice_force(
     xs, mc_rows, mc_cand, ncells, cap, box, lj, cheb, do_energy=None,
 ):
@@ -155,30 +193,7 @@ def newton_lattice_force(
     C = nx * ny * nz
     Cg = xs.shape[0]
     k13 = len(HALF_OFFSETS)
-    g = xs[:C].reshape(nx, ny, nz, cap, 3)
-    gm = mc_cand[:C].reshape(nx, ny, nz, cap)
-    cols = []
-    for c in range(3):
-        cols += [
-            jnp.roll(g[..., c], (-di, -dj, -dk), (0, 1, 2)).reshape(C, cap)
-            for (di, dj, dk) in HALF_OFFSETS
-        ]
-    xn_f = jnp.concatenate(cols, axis=1)  # (C, 3*13cap) xyz-major
-    mn_f = jnp.concatenate(
-        [
-            jnp.roll(gm, (-di, -dj, -dk), (0, 1, 2)).reshape(C, cap)
-            for (di, dj, dk) in HALF_OFFSETS
-        ],
-        axis=1,
-    )
-    xc_f = jnp.concatenate([xs[..., 0], xs[..., 1], xs[..., 2]], axis=1)
-    if Cg > C:
-        xn_f = jnp.concatenate(
-            [xn_f, jnp.zeros((Cg - C, 3 * k13 * cap), xs.dtype)], 0
-        )
-        mn_f = jnp.concatenate(
-            [mn_f, jnp.zeros((Cg - C, k13 * cap), xs.dtype)], 0
-        )
+    xc_f, xn_f, mn_f = _planar_half_views(xs, mc_cand, ncells, cap, Cg)
 
     def call(energy):
         return cell_forces_pallas_newton_planar(
@@ -487,31 +502,9 @@ def make_cell_step(
                 cell_forces_pallas_newton_rescredit,
             )
 
-            k13 = len(HALF_OFFSETS)
-            g = xs[:C].reshape(nx, ny, nz, cap, 3)
-            gm = state.mc[:C].reshape(nx, ny, nz, cap)
-            cols = []
-            for c in range(3):
-                cols += [
-                    jnp.roll(g[..., c], (-di, -dj, -dk), (0, 1, 2)).reshape(C, cap)
-                    for (di, dj, dk) in HALF_OFFSETS
-                ]
-            xn_f = jnp.concatenate(cols, axis=1)
-            mn_f = jnp.concatenate(
-                [
-                    jnp.roll(gm, (-di, -dj, -dk), (0, 1, 2)).reshape(C, cap)
-                    for (di, dj, dk) in HALF_OFFSETS
-                ],
-                axis=1,
+            xc_f, xn_f, mn_f = _planar_half_views(
+                xs, state.mc, spec.ncells, cap, Cg
             )
-            xc_f = jnp.concatenate([xs[..., 0], xs[..., 1], xs[..., 2]], axis=1)
-            if Cg > C:
-                xn_f = jnp.concatenate(
-                    [xn_f, jnp.zeros((Cg - C, 3 * k13 * cap), xs.dtype)], 0
-                )
-                mn_f = jnp.concatenate(
-                    [mn_f, jnp.zeros((Cg - C, k13 * cap), xs.dtype)], 0
-                )
             cheb = state.core.cheb
 
             def call(energy):
