@@ -5,22 +5,31 @@ SLOT-RESIDENT layout: the MD state (positions/velocities/forces) lives in
 cell-slot order ``(Cg, cap, 3)`` between table rebuilds, so the per-step
 pipeline runs no per-atom gathers or scatters at all:
 
-  1. per cell: 27-stencil contiguous block gather of slot coordinates
-     (the only per-step data movement), dense (cap, 27*cap) pair tiles —
-     minimum-image LJ + spectral bias-CV forces (ops/chebyshev or the
-     fused Pallas kernel, ops/cellforce_pallas) — row-summed per slot;
+  1. force pass (default ``use_pallas=True``): half-stencil Newton Pallas
+     kernel — each cross-cell pair evaluated once from its
+     lexicographically-low cell, reverse forces accumulated in-kernel
+     into VMEM-resident force planes (ops/cellforce_pallas; planar
+     roll-built candidate views, no gathers).  Variants: "newton"
+     (host-side credit rolls, used per sub-lattice by the slab-sharded
+     mode), "full" (legacy 27-stencil ordered pairs; the only consumer
+     of the sid/nid id masks), False (XLA chunked tiles — also the
+     exact-interpolation and type-filtered path);
   2. BAOAB integration directly on slot arrays (padded slots are masked
      out of all pair math and hill collection);
   3. every ``rebuild_stride`` steps: slots -> atom order (one row scatter),
-     table rebuild, atoms -> new slots, and the slot-id masks (mc/mn/sid/
-     nid) are recomputed and CACHED in the state — on XLA they cost more
-     to rebuild per step than the entire Pallas force kernel;
-  4. hill rounds: two-level collection — per-slot accepted counts
-     (reductions only), slot compaction, exact per-candidate extraction on
-     the selected slots — then the standard add_hills_round.
+     table rebuild, atoms -> new slots; states are "light" (no stencil id
+     masks) unless init_cell_state(..., with_ids=True);
+  4. hill rounds: two-level collection on half-stencil tiles — per-slot
+     accepted counts (counter-hash uniforms, ops/hashrng; two draws per
+     unordered pair = the reference's two ordered candidates), slot
+     compaction, exact per-candidate extraction on the selected slots —
+     then the standard add_hills_round.  Type-filtered runs keep the
+     27-stencil gather collection.
 
 ``core.x/v/f`` (atom order) are refreshed only at rebuilds; use
 ``atom_positions(spec, state)`` for an up-to-date atom-order view.
+``slab_axis``/``slab_ndev`` shard the force pass over a mesh (see
+parallel.make_slab_cell_step).
 
 The cell edge is max(lj.rcut, bias domain) + skin, so both force laws and
 the hill candidate set live within the stencil.  The per-atom BAOAB noise

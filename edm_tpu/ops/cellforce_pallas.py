@@ -1,16 +1,28 @@
-"""Pallas TPU kernel: fused cell-pair force pass (LJ + spectral bias CV).
+"""Pallas TPU kernels: fused cell-pair force pass (LJ + spectral bias CV).
 
 The cell-list host's per-chunk force math (models/pair_edm_cells) runs
-through XLA, which materializes the (cap, 27*cap) displacement / distance /
-Clenshaw intermediates between fusions.  This kernel performs the entire
-per-cell pair computation — minimum-image displacements, LJ, Chebyshev
-value+derivative (unrolled Clenshaw), masking, row reduction — inside one
-VMEM-resident program per 8-cell group, so the only HBM traffic is the
-gathered stencil coordinates in and the per-atom force rows out.
+through XLA, which materializes the (cap, width) displacement / distance /
+Clenshaw intermediates between fusions.  These kernels perform the entire
+per-cell pair computation — minimum-image displacements, LJ, (possibly
+panelized) Chebyshev value+derivative Clenshaw chains, masking, row
+reduction — inside one VMEM-resident program per 8-cell group, so the only
+HBM traffic is the rolled stencil coordinates in and force rows out.
 
-Inputs are prepared by XLA (the stencil block gather is already efficient
-there); the kernel fuses the arithmetic.  Scope: no type filtering
-(cv_ok=None); callers fall back to the XLA path otherwise.
+Three variants, newest first:
+  - ``_kernel_newton_rc`` (production): half stencil (each cross-cell pair
+    once) with Newton reverse-force credits accumulated in-kernel into
+    full-lattice VMEM-resident output planes — TPU Pallas grids execute
+    sequentially on the core, so cross-program read-modify-write is
+    race-free;
+  - ``_kernel_newton``: same pair math, credits returned as column-sum
+    outputs for the caller to roll onto neighbor cells (used by the
+    slab-sharded sub-lattice path);
+  - ``_kernel``: legacy 27-stencil ordered-pair kernel (needs slot-id
+    masks for self-pair detection).
+
+Inputs are prepared by XLA (lattice rolls concatenated straight into the
+xyz-major kernel layout).  Scope: no type filtering (cv_ok=None); callers
+fall back to the XLA path otherwise.
 """
 
 from __future__ import annotations
