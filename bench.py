@@ -48,7 +48,6 @@ def bench_pairwise(n_atoms=10000, block=500, steps=100, hill_stride=10, dtype=No
     # rounds — measured identically on all three force paths; under jit the
     # step cost is shape-determined, so rates are unaffected by the change.
     from edm_tpu.grid import Grid, GridSpec
-    import jax.numpy as jnp_  # local alias; jnp imported above per-fn
 
     cfg = parse_edm_text(
         "tempering 1\nbias_factor 10\n"
@@ -59,7 +58,7 @@ def bench_pairwise(n_atoms=10000, block=500, steps=100, hill_stride=10, dtype=No
     r_pts = np.arange(tspec.nbins[0]) * tspec.dx[0] + tspec.min[0]
     tvals = -2.0 * np.log(np.maximum(r_pts, 0.5))
     target = Grid(
-        values=jnp_.asarray(tvals, dtype), derivs=None, spec=tspec,
+        values=jnp.asarray(tvals, dtype), derivs=None, spec=tspec,
         interpolate=False,
     )
     params, bias_state = B.subdivide(
