@@ -93,15 +93,16 @@ def bench_pairwise(n_atoms=10000, block=500, steps=100, hill_stride=10, dtype=No
     spec = CellSpec.create(box, cutoff=3.05, n_atoms=n_atoms)
     if min(spec.ncells) >= 3:
         state = init_cell_state(spec, core, with_ids=False)
-        # deg 48 / chunk 81 tuned on-chip (see docs/algorithms.md for the
-        # accuracy budget; profile in git history); the exact-interp path
-        # uses the same compact cutoff-pair tiles without the Pallas kernel
+        # deg 16 x 4 panels / chunk 81 tuned on-chip (see docs/algorithms.md
+        # for the accuracy budget; profile in git history); the exact-interp
+        # path runs the same Newton kernel with the in-kernel HermiteTable
+        # fetch (ops/cellforce_pallas._hermite_val_der).
         # energy_stride=10: the bias energy (observability only, like LAMMPS
         # thermo) is evaluated on hill-round steps; forces are identical
         step = make_cell_step(
             params, lp, lj, spec, hill_stride=hill_stride,
             rebuild_stride=10, hill_capacity=2048,
-            cell_chunk=81, use_pallas=(pair_lookup == "chebyshev"),
+            cell_chunk=81, use_pallas=True,
             energy_stride=10,
         )
     else:
@@ -116,7 +117,9 @@ def bench_pairwise(n_atoms=10000, block=500, steps=100, hill_stride=10, dtype=No
     # warmup/compile; NB on this stack block_until_ready does not reliably
     # block through the remote relay — force a host scalar fetch to time
     def atoms_of(s):
-        return s.core.x if hasattr(s, "core") else s.x
+        # slot positions for cell states: core.x is refreshed only at FULL
+        # rebuilds (incremental rebins leave it stale)
+        return s.xs if hasattr(s, "core") else s.x
 
     state, _ = seg(state)
     _ = float(jnp.sum(atoms_of(state)))
@@ -134,11 +137,15 @@ def bench_pairwise(n_atoms=10000, block=500, steps=100, hill_stride=10, dtype=No
     return steps / dt_s
 
 
-def bench_coord2d(n_atoms=10000, steps=50, hill_stride=10, dtype=None):
+def bench_coord2d(n_atoms=10000, steps=50, hill_stride=10, dtype=None,
+                  mcgdp=False):
     """2-D coordinate EDM under heavy hill load: 1e6-point grid (1000x1000),
     bias_per_step capping, hill_density 250 — SURVEY config 4 / the
     reference ref_bench2d.cpp workload (free particles, update_force +
-    strided add_hills).  Uses the separable MXU deposition path."""
+    strided add_hills).  Uses the separable MXU deposition path;
+    ``mcgdp=True`` makes the box non-periodic (McGovern-De Pablo
+    boundary-corrected zero-force hills) exercising the strip-split fast
+    path (ops/deposit.dense_tables_mcgdp_2d)."""
     import jax
     import jax.numpy as jnp
 
@@ -153,8 +160,9 @@ def bench_coord2d(n_atoms=10000, steps=50, hill_stride=10, dtype=None):
         "dimension 2\nbox_low 0 0\nbox_high 10 10\n"
         "bias_spacing 0.01 0.01\nbias_sigma 0.05 0.05\n"
     )
+    per = not mcgdp
     params, bias_state = B.subdivide(
-        cfg, 1.0, 1.0, [0, 0], [10, 10], [0, 0], [10, 10], [True, True], [0, 0],
+        cfg, 1.0, 1.0, [0, 0], [10, 10], [0, 0], [10, 10], [per, per], [0, 0],
         dtype=dtype,
     )
     rng = np.random.default_rng(77)
@@ -250,6 +258,14 @@ def main():
         "value": round(sps_2d, 2),
         "unit": "steps/s",
         "vs_baseline": round(sps_2d / REF_STEPS_2D, 2),
+    }), flush=True)
+
+    sps_2dm = bench_coord2d(mcgdp=True)
+    print(json.dumps({
+        "metric": "MD steps/sec, 2-D coord EDM, McGDP non-periodic box (heavy hill load)",
+        "value": round(sps_2dm, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(sps_2dm / REF_STEPS_2D, 2),
     }), flush=True)
 
     sps_100k = bench_pairwise(n_atoms=100000, steps=30)

@@ -41,7 +41,9 @@ from .gauss import GaussGrid
 from .grid import Grid, GridSpec
 from .ops.deposit import (
     dense_tables_1d,
+    dense_tables_mcgdp_2d,
     dense_tables_sep,
+    deposit_from_mcgdp_2d,
     deposit_from_tables,
     deposit_from_tables_sep,
     deposit_precomputed,
@@ -190,18 +192,22 @@ def subdivide(
 
 
 def update_forces(params: BiasParams, state: BiasState, positions, mask=None,
-                  packed=None):
+                  packed=None, boundary_offset=None):
     """Batched bias energy/derivative lookup (edm_bias.cpp:276-311).
 
     positions: (N, >=D) — only the first D components form the CV, as in the
     LAMMPS fix.  Returns (total_energy, der (N, D)); the host applies
-    ``forces[:, :D] -= der``.
+    ``forces[:, :D] -= der``.  ``boundary_offset`` (D,): local->global
+    shift for a sharded local-coordinate grid with a global static
+    boundary (parallel/spatial.py's non-periodic sharded dim).
     """
     D = params.cfg.dim
     x = jnp.asarray(positions)[..., :D]
     if params.b_outofbounds:
         return jnp.zeros((), state.bias.dtype), jnp.zeros_like(x, dtype=state.bias.dtype)
-    v, der = state.bias.get_value_deriv(x, packed=packed)
+    v, der = state.bias.get_value_deriv(
+        x, packed=packed, boundary_offset=boundary_offset
+    )
     if mask is not None:
         v = jnp.where(mask, v, 0)
         der = jnp.where(mask[..., None], der, 0)
@@ -287,23 +293,33 @@ def round_prefactor(params: BiasParams, state: BiasState) -> jax.Array:
     return pref
 
 
-def _hill_heights(params, bias_grid, positions, est_hill_count, pref):
+def _hill_heights(params, bias_grid, positions, est_hill_count, pref,
+                  target_positions=None, boundary_offset=None):
     """Tempered, normalized, clamped per-hill heights (edm_bias.cpp:543-558)
-    evaluated against ``bias_grid``."""
+    evaluated against ``bias_grid``.
+
+    ``target_positions``: coordinates for the target-grid factor when they
+    differ from ``positions`` — the spatially-sharded host biases against a
+    LOCAL-coordinate grid but targets a GLOBAL-coordinate grid (every rank
+    holds the full target, edm_bias.cpp:1054-1064)."""
     cfg = params.cfg
     dtype = bias_grid.dtype
     kT = params.boltzmann_factor
     H = positions.shape[0]
     h = jnp.full((H,), 1.0, dtype) * pref
     if params.target is not None:
-        h = h * jnp.exp(params.target.get_value(positions) - params.expected_target)
+        tp = positions if target_positions is None else target_positions
+        h = h * jnp.exp(params.target.get_value(tp) - params.expected_target)
     if cfg.b_tempering and cfg.global_tempering < 0:
         # NOTE strict `< 0` as in edm_bias.cpp:547: the reference enables
         # well-tempering only when global_tempering is explicitly negative;
         # with the key unset (0) neither tempering branch fires even though
         # tempering=1 (README.md:92-95 documents different behavior — the
         # code wins for parity).
-        h = h * jnp.exp(-bias_grid.get_value(positions) / ((cfg.bias_factor - 1) * kT))
+        h = h * jnp.exp(
+            -bias_grid.get_value(positions, boundary_offset=boundary_offset)
+            / ((cfg.bias_factor - 1) * kT)
+        )
     if cfg.hill_density < 0:
         h = h / jnp.asarray(est_hill_count, dtype)
     else:
@@ -311,16 +327,19 @@ def _hill_heights(params, bias_grid, positions, est_hill_count, pref):
     return jnp.minimum(h, BIAS_CLAMP * cfg.bias_per_step)
 
 
-def hill_heights(params: BiasParams, state: BiasState, positions, est_hill_count):
+def hill_heights(params: BiasParams, state: BiasState, positions, est_hill_count,
+                 target_positions=None, boundary_offset=None):
     """Public helper for hill-exchanging hosts (parallel/spatial.py): the
     heights this replica would attach to its outgoing hills, evaluated
     against the round-START grid (the batched-round approximation — the
     in-round drain's effect on well-tempered heights is not visible, same
     class of divergence as the batch-wide height evaluation documented in
-    add_hills_round)."""
+    add_hills_round).  ``target_positions``: see _hill_heights."""
     positions = jnp.asarray(positions, state.bias.dtype)[..., : params.cfg.dim]
     pref = round_prefactor(params, state)
-    return _hill_heights(params, state.bias, positions, est_hill_count, pref)
+    return _hill_heights(params, state.bias, positions, est_hill_count, pref,
+                         target_positions=target_positions,
+                         boundary_offset=boundary_offset)
 
 
 def add_hills_round(
@@ -332,6 +351,7 @@ def add_hills_round(
     active=None,
     axis_name: Optional[str] = None,
     override_heights=None,
+    boundary_offset=None,
 ) -> Tuple[BiasState, RoundRecords]:
     """One full pre_add_hill / add_hill* / post_add_hill cycle.
 
@@ -339,6 +359,11 @@ def add_hills_round(
     (already tempered/normalized/clamped by the originating replica) for the
     ``active`` hills, skipping acceptance sampling; the MPI hill-exchange
     replay semantics (do_add_hill communicate=0, edm_bias.cpp:444,630-706).
+
+    ``boundary_offset`` (D,): local->global coordinate shift for sharded
+    local-coordinate grids with a GLOBAL static boundary (McGovern-De Pablo
+    terms, boundary masks and boundary-row duplication all evaluate at
+    ``x + offset``; see parallel/spatial.py).
     """
     cfg = params.cfg
     D = cfg.dim
@@ -400,6 +425,15 @@ def add_hills_round(
         and all(gspec1.boundary_periodic)
         and all(w < n for w, n in zip(gspec1.window_shape, gspec1.grid.nbins))
     )
+    # 2-D grids with McGovern-De Pablo corrected dims: separable MXU terms
+    # for the decaying Gaussian parts + exact-spherical-mask strip fields
+    # for the boundary-correction parts (ops/deposit.dense_tables_mcgdp_2d)
+    use_dense2m = (
+        D == 2
+        and any(not p for p in gspec1.boundary_periodic)
+        and boundary_offset is None
+        and all(w < n for w, n in zip(gspec1.window_shape, gspec1.grid.nbins))
+    )
 
     # ---- 2. drain the deferred buffer (edm_bias.cpp:432, 313-380)
     # Only a bounded window of the buffer (256 slots from buf_left) is
@@ -417,19 +451,34 @@ def add_hills_round(
     wslots = jnp.arange(DRAIN, dtype=jnp.int32)
     win_active = wslots < n_buf
     if use_dense:
-        bMval, bMder, s_buf = dense_tables_1d(state.bias, win_pos)
+        bMval, bMder, s_buf = dense_tables_1d(
+            state.bias, win_pos, boundary_offset=boundary_offset
+        )
     elif use_dense2:
         btabs, s_buf = dense_tables_sep(state.bias, win_pos)
+    elif use_dense2m:
+        btabs_m = dense_tables_mcgdp_2d(state.bias, win_pos)
+        s_buf = btabs_m.s
     else:
-        buf_hw = hill_windows(state.bias, win_pos)
+        buf_hw = hill_windows(
+            state.bias, win_pos, boundary_offset=boundary_offset
+        )
         s_buf = jnp.sum(buf_hw.value_w, axis=-1) * vol
     dr = drain_scan(win_h, s_buf, win_active, cap_bias)
     if use_dense:
-        bias1 = deposit_from_tables(state.bias, bMval, bMder, dr.dep_heights)
+        bias1 = deposit_from_tables(
+            state.bias, bMval, bMder, dr.dep_heights,
+            boundary_offset=boundary_offset,
+        )
     elif use_dense2:
         bias1 = deposit_from_tables_sep(state.bias, btabs, dr.dep_heights)
+    elif use_dense2m:
+        bias1 = deposit_from_mcgdp_2d(state.bias, btabs_m, dr.dep_heights)
     else:
-        bias1, _ = deposit_precomputed(state.bias, buf_hw, dr.dep_heights)
+        bias1, _ = deposit_precomputed(
+            state.bias, buf_hw, dr.dep_heights,
+            boundary_offset=boundary_offset,
+        )
     # write the window's post-drain heights back into the full buffer
     full_buf_h = jax.lax.dynamic_update_slice(
         state.buf_h, dr.new_heights, (state.buf_left,)
@@ -462,24 +511,36 @@ def add_hills_round(
         # Well-tempering evaluates against the post-drain grid (the reference
         # reads the live grid hill-by-hill; within a batch this is the same
         # grid).
-        h = _hill_heights(params, bias1, positions, est_hill_count, pref)
+        h = _hill_heights(params, bias1, positions, est_hill_count, pref,
+                          boundary_offset=boundary_offset)
 
     # ---- 4. sequential cap + one deposit commit
     if use_dense:
-        hMval, hMder, s_h = dense_tables_1d(bias1, positions)
+        hMval, hMder, s_h = dense_tables_1d(
+            bias1, positions, boundary_offset=boundary_offset
+        )
     elif use_dense2:
         htabs, s_h = dense_tables_sep(bias1, positions)
+    elif use_dense2m:
+        htabs_m = dense_tables_mcgdp_2d(bias1, positions)
+        s_h = htabs_m.s
     else:
-        hills_hw = hill_windows(bias1, positions)
+        hills_hw = hill_windows(bias1, positions, boundary_offset=boundary_offset)
         s_h = jnp.sum(hills_hw.value_w, axis=-1) * vol
     called = accept & ~skip
     cr = cap_scan(h, s_h, called, cap_bias, dr.bias_added)
     if use_dense:
-        bias2 = deposit_from_tables(bias1, hMval, hMder, cr.dep_heights)
+        bias2 = deposit_from_tables(
+            bias1, hMval, hMder, cr.dep_heights, boundary_offset=boundary_offset
+        )
     elif use_dense2:
         bias2 = deposit_from_tables_sep(bias1, htabs, cr.dep_heights)
+    elif use_dense2m:
+        bias2 = deposit_from_mcgdp_2d(bias1, htabs_m, cr.dep_heights)
     else:
-        bias2, _ = deposit_precomputed(bias1, hills_hw, cr.dep_heights)
+        bias2, _ = deposit_precomputed(
+            bias1, hills_hw, cr.dep_heights, boundary_offset=boundary_offset
+        )
 
     # ---- 5. overflow append (FIFO, compacted; fixes reference Q3)
     to_defer = called & (cr.defer_heights > 0)

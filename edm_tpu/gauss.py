@@ -228,9 +228,16 @@ class GaussGrid:
 
     # ------------------------------------------------------------------ query
 
-    def in_bounds(self, x: jax.Array) -> jax.Array:
+    def in_bounds(self, x: jax.Array, boundary_offset=None) -> jax.Array:
         """Inside the *boundary* box (gaussian_grid.h:490-499) — checked for
-        every dim, periodic or not, exactly as the reference does."""
+        every dim, periodic or not, exactly as the reference does.
+
+        ``boundary_offset`` (D,): local->global coordinate shift for grids
+        stored in local coordinates with a GLOBAL static boundary (the
+        spatially-sharded host's non-periodic sharded dim): the boundary
+        compares against ``x + boundary_offset``."""
+        if boundary_offset is not None:
+            x = x + jnp.asarray(boundary_offset, self.dtype)
         bmin = jnp.asarray(self.spec.boundary_min, self.dtype)
         bmax = jnp.asarray(self.spec.boundary_max, self.dtype)
         return jnp.all((x >= bmin) & (x <= bmax), axis=-1)
@@ -266,18 +273,22 @@ class GaussGrid:
         )
         return out
 
-    def get_value(self, x: jax.Array) -> jax.Array:
+    def get_value(self, x: jax.Array, boundary_offset=None) -> jax.Array:
         """Boundary-aware value lookup (gaussian_grid.h:99-116)."""
         x = jnp.asarray(x, self.dtype)
-        xin = jnp.where(self.in_bounds(x)[..., None], x, self.remap(x))
-        ok = self.in_bounds(xin)
+        xin = jnp.where(
+            self.in_bounds(x, boundary_offset)[..., None], x, self.remap(x)
+        )
+        ok = self.in_bounds(xin, boundary_offset)
         return jnp.where(ok, self.grid.get_value(xin), jnp.zeros((), self.dtype))
 
-    def get_value_deriv(self, x: jax.Array, packed=None):
+    def get_value_deriv(self, x: jax.Array, packed=None, boundary_offset=None):
         """Boundary-aware value+gradient lookup (gaussian_grid.h:118-138)."""
         x = jnp.asarray(x, self.dtype)
-        xin = jnp.where(self.in_bounds(x)[..., None], x, self.remap(x))
-        ok = self.in_bounds(xin)
+        xin = jnp.where(
+            self.in_bounds(x, boundary_offset)[..., None], x, self.remap(x)
+        )
+        ok = self.in_bounds(xin, boundary_offset)
         v, d = self.grid.get_value_deriv(xin, packed=packed)
         zero = jnp.zeros((), self.dtype)
         return jnp.where(ok, v, zero), jnp.where(ok[..., None], d, zero)

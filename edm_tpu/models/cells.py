@@ -107,3 +107,92 @@ def build_table(spec: CellSpec, x: jax.Array) -> CellTable:
         order.astype(jnp.int32), mode="drop"
     )
     return CellTable(aid=aid, overflow=overflow)
+
+
+class RebinPlan(NamedTuple):
+    """Mover placement for a slot-to-slot incremental rebin."""
+
+    feasible: jax.Array  # bool: every mover fits a hole of its target cell
+    n_movers: jax.Array  # int32
+    m_src: jax.Array  # (M,) flat source slot, sorted by target cell; S = none
+    m_dest: jax.Array  # (M,) flat destination slot; S = drop
+
+
+def plan_incremental_rebin(
+    spec: CellSpec, Cg: int, aid_g: jax.Array, xs: jax.Array, mover_cap: int
+) -> RebinPlan:
+    """Plan a slot-to-slot rebin: stayers keep their slots; atoms that
+    crossed a cell boundary since the last rebuild ("movers", ~1-2% of
+    atoms at typical rebuild strides) are extracted into a compact list
+    and assigned free holes of their target cells.
+
+    The full argsort rebuild round-trips every atom through atom order —
+    ~2M gather/scatter elements at 100k atoms (~11 ms at the measured v5e
+    rates) — while this plan's cost is one S-element compaction scatter
+    plus O(mover_cap) work.  ``feasible`` is False when movers exceed
+    ``mover_cap`` or a target cell lacks holes (holes include slots
+    vacated this rebin); callers then fall back to the full rebuild, so
+    no atom is ever dropped."""
+    n = spec.n_atoms
+    cap = spec.cap
+    C = spec.n_cells
+    S = Cg * cap
+    aid2 = aid_g.reshape(Cg, cap)
+    real = aid_g < n
+    new_cid = cell_of(spec, xs.reshape(S, 3))
+    cur_cid = (jnp.arange(S, dtype=jnp.int32) // cap)
+    mover = real & (new_cid != cur_cid)
+    n_mov = jnp.sum(mover.astype(jnp.int32))
+
+    ranks = jnp.cumsum(mover.astype(jnp.int32)) - 1
+    tgt = jnp.where(mover & (ranks < mover_cap), ranks, mover_cap)
+    m_src = jnp.full((mover_cap,), S, jnp.int32).at[tgt].set(
+        jnp.arange(S, dtype=jnp.int32), mode="drop"
+    )
+    msrc_c = jnp.clip(m_src, 0, S - 1)
+    m_cell = jnp.where(m_src < S, new_cid[msrc_c], C).astype(jnp.int32)
+    order = jnp.argsort(m_cell, stable=True)
+    m_cell_s = m_cell[order]
+    m_src_s = m_src[order]
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), m_cell_s[1:] != m_cell_s[:-1]]
+    )
+    seg_start = jax.lax.cummax(jnp.where(first, jnp.arange(mover_cap), 0))
+    q = jnp.arange(mover_cap) - seg_start
+
+    # holes: pre-existing empty slots plus slots vacated by movers, so
+    # cell-to-cell swaps at full occupancy stay feasible
+    empty_eff = (aid2 == n) | mover.reshape(Cg, cap)
+    holes_per_cell = jnp.sum(empty_eff.astype(jnp.int32), axis=1)
+    # stable argsort of the occupied mask puts hole slot indices first,
+    # in slot order: ht[c, q] = the q-th hole of cell c
+    ht = jnp.argsort(~empty_eff, axis=1, stable=True).astype(jnp.int32)
+
+    valid = m_src_s < S
+    c_cl = jnp.clip(m_cell_s, 0, Cg - 1)
+    slot = ht[c_cl, jnp.clip(q, 0, cap - 1).astype(jnp.int32)]
+    fits = q < holes_per_cell[c_cl]
+    m_dest = jnp.where(valid & fits, c_cl * cap + slot, S).astype(jnp.int32)
+    feasible = (n_mov <= mover_cap) & jnp.all(~valid | fits)
+    return RebinPlan(
+        feasible=feasible, n_movers=n_mov, m_src=m_src_s, m_dest=m_dest
+    )
+
+
+def apply_incremental_rebin(spec: CellSpec, plan: RebinPlan, aid_g, arrays):
+    """Relocate movers per plan.  ``arrays``: flat (S, ...) slot payload
+    arrays moved alongside the id table.  Sources are cleared before
+    destinations are written, so arrivals may reuse slots vacated this
+    rebin.  Returns (new_aid_g, [new arrays]); stale payload left in
+    vacated slots is masked everywhere by the (aid < n) occupancy mask."""
+    n = spec.n_atoms
+    S = aid_g.shape[0]
+    src_ok = plan.m_src < S
+    src_c = jnp.clip(plan.m_src, 0, S - 1)
+    aid_new = aid_g.at[jnp.where(src_ok, plan.m_src, S)].set(n, mode="drop")
+    m_aid = jnp.where(src_ok, aid_g[src_c], n)
+    aid_new = aid_new.at[plan.m_dest].set(m_aid, mode="drop")
+    outs = []
+    for a in arrays:
+        outs.append(a.at[plan.m_dest].set(a[src_c], mode="drop"))
+    return aid_new, outs

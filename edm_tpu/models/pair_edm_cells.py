@@ -9,16 +9,23 @@ pipeline runs no per-atom gathers or scatters at all:
      kernel — each cross-cell pair evaluated once from its
      lexicographically-low cell, reverse forces accumulated in-kernel
      into VMEM-resident force planes (ops/cellforce_pallas; planar
-     roll-built candidate views, no gathers).  Variants: "newton"
-     (host-side credit rolls, used per sub-lattice by the slab-sharded
-     mode), "full" (legacy 27-stencil ordered pairs; the only consumer
-     of the sid/nid id masks), False (XLA chunked tiles — also the
-     exact-interpolation and type-filtered path);
+     roll-built candidate views, no gathers).  The kernel evaluates
+     either the Chebyshev table (pair_lookup='chebyshev') or the exact
+     cubic-Hermite grid table (pair_lookup='interp' -> in-kernel
+     HermiteTable fetch), with optional rdf type-pair CV filtering via
+     cached slot-type planes.  Variants: "newton" (host-side credit
+     rolls, used per sub-lattice by the slab-sharded mode), "full"
+     (legacy 27-stencil ordered pairs; Chebyshev-only, untyped; the only
+     consumer of the sid/nid id masks), False (XLA chunked tiles);
   2. BAOAB integration directly on slot arrays (padded slots are masked
      out of all pair math and hill collection);
-  3. every ``rebuild_stride`` steps: slots -> atom order (one row scatter),
-     table rebuild, atoms -> new slots; states are "light" (no stencil id
-     masks) unless init_cell_state(..., with_ids=True);
+  3. every ``rebuild_stride`` steps: incremental slot-to-slot rebin —
+     only boundary-crossing atoms move, into free holes of their target
+     cells (models/cells.plan_incremental_rebin; work ~ movers, not
+     atoms).  Infeasible plans (mover_cap exceeded / a full target cell)
+     fall back in-graph to the full argsort rebuild, which also refreshes
+     ``core.x/v/f``; states are "light" (no stencil id masks) unless
+     init_cell_state(..., with_ids=True), which always rebuilds fully;
   4. hill rounds: two-level collection on half-stencil tiles — per-slot
      accepted counts (counter-hash uniforms, ops/hashrng; two draws per
      unordered pair = the reference's two ordered candidates), slot
@@ -26,8 +33,9 @@ pipeline runs no per-atom gathers or scatters at all:
      then the standard add_hills_round.  Type-filtered runs keep the
      27-stencil gather collection.
 
-``core.x/v/f`` (atom order) are refreshed only at rebuilds; use
-``atom_positions(spec, state)`` for an up-to-date atom-order view.
+``core.x/v/f`` (atom order) are refreshed only at FULL (argsort) rebuilds
+— incremental rebins leave them stale; use ``atom_positions(spec, state)``
+for an up-to-date atom-order view.
 ``slab_axis``/``slab_ndev`` shard the force pass over a mesh (see
 parallel.make_slab_cell_step).
 
@@ -67,6 +75,9 @@ class CellPairState:
     sid: Optional[jax.Array]  # are only consumed by the legacy "full"
     nid: Optional[jax.Array]  # 27-stencil kernel and the XLA id paths)
     table_overflow: jax.Array  # bool
+    ts: Optional[jax.Array] = None  # (Cg, cap) slot atom types (float; 0 =
+    # empty), cached per rebuild — only for type-filtered Pallas runs
+    # (init_cell_state(..., types=...))
 
 
 def _padded_cells(spec: CellSpec) -> int:
@@ -83,13 +94,14 @@ def _stencil_padded(spec: CellSpec, Cg: int) -> jnp.ndarray:
 
 
 def _slots_from_atoms(spec: CellSpec, Cg: int, sten_g, x, v, f, aid_g,
-                      with_ids: bool = True):
+                      with_ids: bool = True, types_arr=None):
     """Gather atom arrays into slot layout + rebuild the cached masks.
 
     ``with_ids=False`` skips the (Cg, 27cap) stencil mask/id arrays (only
     the legacy "full" kernel consumes them); when built, they come from 27
     lattice rolls of the per-cell arrays — the translation-regular stencil
-    makes rolls equivalent to (and much faster than) the row gather."""
+    makes rolls equivalent to (and much faster than) the row gather.
+    ``types_arr`` (N,) builds the cached per-slot type plane (0 = empty)."""
     n = spec.n_atoms
     cap = spec.cap
     aid_c = jnp.clip(aid_g, 0, n - 1)
@@ -99,6 +111,11 @@ def _slots_from_atoms(spec: CellSpec, Cg: int, sten_g, x, v, f, aid_g,
     aid2 = aid_g.reshape(Cg, cap)
     dtype = x.dtype
     mc = (aid2 < n).astype(dtype)
+    ts = (
+        None
+        if types_arr is None
+        else jnp.where(aid2 < n, jnp.asarray(types_arr)[aid_c].reshape(Cg, cap), 0).astype(dtype)
+    )
     if with_ids:
         C = spec.n_cells
         nx, ny, nz = spec.ncells
@@ -124,7 +141,7 @@ def _slots_from_atoms(spec: CellSpec, Cg: int, sten_g, x, v, f, aid_g,
     xs = xs * mc[..., None]
     vs = vs * mc[..., None]
     fs = fs * mc[..., None]
-    return xs, vs, fs, mc, mn, sid, nid
+    return xs, vs, fs, mc, mn, sid, nid, ts
 
 
 def _atoms_from_slots(spec: CellSpec, aid_g, xs, vs, fs):
@@ -136,6 +153,29 @@ def _atoms_from_slots(spec: CellSpec, aid_g, xs, vs, fs):
     v = jnp.zeros((n, 3), xs.dtype).at[idx].set(vs.reshape(-1, 3), mode="drop")
     f = jnp.zeros((n, 3), xs.dtype).at[idx].set(fs.reshape(-1, 3), mode="drop")
     return x, v, f
+
+
+def _half_concat(plane, ncells, cap, Cg, fill=0.0):
+    """(Cg, cap) per-slot plane -> (Cg, 13cap) half-stencil candidate concat
+    (HALF_OFFSETS roll order); padded cells filled with ``fill``."""
+    from ..ops.cellforce_pallas import HALF_OFFSETS
+
+    nx, ny, nz = ncells
+    C = nx * ny * nz
+    k13 = len(HALF_OFFSETS)
+    g = plane[:C].reshape(nx, ny, nz, cap)
+    out = jnp.concatenate(
+        [
+            jnp.roll(g, (-di, -dj, -dk), (0, 1, 2)).reshape(C, cap)
+            for (di, dj, dk) in HALF_OFFSETS
+        ],
+        axis=1,
+    )
+    if Cg > C:
+        out = jnp.concatenate(
+            [out, jnp.full((Cg - C, k13 * cap), fill, plane.dtype)], 0
+        )
+    return out
 
 
 def _planar_half_views(xs, mc, ncells, cap, Cg):
@@ -177,7 +217,8 @@ def _planar_half_views(xs, mc, ncells, cap, Cg):
 
 
 def newton_lattice_force(
-    xs, mc_rows, mc_cand, ncells, cap, box, lj, cheb, do_energy=None,
+    xs, mc_rows, mc_cand, ncells, cap, box, lj, table, do_energy=None,
+    ts=None, type_pair=None,
 ):
     """Half-stencil Newton force pass over an (nx, ny, nz) slot lattice.
 
@@ -188,10 +229,12 @@ def newton_lattice_force(
     device's halo columns are candidates but not rows (their pairs are
     enumerated by the owning device).  Returns (energy, f_rows (Cg, cap, 3)).
 
-    Planar layout throughout: rolled neighbor views concatenate straight
-    into the kernel's xyz-major input and reverse-force credits apply per
-    component (strided layout copies run ~10x below HBM peak and would
-    otherwise rival the kernel time).
+    ``table``: ChebTable (spectral lookup) or HermiteTable (exact interp).
+    ``ts`` (Cg, cap) slot types + ``type_pair`` restrict the CV to an rdf
+    type pair.  Planar layout throughout: rolled neighbor views concatenate
+    straight into the kernel's xyz-major input and reverse-force credits
+    apply per component (strided layout copies run ~10x below HBM peak and
+    would otherwise rival the kernel time).
     """
     from ..ops.cellforce_pallas import (
         HALF_OFFSETS,
@@ -203,13 +246,18 @@ def newton_lattice_force(
     Cg = xs.shape[0]
     k13 = len(HALF_OFFSETS)
     xc_f, xn_f, mn_f = _planar_half_views(xs, mc_cand, ncells, cap, Cg)
+    types = (
+        None
+        if ts is None or type_pair is None
+        else (ts, _half_concat(ts, ncells, cap, Cg))
+    )
 
     def call(energy):
         return cell_forces_pallas_newton_planar(
-            xc_f, xn_f, mc_rows, mn_f, cheb.cval, cheb.cder,
+            xc_f, xn_f, mc_rows, mn_f, table,
             cap=cap, box=box,
             lj_eps=lj.epsilon, lj_sig=lj.sigma, lj_rcut=lj.rcut,
-            cv_lo=cheb.lo, cv_hi=cheb.hi, energy=energy,
+            energy=energy, types=types, type_pair=type_pair,
         )
 
     if do_energy is None:
@@ -251,13 +299,15 @@ def atom_positions(spec: CellSpec, state: CellPairState) -> jax.Array:
 
 
 def init_cell_state(
-    spec: CellSpec, core: PairEDMState, with_ids: bool = True
+    spec: CellSpec, core: PairEDMState, with_ids: bool = True, types=None
 ) -> CellPairState:
     """``with_ids=False`` builds a light state without the (Cg, 27cap)
     stencil id masks — they are only consumed by ``use_pallas="full"``;
     the default Newton paths never read them and skipping them cuts the
     rebuild's largest mask build.  The step follows the state's structure
-    (light in -> light rebuilds)."""
+    (light in -> light rebuilds).  ``types`` (N,) caches the per-slot type
+    plane for type-filtered Pallas runs (pass the same array to
+    make_cell_step)."""
     Cg = _padded_cells(spec)
     sten_g = _stencil_padded(spec, Cg)
     table = build_table(spec, core.x)
@@ -265,12 +315,14 @@ def init_cell_state(
     aid_g = jnp.concatenate(
         [table.aid, jnp.full((Cg * spec.cap - spec.n_slots,), n, jnp.int32)]
     )
-    xs, vs, fs, mc, mn, sid, nid = _slots_from_atoms(
-        spec, Cg, sten_g, core.x, core.v, core.f, aid_g, with_ids=with_ids
+    xs, vs, fs, mc, mn, sid, nid, ts = _slots_from_atoms(
+        spec, Cg, sten_g, core.x, core.v, core.f, aid_g, with_ids=with_ids,
+        types_arr=types,
     )
     return CellPairState(
         core=core, aid=aid_g, xs=xs, vs=vs, fs=fs,
         mc=mc, mn=mn, sid=sid, nid=nid, table_overflow=table.overflow,
+        ts=ts,
     )
 
 
@@ -294,6 +346,7 @@ def make_cell_step(
     energy_stride: int = 1,
     slab_axis: Optional[str] = None,
     slab_ndev: int = 1,
+    mover_cap: Optional[int] = None,
 ):
     """``slab_axis``/``slab_ndev``: run the force pass slab-sharded under
     ``shard_map`` over that mesh axis — each device evaluates the Newton
@@ -313,6 +366,11 @@ def make_cell_step(
     cap = spec.cap
     n = spec.n_atoms
     Cg = _padded_cells(spec)
+    # incremental-rebin mover buffer: sized for ~12% boundary crossers per
+    # rebuild (typical is 1-2% at stride 10); infeasible plans fall back to
+    # the full argsort rebuild inside the step, so this is a speed knob
+    if mover_cap is None:
+        mover_cap = max(256, -(-n // 8))
     box_arr = jnp.asarray(spec.box)
     sten_g = _stencil_padded(spec, Cg)
     n_chunks = -(-C // cell_chunk)
@@ -328,8 +386,8 @@ def make_cell_step(
         types_arr = None
         tpair = None
 
-    if use_pallas and (types is not None):
-        raise ValueError("use_pallas does not support type filtering yet")
+    # type-filtered Pallas runs read the cached per-slot type plane
+    # (init_cell_state(..., types=...)); checked at trace time below
 
     def _xs_padded(xs, aid2, dtype):
         """(Cp, cap, 3) view for the XLA chunked paths (Cp vs Cg padding)."""
@@ -407,21 +465,50 @@ def make_cell_step(
             )
         return xn
 
+    # balanced slab partition: the first (nx % n_dev) devices own q+1
+    # x-columns, the rest q — per-device column counts differ by <= 1
+    # (a ceil-based split leaves the tail device a ragged remainder:
+    # nx=13, n=4 gives [4,4,4,1]).  The halo window stays a static
+    # ceil-width slice; ownership is masked per device in-graph.
     nxd_slab = -(-nx // slab_ndev) if slab_axis is not None else None
 
     def force_fn_for(state: CellPairState, do_energy=None):
+        def _table(state):
+            """Kernel lookup table: the carried ChebTable, or the exact
+            Hermite table derived from the live grid (pair_lookup='interp'
+            — rebuilt per step; G x 4 stacking is trace-time trivial)."""
+            if state.core.cheb is not None:
+                return state.core.cheb
+            from ..ops.cellforce_pallas import hermite_pair_table
+
+            return hermite_pair_table(state.core.bias.bias)
+
+        def _kernel_types(state):
+            if types_arr is None:
+                return None, None
+            if state.ts is None:
+                raise ValueError(
+                    "type-filtered Pallas runs need the cached slot types: "
+                    "build the state with init_cell_state(..., types=types)"
+                )
+            return state.ts, tpair
+
         def pallas_newton_force(xs):
+            ts_k, tp_k = _kernel_types(state)
             return newton_lattice_force(
                 xs, state.mc, state.mc, spec.ncells, cap, spec.box, lj,
-                state.core.cheb, do_energy,
+                _table(state), do_energy, ts=ts_k, type_pair=tp_k,
             )
 
         def slab_newton_force(xs):
             from ..ops.cellforce_pallas import CELLS_PER_PROGRAM
 
             dev = jax.lax.axis_index(slab_axis)
-            x0 = dev * nxd_slab
-            cheb = state.core.cheb
+            q, rem = nx // slab_ndev, nx % slab_ndev
+            x0 = dev * q + jnp.minimum(dev, rem)
+            wd = q + (dev < rem).astype(jnp.int32)  # my column count
+            tbl = _table(state)
+            ts_k, tp_k = _kernel_types(state)
             if nxd_slab + 2 <= nx:
                 # sub-lattice: my columns + one halo column per side.  The
                 # sub-lattice's own periodic x-wrap joins columns >= 2
@@ -434,9 +521,9 @@ def make_cell_step(
                 sub = jnp.roll(gx, 1 - x0, axis=0)[:w]
                 subm = jnp.roll(gm, 1 - x0, axis=0)[:w]
                 jj = jnp.arange(w)
-                # halo columns are candidates, not rows; tail devices past
-                # the lattice own nothing
-                row_ok = (jj >= 1) & (jj <= nxd_slab) & (x0 + jj - 1 < nx)
+                # halo columns are candidates, not rows; the window is
+                # ceil-width, so remainder devices mask the surplus column
+                row_ok = (jj >= 1) & (jj <= wd)
                 rows = subm * row_ok[:, None, None, None].astype(subm.dtype)
                 C_sub = w * ny * nz
                 Cg_sub = -(-C_sub // CELLS_PER_PROGRAM) * CELLS_PER_PROGRAM
@@ -449,9 +536,20 @@ def make_cell_step(
                         )
                     return a
 
+                ts_sub = (
+                    None
+                    if ts_k is None
+                    else flat(
+                        jnp.roll(
+                            ts_k[:C].reshape(nx, ny, nz, cap), 1 - x0, axis=0
+                        )[:w],
+                        (cap,),
+                    )
+                )
                 e, f_sub = newton_lattice_force(
                     flat(sub, (cap, 3)), flat(rows, (cap,)), flat(subm, (cap,)),
-                    (w, ny, nz), cap, spec.box, lj, cheb, do_energy,
+                    (w, ny, nz), cap, spec.box, lj, tbl, do_energy,
+                    ts=ts_sub, type_pair=tp_k,
                 )
                 fsg = f_sub[:C_sub].reshape(w, ny, nz, cap, 3)
                 if nx > w:
@@ -464,7 +562,7 @@ def make_cell_step(
                 # kernel with rows restricted to my columns (correct, no
                 # compute saving — only reached at test-scale lattices)
                 colx = (jnp.arange(C, dtype=jnp.int32) // (ny * nz))
-                mine = (colx >= x0) & (colx < x0 + nxd_slab)
+                mine = (colx >= x0) & (colx < x0 + wd)
                 mine = mine.astype(xs.dtype)[:, None]
                 if Cg > C:
                     mine = jnp.concatenate(
@@ -472,7 +570,7 @@ def make_cell_step(
                     )
                 e, f_rows_g = newton_lattice_force(
                     xs, state.mc * mine, state.mc, spec.ncells, cap,
-                    spec.box, lj, cheb, do_energy,
+                    spec.box, lj, tbl, do_energy, ts=ts_k, type_pair=tp_k,
                 )
                 f_full = f_rows_g[:C]
             if Cg > C:
@@ -490,6 +588,11 @@ def make_cell_step(
                 raise ValueError(
                     'use_pallas="full" needs the stencil id masks: build '
                     "the state with init_cell_state(..., with_ids=True)"
+                )
+            if state.core.cheb is None or types_arr is not None:
+                raise ValueError(
+                    'use_pallas="full" is Chebyshev-only and untyped; use '
+                    "the default Newton kernel"
                 )
             xn = _stencil_neighbors(xs)
             cheb = state.core.cheb
@@ -514,14 +617,20 @@ def make_cell_step(
             xc_f, xn_f, mn_f = _planar_half_views(
                 xs, state.mc, spec.ncells, cap, Cg
             )
-            cheb = state.core.cheb
+            tbl = _table(state)
+            ts_k, tp_k = _kernel_types(state)
+            types_k = (
+                None
+                if ts_k is None
+                else (ts_k, _half_concat(ts_k, spec.ncells, cap, Cg))
+            )
 
             def call(energy):
                 return cell_forces_pallas_newton_rescredit(
-                    xc_f, xn_f, state.mc, mn_f, cheb.cval, cheb.cder,
+                    xc_f, xn_f, state.mc, mn_f, tbl,
                     cap=cap, ncells=spec.ncells, box=spec.box,
                     lj_eps=lj.epsilon, lj_sig=lj.sigma, lj_rcut=lj.rcut,
-                    cv_lo=cheb.lo, cv_hi=cheb.hi, energy=energy,
+                    energy=energy, types=types_k, type_pair=tp_k,
                 )
 
             if do_energy is None:
@@ -927,29 +1036,73 @@ def make_cell_step(
         step_no = core.step + 1
         do_rebuild = (step_no % rebuild_stride) == 0
 
-        def rebuild(_):
+        def full_rebuild(_):
             x_at, v_at, f_at = _atoms_from_slots(spec, state.aid, xs, vs, fs)
             t = build_table(spec, x_at)
             aid_g = jnp.concatenate(
                 [t.aid, jnp.full((Cg * cap - spec.n_slots,), n, jnp.int32)]
             )
-            nxs, nvs, nfs, mc, mn, sid, nid = _slots_from_atoms(
+            nxs, nvs, nfs, mc, mn, sid, nid, ts = _slots_from_atoms(
                 spec, Cg, sten_g, x_at, v_at, f_at, aid_g,
                 with_ids=state.sid is not None,
+                types_arr=types_arr if state.ts is not None else None,
             )
             return (
-                aid_g, nxs, nvs, nfs, mc, mn, sid, nid,
+                aid_g, nxs, nvs, nfs, mc, mn, sid, nid, ts,
                 state.table_overflow | t.overflow, x_at, v_at, f_at,
             )
+
+        def rebuild(_):
+            # with_ids (legacy "full"-kernel) states need the stencil id
+            # masks regenerated — only the argsort rebuild builds those
+            if state.sid is not None:
+                return full_rebuild(None)
+            from .cells import apply_incremental_rebin, plan_incremental_rebin
+
+            S = Cg * cap
+            plan = plan_incremental_rebin(spec, Cg, state.aid, xs, mover_cap)
+
+            def fast(_):
+                # slot-to-slot incremental rebin: only boundary-crossing
+                # atoms move (~1-2% at stride 10); the full argsort path
+                # round-trips EVERY atom through atom order (~11 ms at
+                # 100k on v5e, ~90% of it gathers/scatters)
+                arrays = [
+                    xs.reshape(S, 3), vs.reshape(S, 3), fs.reshape(S, 3)
+                ]
+                if state.ts is not None:
+                    arrays.append(state.ts.reshape(S))
+                aid_new, outs = apply_incremental_rebin(
+                    spec, plan, state.aid, arrays
+                )
+                aid2 = aid_new.reshape(Cg, cap)
+                mc2 = (aid2 < n).astype(xs.dtype)
+                nxs = outs[0].reshape(Cg, cap, 3) * mc2[..., None]
+                nvs = outs[1].reshape(Cg, cap, 3) * mc2[..., None]
+                nfs = outs[2].reshape(Cg, cap, 3) * mc2[..., None]
+                ts2 = (
+                    outs[3].reshape(Cg, cap) * mc2
+                    if state.ts is not None
+                    else None
+                )
+                # core.x/v/f stay stale (atom_positions() is the live view)
+                return (
+                    aid_new, nxs, nvs, nfs, mc2, None, None, None, ts2,
+                    state.table_overflow, core.x, core.v, core.f,
+                )
+
+            return jax.lax.cond(plan.feasible, fast, full_rebuild, None)
 
         def keep(_):
             return (
                 state.aid, xs, vs, fs, state.mc, state.mn, state.sid,
-                state.nid, state.table_overflow, core.x, core.v, core.f,
+                state.nid, state.ts, state.table_overflow,
+                core.x, core.v, core.f,
             )
 
         (
-            aid_g, nxs, nvs, nfs, mc, mn, sid, nid, overflow, x_at, v_at, f_at
+            aid_g, nxs, nvs, nfs, mc, mn, sid, nid, ts, overflow,
+            x_at, v_at, f_at,
         ) = jax.lax.cond(do_rebuild, rebuild, keep, None)
 
         new_core = PairEDMState(
@@ -961,6 +1114,7 @@ def make_cell_step(
         new_state = CellPairState(
             core=new_core, aid=aid_g, xs=nxs, vs=nvs, fs=nfs,
             mc=mc, mn=mn, sid=sid, nid=nid, table_overflow=overflow,
+            ts=ts,
         )
         return new_state, ((e_bias, log) if collect_records else e_bias)
 

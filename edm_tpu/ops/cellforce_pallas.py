@@ -21,16 +21,23 @@ Three variants, newest first:
     masks for self-pair detection).
 
 Inputs are prepared by XLA (lattice rolls concatenated straight into the
-xyz-major kernel layout).  Scope: no type filtering (cv_ok=None); callers
-fall back to the XLA path otherwise.
+xyz-major kernel layout).  The Newton kernels evaluate the bias table in
+one of two forms: a (panelized) Chebyshev series (ChebTable) or the exact
+cubic-Hermite grid table (HermiteTable — the ``pair_lookup='interp'``
+path, an unrolled select-accumulate fetch over the VMEM-resident (G, 4)
+table), and optionally restrict the CV to an rdf type pair via per-slot
+type planes (fix_edm_pair.cpp:39-44,177-202).  The legacy 27-stencil
+``_kernel`` remains Chebyshev-only/untyped.
 """
 
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -89,6 +96,150 @@ def _cheb_val_der(cv_ref, cd_ref, r, ok, *, deg, npanels, cv_lo, cv_hi, energy):
     der = (coef(cd_ref, 0) + t * d1 - d2) * cv_on
     val = (coef(cv_ref, 0) + t * b1 - b2) * cv_on if energy else None
     return val, der, cv_on
+
+
+class HermiteTable(NamedTuple):
+    """Exact cubic-Hermite pair table — the in-kernel form of the XLA
+    interpolation path (ops/interp.py ↔ reference lib/grid.h:95-137).
+
+    ``tab`` (G, 4): per grid point the (value, qq, next-value, next-qq)
+    quadruple of the 1-D bias grid, where qq is the guarded slope/value
+    ratio of the interpolant (grid.h:113-116) and next = the clamped +1
+    neighbor — the corner tables of ops/interp._interp1d_matvec with the
+    per-pair division folded into the table.  ``geom`` is the static
+    lookup geometry ("hermite", G, grid_lo, dx, grid_hi_exclusive,
+    boundary_lo, boundary_hi) with the range floats computed in grid dtype
+    so the in-kernel masks reproduce the XLA path's edge behavior."""
+
+    tab: jax.Array
+    geom: tuple
+
+
+def hermite_pair_table(gg) -> HermiteTable:
+    """Build the in-kernel exact table from a 1-D pairwise-CV GaussGrid.
+
+    Requires the standard fix_edm_pair grid shape (non-periodic grid AND
+    boundary, boundary == grid range, stored derivatives): remap is then the
+    identity and lookup validity collapses to a range check, so the kernel
+    can reproduce GaussGrid.get_value_deriv with four comparisons."""
+    g = gg.grid
+    spec = gg.spec
+    if spec.dim != 1:
+        raise ValueError("hermite pair table is for 1-D CV grids")
+    if g.spec.periodic[0] or spec.boundary_periodic[0]:
+        raise ValueError("hermite pair table requires a non-periodic grid")
+    if g.derivs is None or not gg.grid.interpolate:
+        raise ValueError("hermite pair table needs an interpolating grid")
+    if int(g.spec.nbins[0]) > 1024:
+        raise ValueError(
+            "hermite pair table unrolls the fetch over grid points; "
+            f"{g.spec.nbins[0]} points would dominate the kernel — use "
+            "pair_lookup='chebyshev' or the XLA path (use_pallas=False)"
+        )
+    dt = np.dtype(g.values.dtype)
+    glo = float(np.asarray(g.spec.min[0], dt))
+    gdx = float(np.asarray(g.spec.dx[0], dt))
+    # grid.in_grid upper edge: max_inflated - dx, computed in grid dtype
+    ghi_eff = float(np.asarray(g.spec.max[0], dt) - np.asarray(g.spec.dx[0], dt))
+    blo = float(np.asarray(spec.boundary_min[0], dt))
+    bhi = float(np.asarray(spec.boundary_max[0], dt))
+    v = g.values
+    d = g.derivs[:, 0]
+    # qq = desired endpoint slope / endpoint value with the 0/0 guard
+    # (grid.h:113-116) is a pure per-point table quantity: precomputing it
+    # removes the per-pair divide and reproduces the XLA path's qq exactly
+    # (same operation on the same operands)
+    safe = jnp.abs(v) >= 1e-7
+    qq = jnp.where(safe, -d / jnp.where(safe, v, 1.0), 0.0)
+    vn = jnp.concatenate([v[1:], v[-1:]])
+    qn = jnp.concatenate([qq[1:], qq[-1:]])
+    tab = jnp.stack([v, qq, vn, qn], axis=-1)
+    G = int(g.spec.nbins[0])
+    return HermiteTable(tab=tab, geom=("hermite", G, glo, gdx, ghi_eff, blo, bhi))
+
+
+def _table_preload(t1_ref, table):
+    """Hoist the hermite table's G x 4 scalar loads out of the per-cell
+    loop: loaded once per program, reused by all CELLS_PER_PROGRAM cells
+    (the loads sit between vector ops otherwise and cost ~15% of the
+    fetch).  Returns None for the Chebyshev form."""
+    if table[0] != "hermite":
+        return None
+    G = table[1]
+    return [
+        (t1_ref[g, 0], t1_ref[g, 1], t1_ref[g, 2], t1_ref[g, 3])
+        for g in range(G)
+    ]
+
+
+def _hermite_val_der(r, ok, *, geom, energy, preload):
+    """In-kernel exact cubic-Hermite value+derivative lookup.
+
+    Coefficient fetch is an unrolled select-accumulate over the G table
+    rows (one compare + four scalar-FMA tile ops per row — ~5*G VPU ops per
+    pair); arithmetic after the fetch mirrors ops/interp._interp1d_matvec
+    term by term (qq prefolded into the table by hermite_pair_table)."""
+    _, G, glo, gdx, ghi_eff, blo, bhi = geom
+    # GaussGrid.in_bounds ([blo, bhi] inclusive) x grid.in_grid ([glo,
+    # max-dx) half-open) — the same two masks the XLA lookup applies
+    okr = (r >= blo) & (r <= bhi) & (r >= glo) & (r < ghi_eff)
+    cv_on = jnp.where(okr, ok, 0.0)
+    idxf = jnp.clip(jnp.floor((r - glo) / gdx), 0.0, float(G - 1))
+    t = (r - glo - idxf * gdx) / gdx
+    c0 = jnp.zeros_like(r)
+    q0 = jnp.zeros_like(r)
+    c1 = jnp.zeros_like(r)
+    q1 = jnp.zeros_like(r)
+    for g, (tv0, tq0, tv1, tq1) in enumerate(preload):
+        m = jnp.where(idxf == float(g), 1.0, 0.0)
+        c0 = c0 + m * tv0
+        q0 = q0 + m * tq0
+        c1 = c1 + m * tv1
+        q1 = q1 + m * tq1
+    value = jnp.zeros_like(t)
+    deriv = jnp.zeros_like(t)
+    for corner, sign, tabf, qq in ((0, 1.0, c0, q0), (1, -1.0, c1, q1)):
+        X = jnp.abs(t - corner)
+        X2 = X * X
+        X3 = X2 * X
+        if energy:
+            C = (1 - 3 * X2 + 2 * X3) - sign * qq * (X - 2 * X2 + X3) * gdx
+            value = value + tabf * C
+        Dp = ((-6 * X + 6 * X2) - sign * qq * (1 - 4 * X + 3 * X2) * gdx) * sign / gdx
+        deriv = deriv + tabf * Dp
+    der = deriv * cv_on
+    val = value * cv_on if energy else None
+    return val, der, cv_on
+
+
+def _table_val_der(t1_ref, t2_ref, r, ok, *, table, energy, preload=None):
+    """Dispatch the bias-table evaluation: panelized-Chebyshev Clenshaw
+    (t1=cval, t2=cder) or exact Hermite (t1=tab, t2 unused)."""
+    if table[0] == "hermite":
+        if preload is None:
+            preload = _table_preload(t1_ref, table)
+        return _hermite_val_der(r, ok, geom=table, energy=energy, preload=preload)
+    _, deg, npanels, cv_lo, cv_hi = table
+    return _cheb_val_der(
+        t1_ref, t2_ref, r, ok, deg=deg, npanels=npanels,
+        cv_lo=cv_lo, cv_hi=cv_hi, energy=energy,
+    )
+
+
+def _cv_type_mask(tc_ref, tn_ref, b, ok, *, cap, tpair, self_block):
+    """rdf type-pair CV mask (fix_edm_pair.cpp:39-44,177-202): restrict the
+    biased CV (never the LJ fluid) to unordered {ti, tj} type pairs.
+    ``self_block``: prepend the local cell's own types to the candidate axis
+    (the Newton kernels' [self | neighbors] layout)."""
+    if tpair is None:
+        return ok
+    ti, tj = tpair
+    tl = tc_ref[b, :]
+    tw = jnp.concatenate([tl, tn_ref[b, :]]) if self_block else tn_ref[b, :]
+    tok = ((tl[:, None] == ti) & (tw[None, :] == tj)) | (
+        (tl[:, None] == tj) & (tw[None, :] == ti)
+    )
+    return jnp.where(tok, ok, 0.0)
 
 
 def _kernel(
@@ -169,8 +320,10 @@ def _kernel_newton(
     xn_ref,  # (8, 13cap*3)  half-stencil coords, xyz-major
     mc_ref,  # (8, cap)      1.0 for real local atoms
     mn_ref,  # (8, 13cap)    1.0 for real half-stencil atoms
-    cv_ref,  # (1, DEGP)     chebyshev value coeffs
-    cd_ref,  # (1, DEGP)     chebyshev deriv coeffs
+    cv_ref,  # (NP, DEGP) chebyshev value coeffs | (G, 4) hermite table
+    cd_ref,  # (NP, DEGP) chebyshev deriv coeffs | (1, 8) unused dummy
+    tc_ref,  # (8, cap)   local atom types | (1, 1) dummy when untyped
+    tn_ref,  # (8, 13cap) half-stencil types | (1, 1) dummy
     fx_ref,  # (8, cap) out: force on local atoms from ALL pairs seen here
     fy_ref,
     fz_ref,
@@ -192,9 +345,9 @@ def _kernel_newton(
     reported bias energy, not the dynamics) is skipped — the derivative
     chain alone drives the forces — and eb_ref is written as zeros.  The
     chain is ~40% of the kernel's FLOPs at deg 48."""
-    (cap, ncand, deg, npanels, bx, by, bz, eps, sig, rcut,
-     cv_lo, cv_hi, energy) = params
+    (cap, ncand, table, tpair, bx, by, bz, eps, sig, rcut, energy) = params
     width = cap + ncand  # candidate axis: [self cell | 13 neighbor cells]
+    preload = _table_preload(cv_ref, table)
 
     def one_cell(b, _):
         xl = xc_ref[b, :]
@@ -231,9 +384,12 @@ def _kernel_newton(
         sr6 = sr2 * sr2 * sr2
         fmag_r = 4.0 * eps * (12.0 * sr6 * sr6 - 6.0 * sr6) * inv_r2 * lj_on
 
-        val, der, cv_on = _cheb_val_der(
-            cv_ref, cd_ref, r, ok, deg=deg, npanels=npanels,
-            cv_lo=cv_lo, cv_hi=cv_hi, energy=energy,
+        ok_cv = _cv_type_mask(
+            tc_ref, tn_ref, b, ok, cap=cap, tpair=tpair, self_block=True
+        )
+        val, der, cv_on = _table_val_der(
+            cv_ref, cd_ref, r, ok_cv, table=table, energy=energy,
+            preload=preload,
         )
 
         f_over_r = fmag_r - der * inv_r * cv_on
@@ -259,25 +415,48 @@ def _kernel_newton(
     jax.lax.fori_loop(0, CELLS_PER_PROGRAM, one_cell, 0, unroll=True)
 
 
+def _table_inputs(table):
+    """(t1 array, t2 array, static table tuple) from a ChebTable or
+    HermiteTable — the two bias-table forms the Newton kernels evaluate."""
+    if isinstance(table, HermiteTable):
+        return table.tab, jnp.zeros((1, 8), table.tab.dtype), table.geom
+    cv2 = table.cval if table.cval.ndim == 2 else table.cval[None, :]
+    cd2 = table.cder if table.cder.ndim == 2 else table.cder[None, :]
+    NP, DEGP = cv2.shape
+    return cv2, cd2, ("cheb", DEGP - 1, NP, float(table.lo), float(table.hi))
+
+
+def _type_inputs(types, type_pair, cap, ncand, row_spec, dtype):
+    """(tc, tn, static tpair, tc_spec, tn_spec) — dummies when untyped."""
+    if types is None or type_pair is None:
+        dummy = jnp.zeros((1, 1), dtype)
+        spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        return dummy, dummy, None, spec, spec
+    tc, tn = types
+    tpair = (float(type_pair[0]), float(type_pair[1]))
+    return tc, tn, tpair, row_spec(cap), row_spec(ncand)
+
+
 def cell_forces_pallas_newton(
-    xc, xn, mc, mn, cval, cder, *,
-    cap, box, lj_eps, lj_sig, lj_rcut, cv_lo, cv_hi, energy=True,
+    xc, xn, mc, mn, table, *,
+    cap, box, lj_eps, lj_sig, lj_rcut, energy=True,
+    types=None, type_pair=None,
 ):
     """Half-stencil Newton force kernel.
 
     xc (Cg, cap, 3) local slot coords; xn (Cg, 13cap, 3) half-stencil
-    coords (HALF_OFFSETS order); mc/mn float masks; cval/cder
-    (npanels, deg+1) (or (deg+1,) for a global series).  Returns
-    (f_local (Cg, cap, 3), f_neigh (Cg, 13cap, 3), eb (Cg, cap)) where
-    ``f_neigh[c, k*cap:(k+1)*cap]`` must be SUBTRACTED from cell
+    coords (HALF_OFFSETS order); mc/mn float masks; ``table`` a ChebTable
+    (spectral lookup) or HermiteTable (exact cubic-Hermite lookup).
+    Returns (f_local (Cg, cap, 3), f_neigh (Cg, 13cap, 3), eb (Cg, cap))
+    where ``f_neigh[c, k*cap:(k+1)*cap]`` must be SUBTRACTED from cell
     ``c + HALF_OFFSETS[k]``'s slots (the caller rolls the lattice).
     Energy is ``jnp.sum(eb)`` — no 0.5 factor (pairs counted once)."""
     xc_f = jnp.concatenate([xc[..., 0], xc[..., 1], xc[..., 2]], axis=1)
     xn_f = jnp.concatenate([xn[..., 0], xn[..., 1], xn[..., 2]], axis=1)
     fx, fy, fz, fnx, fny, fnz, eb = cell_forces_pallas_newton_planar(
-        xc_f, xn_f, mc, mn, cval, cder,
+        xc_f, xn_f, mc, mn, table,
         cap=cap, box=box, lj_eps=lj_eps, lj_sig=lj_sig, lj_rcut=lj_rcut,
-        cv_lo=cv_lo, cv_hi=cv_hi, energy=energy,
+        energy=energy, types=types, type_pair=type_pair,
     )
     f = jnp.stack([fx, fy, fz], axis=-1)
     fn = jnp.stack([fnx, fny, fnz], axis=-1)
@@ -289,8 +468,10 @@ def _kernel_newton_rc(
     xn_ref,  # (8, 13cap*3)  half-stencil coords, xyz-major (streamed block)
     mc_ref,  # (8, cap)      local-row mask (streamed block)
     mn_ref,  # (8, 13cap)    half-stencil candidate mask (streamed block)
-    cv_ref,  # (NP, DEGP)
-    cd_ref,  # (NP, DEGP)
+    cv_ref,  # (NP, DEGP) chebyshev value coeffs | (G, 4) hermite table
+    cd_ref,  # (NP, DEGP) chebyshev deriv coeffs | (1, 8) unused dummy
+    tc_ref,  # (8, cap)   local atom types | (1, 1) dummy when untyped
+    tn_ref,  # (8, 13cap) half-stencil types | (1, 1) dummy
     fx_ref,  # (Cg, cap) RESIDENT out: accumulated x-forces (rows + credits)
     fy_ref,  # (Cg, cap) RESIDENT
     fz_ref,  # (Cg, cap) RESIDENT
@@ -307,10 +488,11 @@ def _kernel_newton_rc(
     (cap,)-row RMW per component per neighbor).  This removes the
     (Cg, 13cap) x 3 credit outputs (~34 MB at 100k atoms) and the 13
     XLA lattice rolls that applied them."""
-    (cap, ncand, deg, npanels, nx_c, ny_c, nz_c, bx, by, bz, eps, sig, rcut,
-     cv_lo, cv_hi, energy) = params
+    (cap, ncand, table, tpair, nx_c, ny_c, nz_c, bx, by, bz, eps, sig, rcut,
+     energy) = params
     width = cap + ncand
     C = nx_c * ny_c * nz_c
+    preload = _table_preload(cv_ref, table)
     p = pl.program_id(0)
 
     @pl.when(p == 0)
@@ -353,9 +535,12 @@ def _kernel_newton_rc(
         sr6 = sr2 * sr2 * sr2
         fmag_r = 4.0 * eps * (12.0 * sr6 * sr6 - 6.0 * sr6) * inv_r2 * lj_on
 
-        val, der, cv_on = _cheb_val_der(
-            cv_ref, cd_ref, r, ok, deg=deg, npanels=npanels,
-            cv_lo=cv_lo, cv_hi=cv_hi, energy=energy,
+        ok_cv = _cv_type_mask(
+            tc_ref, tn_ref, b, ok, cap=cap, tpair=tpair, self_block=True
+        )
+        val, der, cv_on = _table_val_der(
+            cv_ref, cd_ref, r, ok_cv, table=table, energy=energy,
+            preload=preload,
         )
 
         f_over_r = fmag_r - der * inv_r * cv_on
@@ -401,8 +586,9 @@ def _kernel_newton_rc(
 
 
 def cell_forces_pallas_newton_rescredit(
-    xc_f, xn_f, mc, mn, cval, cder, *,
-    cap, ncells, box, lj_eps, lj_sig, lj_rcut, cv_lo, cv_hi, energy=True,
+    xc_f, xn_f, mc, mn, table, *,
+    cap, ncells, box, lj_eps, lj_sig, lj_rcut, energy=True,
+    types=None, type_pair=None,
 ):
     """Planar Newton kernel with resident in-kernel credit accumulation.
 
@@ -416,17 +602,8 @@ def cell_forces_pallas_newton_rescredit(
     assert Cg % CELLS_PER_PROGRAM == 0
     n_prog = Cg // CELLS_PER_PROGRAM
     nx_c, ny_c, nz_c = ncells
-    cv2 = cval if cval.ndim == 2 else cval[None, :]
-    cd2 = cder if cder.ndim == 2 else cder[None, :]
-    NP, DEGP = cv2.shape
+    t1, t2, tspec = _table_inputs(table)
 
-    params = (
-        cap, ncand, DEGP - 1, NP, nx_c, ny_c, nz_c,
-        float(box[0]), float(box[1]), float(box[2]),
-        float(lj_eps), float(lj_sig), float(lj_rcut),
-        float(cv_lo), float(cv_hi), bool(energy),
-    )
-    kernel = functools.partial(_kernel_newton_rc, params=params)
     P = CELLS_PER_PROGRAM
     interpret = jax.default_backend() == "cpu"
 
@@ -435,6 +612,16 @@ def cell_forces_pallas_newton_rescredit(
 
     def resident():
         return pl.BlockSpec((Cg, cap), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    tc, tn, tpair, tc_spec, tn_spec = _type_inputs(
+        types, type_pair, cap, ncand, row_spec, xc_f.dtype
+    )
+    params = (
+        cap, ncand, tspec, tpair, nx_c, ny_c, nz_c,
+        float(box[0]), float(box[1]), float(box[2]),
+        float(lj_eps), float(lj_sig), float(lj_rcut), bool(energy),
+    )
+    kernel = functools.partial(_kernel_newton_rc, params=params)
 
     fx, fy, fz, eb = pl.pallas_call(
         kernel,
@@ -445,40 +632,38 @@ def cell_forces_pallas_newton_rescredit(
             row_spec(3 * ncand),
             row_spec(cap),
             row_spec(ncand),
-            pl.BlockSpec((NP, DEGP), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((NP, DEGP), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(t1.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(t2.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            tc_spec,
+            tn_spec,
         ],
         out_specs=[resident(), resident(), resident(), row_spec(cap)],
         out_shape=[jax.ShapeDtypeStruct((Cg, cap), jnp.float32)] * 4,
-    )(xc_f, xn_f, mc, mn, cv2, cd2)
+    )(xc_f, xn_f, mc, mn, t1, t2, tc, tn)
     return fx, fy, fz, eb
 
 
 def cell_forces_pallas_newton_planar(
-    xc_f, xn_f, mc, mn, cval, cder, *,
-    cap, box, lj_eps, lj_sig, lj_rcut, cv_lo, cv_hi, energy=True,
+    xc_f, xn_f, mc, mn, table, *,
+    cap, box, lj_eps, lj_sig, lj_rcut, energy=True,
+    types=None, type_pair=None,
 ):
     """Planar-layout entry for the Newton kernel: xc_f (Cg, 3cap) and
     xn_f (Cg, 3*13cap) are already xyz-major ([x-plane | y | z]); returns
     the raw per-component outputs (fx, fy, fz, fnx, fny, fnz, eb) without
     stacking — callers that keep planar layouts avoid two full-size HBM
     materializations per step (the dominant non-compute cost at 100k
-    atoms: strided layout copies run ~10x below HBM peak)."""
+    atoms: strided layout copies run ~10x below HBM peak).
+
+    ``types``: optional (tc (Cg, cap), tn (Cg, 13cap)) per-slot type values
+    (floats) + ``type_pair`` (ti, tj) restricting the CV to that unordered
+    type pair (fix_edm_pair.cpp:39-44,177-202); LJ is unaffected."""
     Cg = xc_f.shape[0]
     ncand = xn_f.shape[1] // 3
     assert Cg % CELLS_PER_PROGRAM == 0
     n_prog = Cg // CELLS_PER_PROGRAM
-    cv2 = cval if cval.ndim == 2 else cval[None, :]
-    cd2 = cder if cder.ndim == 2 else cder[None, :]
-    NP, DEGP = cv2.shape
+    t1, t2, tspec = _table_inputs(table)
 
-    params = (
-        cap, ncand, DEGP - 1, NP,
-        float(box[0]), float(box[1]), float(box[2]),
-        float(lj_eps), float(lj_sig), float(lj_rcut),
-        float(cv_lo), float(cv_hi), bool(energy),
-    )
-    kernel = functools.partial(_kernel_newton, params=params)
     P = CELLS_PER_PROGRAM
     # only the host CPU platform needs interpret mode; the axon-relayed
     # TPU backend reports platform "axon" (sitecustomize pins it)
@@ -486,6 +671,16 @@ def cell_forces_pallas_newton_planar(
 
     def row_spec(width):
         return pl.BlockSpec((P, width), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    tc, tn, tpair, tc_spec, tn_spec = _type_inputs(
+        types, type_pair, cap, ncand, row_spec, xc_f.dtype
+    )
+    params = (
+        cap, ncand, tspec, tpair,
+        float(box[0]), float(box[1]), float(box[2]),
+        float(lj_eps), float(lj_sig), float(lj_rcut), bool(energy),
+    )
+    kernel = functools.partial(_kernel_newton, params=params)
 
     fx, fy, fz, fnx, fny, fnz, eb = pl.pallas_call(
         kernel,
@@ -496,8 +691,10 @@ def cell_forces_pallas_newton_planar(
             row_spec(3 * ncand),
             row_spec(cap),
             row_spec(ncand),
-            pl.BlockSpec((NP, DEGP), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((NP, DEGP), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(t1.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(t2.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            tc_spec,
+            tn_spec,
         ],
         out_specs=[
             row_spec(cap), row_spec(cap), row_spec(cap),
@@ -509,7 +706,7 @@ def cell_forces_pallas_newton_planar(
             + [jax.ShapeDtypeStruct((Cg, ncand), jnp.float32)] * 3
             + [jax.ShapeDtypeStruct((Cg, cap), jnp.float32)]
         ),
-    )(xc_f, xn_f, mc, mn, cv2, cd2)
+    )(xc_f, xn_f, mc, mn, t1, t2, tc, tn)
 
     return fx, fy, fz, fnx, fny, fnz, eb
 

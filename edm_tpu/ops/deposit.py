@@ -47,8 +47,12 @@ class HillWindows(NamedTuple):
     valid: jax.Array  # (H, W) bool
 
 
-def hill_windows(gg: GaussGrid, centers: jax.Array) -> HillWindows:
-    """Unit-height window contributions for a batch of hill centers (H, D)."""
+def hill_windows(gg: GaussGrid, centers: jax.Array,
+                 boundary_offset=None) -> HillWindows:
+    """Unit-height window contributions for a batch of hill centers (H, D).
+
+    ``boundary_offset`` (D,): local->global shift for boundary-relative
+    terms (see _pointwise_contrib)."""
     spec = gg.spec
     g = spec.grid
     D = spec.dim
@@ -62,13 +66,17 @@ def hill_windows(gg: GaussGrid, centers: jax.Array) -> HillWindows:
     bmax = spec.boundary_max
     sigma = spec.sigma
 
+    def _off(d):
+        return 0.0 if boundary_offset is None else boundary_offset[d]
+
     x = gg.remap(jnp.asarray(centers, dtype))  # (H, D)
 
     # whole-hill rejection outside a non-periodic boundary (gaussian_grid.h:213-216)
     hill_ok = jnp.ones(x.shape[:1], bool)
     for d in range(D):
         if not spec.boundary_periodic[d]:
-            hill_ok &= (x[:, d] >= bmin[d]) & (x[:, d] <= bmax[d])
+            xc = x[:, d] + _off(d)
+            hill_ok &= (xc >= bmin[d]) & (xc <= bmax[d])
 
     # center index, possibly negative (gaussian_grid.h:222-224)
     x_index = jnp.floor((x - gmin) / gdx).astype(jnp.int32)
@@ -98,7 +106,8 @@ def hill_windows(gg: GaussGrid, centers: jax.Array) -> HillWindows:
     # per-point boundary mask (gaussian_grid.h:272-276)
     for d in range(D):
         if not spec.boundary_periodic[d]:
-            valid = valid & (xx[..., d] >= bmin[d]) & (xx[..., d] <= bmax[d])
+            xg = xx[..., d] + _off(d)
+            valid = valid & (xg >= bmin[d]) & (xg <= bmax[d])
 
     # sigma-scaled distances with periodic wrap (gaussian_grid.h:285-295)
     dp_dims = []
@@ -117,17 +126,23 @@ def hill_windows(gg: GaussGrid, centers: jax.Array) -> HillWindows:
     # a hair below 8 and includes the edge points; XLA's arithmetic can land
     # a hair above and would drop them, shifting per-hill integrals by ~1e-5.
     valid = valid & (dp2 < GAUSS_SUPPORT + 1e-12)
-    value_w, deriv_w = _pointwise_contrib(gg, xx, x[:, None, :], dp, dp2, valid)
+    value_w, deriv_w = _pointwise_contrib(
+        gg, xx, x[:, None, :], dp, dp2, valid, boundary_offset=boundary_offset
+    )
     return HillWindows(idx=idx, value_w=value_w, deriv_w=deriv_w, valid=valid)
 
 
-def _pointwise_contrib(gg: GaussGrid, xx, x, dp, dp2, valid):
+def _pointwise_contrib(gg: GaussGrid, xx, x, dp, dp2, valid, boundary_offset=None):
     """Unit-height (value, gradient) contribution of a hill centered at x to
     a grid point xx, given sigma-scaled dp and dp2 — the Gaussian +
     McGovern–De Pablo correction block of gaussian_grid.h:299-355, shared by
     the windowed scatter path and the dense 1-D path.
 
     All arrays broadcast: xx (..., D), x (..., D), dp (..., D), dp2/valid (...).
+    ``boundary_offset`` (D,): local->global shift applied to coordinates in
+    every boundary-relative term (grids in local coordinates with a GLOBAL
+    static boundary — the sharded host's non-periodic dims); distances (dp)
+    are shift-invariant.
     """
     spec = gg.spec
     D = spec.dim
@@ -145,23 +160,26 @@ def _pointwise_contrib(gg: GaussGrid, xx, x, dp, dp2, valid):
     bc_force = [None] * D
     for d in range(D):
         if not spec.boundary_periodic[d]:
+            off_d = 0.0 if boundary_offset is None else boundary_offset[d]
+            xxd = xx[..., d] + off_d
+            xcd = x[..., d] + off_d
             sig = sigma[d]
             span = bmax[d] - bmin[d]
             bc_idx = jnp.clip(
-                ((BC_TABLE_SIZE - 1) * (xx[..., d] - bmin[d]) / span).astype(jnp.int32),
+                ((BC_TABLE_SIZE - 1) * (xxd - bmin[d]) / span).astype(jnp.int32),
                 0,
                 BC_TABLE_SIZE - 1,
             )
-            temp1 = jnp.exp(-((x[..., d] - bmin[d]) ** 2) / sig**2)
-            temp2 = sigmoid((xx[..., d] - bmin[d]) / (sig * BC_MAR))
-            temp3 = jnp.exp(-((x[..., d] - bmax[d]) ** 2) / sig**2)
-            temp4 = sigmoid((bmax[d] - xx[..., d]) / (sig * BC_MAR))
+            temp1 = jnp.exp(-((xcd - bmin[d]) ** 2) / sig**2)
+            temp2 = sigmoid((xxd - bmin[d]) / (sig * BC_MAR))
+            temp3 = jnp.exp(-((xcd - bmax[d]) ** 2) / sig**2)
+            temp4 = sigmoid((bmax[d] - xxd) / (sig * BC_MAR))
             bc_correction = (temp1 - expo) * temp2 + (temp3 - expo) * temp4
             bc_denom = bc_denom * gg.bc_denom[d][bc_idx]
 
             temp5 = -2 * dp[..., d] / sig
-            temp6 = sigmoid_dx((xx[..., d] - bmin[d]) / (sig * BC_MAR)) / (BC_MAR * sig)
-            temp7 = -sigmoid_dx((bmax[d] - xx[..., d]) / (sig * BC_MAR)) / (BC_MAR * sig)
+            temp6 = sigmoid_dx((xxd - bmin[d]) / (sig * BC_MAR)) / (BC_MAR * sig)
+            temp7 = -sigmoid_dx((bmax[d] - xxd) / (sig * BC_MAR)) / (BC_MAR * sig)
             f = temp5 * expo
             f = f + (temp1 - expo) * temp6 - temp5 * expo * temp2 + (temp3 - expo) * temp7 - temp5 * expo * temp4
             f = f * bc_denom - gg.bc_denom_deriv[d][bc_idx] * (expo + bc_correction)
@@ -196,7 +214,7 @@ def hill_weights(gg: GaussGrid, centers: jax.Array) -> jax.Array:
     return jnp.sum(hw.value_w, axis=-1) * vol
 
 
-def dense_tables_1d(gg: GaussGrid, centers: jax.Array):
+def dense_tables_1d(gg: GaussGrid, centers: jax.Array, boundary_offset=None):
     """Unit-height dense contribution tables for a 1-D grid: returns
     (Mval (G, H), Mder (G, H), s (H,)) such that a deposit of heights h is
     ``values += Mval @ h``, ``derivs[:, 0] += Mder @ h`` and the per-hill
@@ -205,7 +223,7 @@ def dense_tables_1d(gg: GaussGrid, centers: jax.Array):
     For the engine's hill rounds on small CV grids this replaces two window
     evaluations and two scatter passes (TPU scatters cost ~5 ns/element)
     with two tiny matvecs.  Pointwise math identical to the windowed path
-    (shared _pointwise_contrib)."""
+    (shared _pointwise_contrib).  ``boundary_offset``: see hill_windows."""
     spec = gg.spec
     g = spec.grid
     assert spec.dim == 1
@@ -214,15 +232,18 @@ def dense_tables_1d(gg: GaussGrid, centers: jax.Array):
     x = gg.remap(centers)  # (H, 1)
     H = x.shape[0]
     G = g.nbins[0]
+    off0 = 0.0 if boundary_offset is None else boundary_offset[0]
 
     hill_ok = jnp.ones((H,), bool)
     if not spec.boundary_periodic[0]:
-        hill_ok &= (x[:, 0] >= spec.boundary_min[0]) & (x[:, 0] <= spec.boundary_max[0])
+        xc = x[:, 0] + off0
+        hill_ok &= (xc >= spec.boundary_min[0]) & (xc <= spec.boundary_max[0])
 
     gxs = g.min[0] + g.dx[0] * jnp.arange(G, dtype=dtype)
     point_ok = jnp.ones((G,), bool)
     if not spec.boundary_periodic[0]:
-        point_ok &= (gxs >= spec.boundary_min[0]) & (gxs <= spec.boundary_max[0])
+        gxo = gxs + off0
+        point_ok &= (gxo >= spec.boundary_min[0]) & (gxo <= spec.boundary_max[0])
 
     xx = gxs[:, None]  # (G, 1)
     dpd = xx[:, 0][:, None] - x[None, :, 0]  # (G, H)
@@ -233,7 +254,8 @@ def dense_tables_1d(gg: GaussGrid, centers: jax.Array):
     dp2 = dp[..., 0] * dp[..., 0]
     valid = point_ok[:, None] & hill_ok[None, :] & (dp2 < GAUSS_SUPPORT + 1e-12)
     Mval, Mder = _pointwise_contrib(
-        gg, xx[:, None, :], x[None, :, :], dp, dp2, valid
+        gg, xx[:, None, :], x[None, :, :], dp, dp2, valid,
+        boundary_offset=boundary_offset,
     )
     s = jnp.sum(Mval, axis=0) * np.asarray(g.dx[0], dtype)
     return Mval, Mder[..., 0], s
@@ -318,6 +340,307 @@ def deposit_from_tables_sep(gg: GaussGrid, tabs, heights):
     return dataclasses.replace(gg, grid=grid)
 
 
+class McGDP2DTables(NamedTuple):
+    """Linear-in-height deposit tables for a 2-D grid with McGovern-De
+    Pablo boundary-corrected dim(s) — see dense_tables_mcgdp_2d."""
+
+    sep_value: tuple  # ((H, G0), (H, G1)) factors of expo/D_tot
+    sep_grads: tuple  # per dim: tuple of terms, each ((H, G0), (H, G1))
+    strip_cache: dict  # per-dim base arrays for the strip passes
+    s: jax.Array  # (H,) unit-height integral (bias-limiter invariant)
+
+
+def _mcgdp_base(gg: GaussGrid, centers):
+    """Shared per-dim ingredient arrays for the 2-D McGDP fast path."""
+    spec = gg.spec
+    g = spec.grid
+    D = spec.dim
+    dtype = gg.dtype
+    x = gg.remap(jnp.asarray(centers, dtype))  # (H, D)
+    H = x.shape[0]
+
+    hill_ok = jnp.ones((H,), bool)
+    for d in range(D):
+        if not spec.boundary_periodic[d]:
+            hill_ok &= (x[:, d] >= spec.boundary_min[d]) & (
+                x[:, d] <= spec.boundary_max[d]
+            )
+    hill_okf = hill_ok.astype(dtype)
+
+    per = []
+    for d in range(D):
+        G = g.nbins[d]
+        gxs = g.min[d] + g.dx[d] * jnp.arange(G, dtype=dtype)
+        gxs_np = np.asarray(g.min[d] + g.dx[d] * np.arange(G))
+        dpd = gxs[None, :] - x[:, d : d + 1]  # (H, G)
+        if g.periodic[d]:
+            L = g.max[d] - g.min[d]
+            dpd = dpd - ref_round(dpd / L) * L
+        dp = dpd / spec.sigma[d]
+        dp2 = dp * dp
+        m = (dp2 < GAUSS_SUPPORT + 1e-12).astype(dtype)
+        e = jnp.exp(-dp2)
+        ent = dict(m=m, e=e, dp=dp, dp2=dp2, G=G, gxs=gxs)
+        if spec.boundary_periodic[d]:
+            ent["inv_fac"] = 1.0 / (math.sqrt(math.pi) * spec.sigma[d])
+            ent["strip"] = None
+        else:
+            bmin, bmax = spec.boundary_min[d], spec.boundary_max[d]
+            sig = spec.sigma[d]
+            span = bmax - bmin
+            pm = ((gxs >= bmin) & (gxs <= bmax)).astype(dtype)
+            ent["m"] = m * pm[None, :]
+            ent["pm"] = pm
+            bc_idx = jnp.clip(
+                ((BC_TABLE_SIZE - 1) * (gxs - bmin) / span).astype(jnp.int32),
+                0, BC_TABLE_SIZE - 1,
+            )
+            ent["den"] = gg.bc_denom[d][bc_idx]  # (G,)
+            ent["dden"] = gg.bc_denom_deriv[d][bc_idx]
+            ent["inv_fac"] = 1.0 / ent["den"]
+            ent["s2"] = sigmoid((gxs - bmin) / (sig * BC_MAR))
+            ent["s4"] = sigmoid((bmax - gxs) / (sig * BC_MAR))
+            ent["t6"] = sigmoid_dx((gxs - bmin) / (sig * BC_MAR)) / (BC_MAR * sig)
+            ent["t7"] = -sigmoid_dx((bmax - gxs) / (sig * BC_MAR)) / (BC_MAR * sig)
+            ent["t1"] = jnp.exp(-((x[:, d] - bmin) ** 2) / sig**2)  # (H,)
+            ent["t3"] = jnp.exp(-((x[:, d] - bmax) ** 2) / sig**2)
+            # static strip: rows where any sigmoid factor can be nonzero
+            # (s2/s4/t6/t7 are EXACTLY zero outside |u| < 1) — the
+            # correction terms live only here
+            u_lo = (gxs_np - bmin) / (sig * BC_MAR)
+            u_hi = (bmax - gxs_np) / (sig * BC_MAR)
+            strip = np.nonzero((u_lo < 1.0) | (u_hi < 1.0))[0]
+            ent["strip"] = strip
+        per.append(ent)
+    return x, hill_okf, per
+
+
+def dense_tables_mcgdp_2d(gg: GaussGrid, centers: jax.Array) -> McGDP2DTables:
+    """2-D deposition tables for grids with McGovern-De Pablo corrected
+    dims — the MXU fast path for non-periodic 2-D coordinate grids under
+    heavy hill load (reference gaussian_grid.h:299-343).
+
+    Split by decay structure of ``_pointwise_contrib``'s algebra (incl.
+    its sequential quirks: only the LAST non-periodic dim's correction
+    survives; each dim's force divides by the RUNNING denominator):
+
+    * Terms carrying the full Gaussian ``expo`` decay with hill-point
+      distance -> evaluated as separable per-dim outer products on the
+      MXU with a per-dim (square) support cutoff.  Divergence vs the
+      reference's spherical cutoff is <= e^-8 of the hill peak at corner
+      points (the dense_tables_sep ledger entry).
+    * Correction terms carrying s2/s4/t6/t7 sigmoid factors do NOT decay
+      with distance, but those factors are EXACTLY ZERO outside static
+      boundary strips of width BC_MAR*sigma' — they are evaluated densely
+      on the strips with the reference's exact spherical mask (no
+      square-support divergence at all).
+
+    Returns McGDP2DTables; commit with deposit_from_mcgdp_2d (linear in
+    height, so the bias-limiter machinery reuses one table build)."""
+    spec = gg.spec
+    g = spec.grid
+    assert spec.dim == 2
+    dtype = gg.dtype
+    x, hill_okf, per = _mcgdp_base(gg, centers)
+    nonper = [d for d in range(2) if not spec.boundary_periodic[d]]
+    assert nonper, "use dense_tables_sep for fully-periodic grids"
+    dstar = nonper[-1]
+
+    def fac_pow(d, p):
+        iv = per[d]["inv_fac"]
+        if isinstance(iv, float):
+            return iv**p
+        return iv**p
+
+    # ---- separable (decaying) terms
+    def sepf(d, *, t5=False, dden=False, facpow=1, upto=1):
+        ent = per[d]
+        f = ent["m"] * ent["e"]
+        if d <= upto and facpow:
+            f = f * fac_pow(d, facpow)
+        if t5:
+            f = f * (-2.0 * ent["dp"] / spec.sigma[d])
+        if dden:
+            f = f * (-per[d]["dden"])[None, :]
+        return f
+
+    sep_value = (
+        sepf(0, upto=1) * hill_okf[:, None],
+        sepf(1, upto=1),
+    )
+    sep_grads = []
+    for gd in range(2):
+        terms = []
+        if spec.boundary_periodic[gd]:
+            # dd = t5 * expo / D_tot (reference ignores correction terms in
+            # periodic-dim gradients)
+            terms.append((
+                sepf(0, t5=(gd == 0), upto=1) * hill_okf[:, None],
+                sepf(1, t5=(gd == 1), upto=1),
+            ))
+        else:
+            # t5 * e / D_{<=g}
+            terms.append((
+                sepf(0, t5=(gd == 0), upto=gd) * hill_okf[:, None],
+                sepf(1, t5=(gd == 1), upto=gd),
+            ))
+            # -den'_g * e / D_{<=g}^2
+            terms.append((
+                sepf(0, dden=(gd == 0), facpow=2, upto=gd) * hill_okf[:, None],
+                sepf(1, dden=(gd == 1), facpow=2, upto=gd),
+            ))
+        sep_grads.append(tuple(terms))
+
+    # ---- strip caches (exact spherical-mask correction terms)
+    strip_cache = dict(dstar=dstar, hill_okf=hill_okf)
+
+    # ---- unit integral s: separable part + value-correction strip part
+    vol = np.asarray(np.prod(g.dx), dtype)
+    s = jnp.sum(sep_value[0], axis=1) * jnp.sum(sep_value[1], axis=1)
+    sv = _mcgdp_strip_value(gg, per, dstar, hill_okf, heights=None)
+    # sv is (H,) unit-integral of the strip correction when heights is None
+    s = (s + sv) * vol
+    return McGDP2DTables(
+        sep_value=sep_value, sep_grads=tuple(sep_grads),
+        strip_cache=dict(per=per, **strip_cache), s=s,
+    )
+
+
+def _strip_fields(gg, per, d_strip, which):
+    """Dense (H, Go, S) ingredient tensors on dim ``d_strip``'s boundary
+    strip: spherical-mask validity, expo, and the running denominators.
+    ``which``: o = the other dim.  Axis order is (hill, other-dim rows,
+    strip rows) with dim order restored by the caller."""
+    o = 1 - d_strip
+    eo = per[o]
+    es = per[d_strip]
+    strip = es["strip"]
+    dp2o = eo["dp2"]  # (H, Go)
+    dp2s = es["dp2"][:, strip]  # (H, S)
+    dp2 = dp2o[:, :, None] + dp2s[:, None, :]
+    valid = (dp2 < GAUSS_SUPPORT + 1e-12).astype(gg.dtype)
+    # per-point boundary masks of BOTH dims
+    if "pm" in eo:
+        valid = valid * eo["pm"][None, :, None]
+    valid = valid * es["pm"][strip][None, None, :]
+    e = jnp.exp(-dp2)
+    return o, strip, valid, e, dp2
+
+
+def _running_inv_den(per, upto, o, d_strip, strip, power=1):
+    """(Go-broadcast, S-broadcast) 1/D_{<=upto}^power split per dim."""
+    fo = 1.0
+    fs = 1.0
+    for k in range(upto + 1):
+        iv = per[k]["inv_fac"]
+        if k == o:
+            fo = (iv if isinstance(iv, float) else iv) ** power
+        elif k == d_strip:
+            ivs = iv if isinstance(iv, float) else iv[strip]
+            fs = ivs**power
+    return fo, fs
+
+
+def _mcgdp_strip_value(gg, per, dstar, hill_okf, heights):
+    """Value-correction field on dim dstar's strip.
+
+    heights=None: return the per-hill unit integral (H,) of the strip
+    correction.  heights (H,): return the (Go, S) field summed over hills
+    (chunked over hills to bound the transient)."""
+    o, strip, valid, e, _ = _strip_fields(gg, per, dstar, "value")
+    es = per[dstar]
+    s2 = jnp.asarray(es["s2"])[strip]
+    s4 = jnp.asarray(es["s4"])[strip]
+    fo, fs = _running_inv_den(per, dstar, o, dstar, strip, 1)
+
+    corr = (
+        (es["t1"][:, None, None] - e) * s2[None, None, :]
+        + (es["t3"][:, None, None] - e) * s4[None, None, :]
+    ) * valid
+    corr = corr * hill_okf[:, None, None]
+    corr = corr * (fo if isinstance(fo, float) else fo[None, :, None])
+    corr = corr * (fs if isinstance(fs, float) else fs[None, None, :])
+    if heights is None:
+        return jnp.sum(corr, axis=(1, 2))
+    return jnp.einsum("hos,h->os", corr, heights,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def _mcgdp_strip_grad(gg, per, gdim, hill_okf, heights):
+    """Gradient-correction field of McGDP dim ``gdim`` on its own strip:
+    -t5 e (s2+s4)/D_{<=g} + (t1-e) t6/D + (t3-e) t7/D
+    - den'_g [(t1-e)s2 + (t3-e)s4]/D^2, all under the spherical mask.
+    Returns the (Go, S) field summed over hills."""
+    o, strip, valid, e, _ = _strip_fields(gg, per, gdim, "grad")
+    es = per[gdim]
+    spec = gg.spec
+    sig = spec.sigma[gdim]
+    s2 = jnp.asarray(es["s2"])[strip]
+    s4 = jnp.asarray(es["s4"])[strip]
+    t6 = jnp.asarray(es["t6"])[strip]
+    t7 = jnp.asarray(es["t7"])[strip]
+    dden = jnp.asarray(es["dden"])[strip]
+    t5 = (-2.0 * es["dp"] / sig)[:, strip]  # (H, S)
+    t1 = es["t1"][:, None, None]
+    t3 = es["t3"][:, None, None]
+    fo1, fs1 = _running_inv_den(per, gdim, o, gdim, strip, 1)
+    fo2, fs2 = _running_inv_den(per, gdim, o, gdim, strip, 2)
+
+    def app(field, fo, fs):
+        field = field * (fo if isinstance(fo, float) else fo[None, :, None])
+        return field * (fs if isinstance(fs, float) else fs[None, None, :])
+
+    f1 = -t5[:, None, :] * e * (s2 + s4)[None, None, :]
+    f1 = f1 + (t1 - e) * t6[None, None, :] + (t3 - e) * t7[None, None, :]
+    f1 = app(f1, fo1, fs1)
+    f2 = -((t1 - e) * s2[None, None, :] + (t3 - e) * s4[None, None, :])
+    f2 = app(f2 * dden[None, None, :], fo2, fs2)
+    field = (f1 + f2) * valid * hill_okf[:, None, None]
+    return jnp.einsum("hos,h->os", field, heights,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def deposit_from_mcgdp_2d(gg: GaussGrid, tabs: McGDP2DTables, heights):
+    """Commit a 2-D McGDP deposit: separable einsum terms + strip fields,
+    then boundary-row duplication."""
+    spec = gg.spec
+    heights = jnp.asarray(heights, gg.dtype)
+    hp = jax.lax.Precision.HIGHEST
+    per = tabs.strip_cache["per"]
+    dstar = tabs.strip_cache["dstar"]
+    hill_okf = tabs.strip_cache["hill_okf"]
+
+    def contract(fs):
+        return jnp.einsum("hx,hy->xy", heights[:, None] * fs[0], fs[1],
+                          precision=hp)
+
+    def place(field, d_strip):
+        """(Go, S) strip field -> full-grid array (dim order restored)."""
+        strip = per[d_strip]["strip"]
+        out = jnp.zeros(spec.grid.nbins, gg.dtype)
+        if d_strip == 1:
+            return out.at[:, strip].add(field)
+        return out.at[strip, :].add(field.T)
+
+    values = gg.grid.values + contract(tabs.sep_value)
+    values = values + place(
+        _mcgdp_strip_value(gg, per, dstar, hill_okf, heights), dstar
+    )
+    derivs = gg.grid.derivs
+    for d in range(2):
+        dd = jnp.zeros(spec.grid.nbins, gg.dtype)
+        for fs in tabs.sep_grads[d]:
+            dd = dd + contract(fs)
+        if not spec.boundary_periodic[d]:
+            dd = dd + place(
+                _mcgdp_strip_grad(gg, per, d, hill_okf, heights), d
+            )
+        derivs = derivs.at[..., d].add(dd)
+    grid = dataclasses.replace(gg.grid, values=values, derivs=derivs)
+    out = dataclasses.replace(gg, grid=grid)
+    return duplicate_boundary(out)
+
+
 # backward-compatible 2-D wrappers
 def dense_tables_2d(gg: GaussGrid, centers: jax.Array):
     tabs, s = dense_tables_sep(gg, centers)
@@ -329,7 +652,7 @@ def deposit_from_tables_2d(gg: GaussGrid, ux, uy, dux, duy, heights):
     return deposit_from_tables_sep(gg, [(ux, dux), (uy, duy)], heights)
 
 
-def deposit_from_tables(gg: GaussGrid, Mval, Mder, heights):
+def deposit_from_tables(gg: GaussGrid, Mval, Mder, heights, boundary_offset=None):
     """Commit a dense-table deposit (matvec; no scatter)."""
     heights = jnp.asarray(heights, gg.dtype)
     values = gg.grid.values + Mval @ heights
@@ -337,7 +660,7 @@ def deposit_from_tables(gg: GaussGrid, Mval, Mder, heights):
     grid = dataclasses.replace(gg.grid, values=values, derivs=derivs)
     out = dataclasses.replace(gg, grid=grid)
     if any(not p for p in gg.spec.boundary_periodic):
-        out = duplicate_boundary(out)
+        out = duplicate_boundary(out, boundary_offset)
     return out
 
 
@@ -394,10 +717,79 @@ def _duplication_assignments(spec):
     return assignments
 
 
-def duplicate_boundary(gg: GaussGrid) -> GaussGrid:
+def _duplicate_boundary_dynamic(gg: GaussGrid, boundary_offset) -> GaussGrid:
+    """Offset-aware boundary duplication: the reference's 4^D combo copies
+    (gaussian_grid.h:571-630) with per-dim boundary indices computed
+    in-graph from the shifted boundary.  Combos whose boundary row lies
+    outside this grid are predicated off (mid-slab devices of a sharded
+    non-periodic dim have no boundary in range, so their copies no-op)."""
+    spec = gg.spec
+    g = spec.grid
+    D = spec.dim
+    dtype = gg.dtype
+    values = gg.grid.values
+
+    min_i, max_i = [], []
+    for d in range(D):
+        off_d = boundary_offset[d]
+        blo = spec.boundary_min[d] - off_d  # boundary in LOCAL coordinates
+        bhi = spec.boundary_max[d] - off_d
+        dx = g.dx[d]
+        gmin = g.min[d]
+        nb = g.nbins[d]
+        lo = jnp.floor((blo - gmin) / dx).astype(jnp.int32)
+        for _ in range(2):  # the reference's while-adjust, unrolled
+            lo = jnp.where(lo.astype(dtype) * dx + gmin < blo, lo + 1, lo)
+        hi = jnp.floor((bhi - gmin) / dx).astype(jnp.int32)
+        for _ in range(2):
+            hi = jnp.where(
+                (hi.astype(dtype) * dx + gmin > bhi) | (hi == nb), hi - 1, hi
+            )
+        min_i.append(lo)
+        max_i.append(hi)
+
+    for combo in range(4**D):
+        temp = combo
+        outer, bound = [], []
+        valid = jnp.ones((), bool)
+        for d in range(D):
+            off = temp % 4
+            temp //= 4
+            nb = g.nbins[d]
+            in_rng = (min_i[d] >= 0) & (max_i[d] <= nb - 1) & (min_i[d] <= max_i[d])
+            if off == 0:
+                valid &= (not spec.boundary_periodic[d]) & (min_i[d] >= 1) & in_rng
+                outer.append(jnp.clip(min_i[d] - 1, 0, nb - 1))
+                bound.append(jnp.clip(min_i[d], 0, nb - 1))
+            elif off == 1:
+                valid &= in_rng
+                outer.append(jnp.clip(min_i[d], 0, nb - 1))
+                bound.append(jnp.clip(min_i[d], 0, nb - 1))
+            elif off == 2:
+                valid &= in_rng
+                outer.append(jnp.clip(max_i[d], 0, nb - 1))
+                bound.append(jnp.clip(max_i[d], 0, nb - 1))
+            else:
+                valid &= (
+                    (not spec.boundary_periodic[d]) & (max_i[d] <= nb - 2) & in_rng
+                )
+                outer.append(jnp.clip(max_i[d] + 1, 0, nb - 1))
+                bound.append(jnp.clip(max_i[d], 0, nb - 1))
+        src = values[tuple(bound)]
+        cur = values[tuple(outer)]
+        values = values.at[tuple(outer)].set(jnp.where(valid, src, cur))
+    grid = dataclasses.replace(gg.grid, values=values)
+    return dataclasses.replace(gg, grid=grid)
+
+
+def duplicate_boundary(gg: GaussGrid, boundary_offset=None) -> GaussGrid:
     """Copy boundary values outward so out-of-boundary bias stays flat
     (zero force).  Values only — gradients outside the boundary are never
-    deposited and stay 0, matching the reference."""
+    deposited and stay 0, matching the reference.  With
+    ``boundary_offset``, boundary indices are computed in-graph (sharded
+    local-coordinate grids with a global boundary)."""
+    if boundary_offset is not None:
+        return _duplicate_boundary_dynamic(gg, boundary_offset)
     values = gg.grid.values
     for outer, bound in _duplication_assignments(gg.spec):
         values = values.at[outer].set(values[bound])
@@ -405,7 +797,8 @@ def duplicate_boundary(gg: GaussGrid) -> GaussGrid:
     return dataclasses.replace(gg, grid=grid)
 
 
-def deposit_precomputed(gg: GaussGrid, hw: HillWindows, heights: jax.Array):
+def deposit_precomputed(gg: GaussGrid, hw: HillWindows, heights: jax.Array,
+                        boundary_offset=None):
     """Scatter-commit precomputed unit windows scaled by per-hill heights.
 
     Splitting window evaluation from the scatter lets the bias-limiting
@@ -427,7 +820,7 @@ def deposit_precomputed(gg: GaussGrid, hw: HillWindows, heights: jax.Array):
     grid = dataclasses.replace(gg.grid, values=values, derivs=derivs)
     out = dataclasses.replace(gg, grid=grid)
     if any(not p for p in gg.spec.boundary_periodic):
-        out = duplicate_boundary(out)
+        out = duplicate_boundary(out, boundary_offset)
     return out, bias_added
 
 

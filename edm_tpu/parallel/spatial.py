@@ -39,11 +39,21 @@ Design (SPMD over a 1-D mesh, one grid shard per device):
   analog) atoms may drift up to ``skin`` outside their slab and still see
   correct forces from the skin region of the local grid.
 
-Not supported here (documented divergences): ``target_filename`` /
-``initial_bias_filename`` (global-coordinate grids would need per-device
-shifting) and non-periodic global boundaries along the sharded dim (the
-McGovern-De Pablo tables are static per boundary placement; shard along a
-periodic dim instead).
+* Target / initial-bias grids (the E in EDM, edm_bias.cpp:1054-1072): the
+  target stays a GLOBAL-coordinate grid replicated on every device (as
+  every MPI rank reads the full file) and is evaluated at global hill
+  positions; the initial bias is sampled per device at its local grid's
+  global coordinates and accumulated at init (edm_bias.cpp:166-167).
+
+* Non-periodic global boundaries along the sharded dim
+  (``spatial_subdivide(..., periodic=[False, ...])``): the static boundary
+  is the GLOBAL box (shifted so box_low0 -> 0) and a per-device
+  ``boundary_offset`` (= axis_index * slab_w) converts local coordinates to
+  global in every boundary-relative computation — McGovern-De Pablo
+  correction terms, boundary masks, zero-force boundary-row duplication
+  (computed in-graph, predicated off on mid-slab devices).  The BC lookup
+  tables depend only on the global boundary + sigma, so ONE table serves
+  every device (edm_bias.cpp:134-155, lib/gaussian_grid.h:378-435).
 """
 
 from __future__ import annotations
@@ -78,11 +88,22 @@ class SpatialCoordState:
 
 
 class SpatialSetup(NamedTuple):
-    params: B.BiasParams  # per-device params (cfg in LOCAL coordinates)
+    params: B.BiasParams  # per-device params (cfg in LOCAL coordinates;
+    # params.target stays a GLOBAL-coordinate grid — every device holds the
+    # full target, exactly as every MPI rank reads the full target file,
+    # edm_bias.cpp:1054-1064)
     n_dev: int
     slab_w: float
     skin: float
     box_low0: float
+    initial_stack: Optional[tuple] = None  # (values (n_dev, ...), derivs
+    # (n_dev, ..., D)): per-device local-coordinate samples of the global
+    # initial-bias grid, accumulated into the stacked state at init
+    # (edm_bias.cpp:166-167 per rank)
+    nonperiodic0: bool = False  # global boundary along the sharded dim is
+    # non-periodic: the static boundary is the GLOBAL box (shifted so
+    # box_low0 -> 0) and every boundary-relative computation shifts by the
+    # per-device boundary_offset (McGovern-De Pablo terms included)
 
 
 def spatial_subdivide(
@@ -93,42 +114,85 @@ def spatial_subdivide(
     skin: float,
     dtype=jnp.float32,
     buffer_size: int = B.BIAS_BUFFER_SIZE,
+    target=None,
+    initial_bias=None,
+    periodic=None,
 ):
     """Equal-slab decomposition of the CV range along dim 0.
+
+    ``periodic``: per-dim GLOBAL boundary periodicity (default all True —
+    the host's b_periodic argument, fix_edm.cpp:100-104).  A non-periodic
+    dim 0 engages the boundary_offset machinery: McGovern-De Pablo
+    boundary-corrected zero-force hills against the global box, evaluated
+    per device via local->global shifts inside one SPMD program.
 
     Returns (SpatialSetup, per-device BiasState template).  Mirrors
     EDMBias::subdivide for each rank with ``sublo = d*slab_w``,
     ``subhi = (d+1)*slab_w`` in a coordinate frame where the slab starts at
     0 — every device gets the identical static grid.
+
+    ``target`` / ``initial_bias``: GLOBAL-coordinate grids (loaded from
+    ``cfg.target_filename`` / ``cfg.initial_bias_filename`` when not given
+    — the reference reads them per rank, edm_bias.cpp:1054-1072).  The
+    target is kept global and evaluated at global hill positions
+    (expected_target is the global integral); the initial bias is sampled
+    per device at its local grid's global coordinates and accumulated into
+    the stacked state by ``init_spatial_state``.
     """
-    if cfg.target_filename or cfg.initial_bias_filename:
-        raise ValueError(
-            "spatial sharding does not support target/initial grids yet "
-            "(global-coordinate grids; see module docstring)"
+    from ..utils.gridio import read_grid_file
+
+    if target is None and cfg.target_filename:
+        target = read_grid_file(
+            cfg.target_filename, dim=cfg.dim, interpolate=False, dtype=dtype
+        )
+    if initial_bias is None and cfg.initial_bias_filename:
+        initial_bias = read_grid_file(
+            cfg.initial_bias_filename, dim=cfg.dim, interpolate=True, dtype=dtype
         )
     lo0, hi0 = cfg.box_low[0], cfg.box_high[0]
     L = hi0 - lo0
     slab_w = L / n_dev
     mid = slab_w / 2.0
-    # reference normalization (edm_bias.cpp:173-180): per-system density
+    # reference normalization (edm_bias.cpp:173-180): per-system density.
+    # The reference divides and resets to 1 only on an exact-zero quotient
+    # (a double underflow guard, edm_bias.cpp:178-179) — NOT a >=1 clamp:
+    # for 0 < hill_density < n_dev the per-replica density stays fractional
+    # and acceptance probabilities shrink accordingly.
     if cfg.hill_density > 0:
+        hd = cfg.hill_density / n_dev
         cfg = dataclasses.replace(
             cfg,
-            hill_density=max(cfg.hill_density / n_dev, 1.0),
+            hill_density=hd if hd != 0 else 1.0,
             hill_prefactor=cfg.hill_prefactor / n_dev,
         )
-    # local-coordinate cfg: dim-0 box is the global length centered on the
-    # slab so remap()'s nearest-image wrap targets this device's grid
-    cfg_loc = dataclasses.replace(
-        cfg,
-        box_low=(mid - L / 2.0,) + tuple(cfg.box_low[1:]),
-        box_high=(mid + L / 2.0,) + tuple(cfg.box_high[1:]),
-    )
     D = cfg.dim
+    if periodic is None:
+        periodic = [True] * D
+    periodic = [bool(p) for p in periodic]
+    per0 = periodic[0]
+    if per0:
+        # local-coordinate cfg: dim-0 box is the global length centered on
+        # the slab so remap()'s nearest-image wrap targets this device's grid
+        cfg_loc = dataclasses.replace(
+            cfg,
+            box_low=(mid - L / 2.0,) + tuple(cfg.box_low[1:]),
+            box_high=(mid + L / 2.0,) + tuple(cfg.box_high[1:]),
+        )
+    else:
+        # non-periodic sharded dim: the STATIC boundary is the global box
+        # shifted so box_low0 -> 0; per-device boundary_offset
+        # (= axis_index * slab_w) converts local -> shifted-global in every
+        # boundary-relative computation (edm_bias.cpp:134-155 per rank,
+        # lib/gaussian_grid.h:378-435 — the McGDP tables depend only on the
+        # global boundary + sigma, so one table serves every device)
+        cfg_loc = dataclasses.replace(
+            cfg,
+            box_low=(0.0,) + tuple(cfg.box_low[1:]),
+            box_high=(L,) + tuple(cfg.box_high[1:]),
+        )
     sublo = [0.0] + [cfg.box_low[d] for d in range(1, D)]
     subhi = [slab_w] + [cfg.box_high[d] for d in range(1, D)]
     skins = [skin] + [0.0] * (D - 1)
-    periodic = [True] * D  # sharded dim must be globally periodic
     params, state = B.subdivide(
         cfg_loc,
         temperature,
@@ -143,16 +207,47 @@ def spatial_subdivide(
         buffer_size=buffer_size,
         n_replicas=n_dev,
     )
-    # sanity: hills must have a unique nearest image w.r.t. each local grid
-    support = max(
-        4.0 * np.sqrt(2.0) * s for s in cfg.bias_sigma[:1]
-    )  # sqrt(2*GAUSS_SUPPORT)*sigma*sqrt(2)
-    if slab_w + 2 * skin + 2 * support >= L:
-        raise ValueError(
-            "slabs too wide for unique nearest-image hill delivery: "
-            f"slab {slab_w} + 2*skin {skin} + 2*support {support} >= L {L}"
+    if per0:
+        # sanity: hills must have a unique nearest image w.r.t. each local
+        # grid (non-periodic boundaries never wrap, so no constraint there)
+        support = max(
+            4.0 * np.sqrt(2.0) * s for s in cfg.bias_sigma[:1]
+        )  # sqrt(2*GAUSS_SUPPORT)*sigma*sqrt(2)
+        if slab_w + 2 * skin + 2 * support >= L:
+            raise ValueError(
+                "slabs too wide for unique nearest-image hill delivery: "
+                f"slab {slab_w} + 2*skin {skin} + 2*support {support} >= L {L}"
+            )
+
+    if target is not None:
+        # the target grid stays in GLOBAL coordinates: heights evaluate it
+        # at global hill positions (make_spatial_coord_step), and
+        # expected_target is the global integral — identical on every
+        # device, as in the reference (edm_bias.cpp:1054-1064)
+        params = dataclasses.replace(
+            params,
+            target=target,
+            expected_target=jnp.asarray(target.expected_bias(), dtype),
         )
-    return SpatialSetup(params, n_dev, float(slab_w), float(skin), float(lo0)), state
+
+    initial_stack = None
+    if initial_bias is not None:
+        from ..grid import grid_points
+
+        pts = grid_points(state.bias.grid.spec, dtype)  # local coordinates
+        vals, ders = [], []
+        for d in range(n_dev):
+            ptsd = pts.at[..., 0].add(lo0 + d * slab_w)
+            v, dv = initial_bias.get_value_deriv(ptsd)
+            vals.append(v)
+            ders.append(dv)
+        initial_stack = (jnp.stack(vals), jnp.stack(ders))
+
+    setup = SpatialSetup(
+        params, n_dev, float(slab_w), float(skin), float(lo0),
+        initial_stack=initial_stack, nonperiodic0=not per0,
+    )
+    return setup, state
 
 
 def init_spatial_state(
@@ -162,7 +257,10 @@ def init_spatial_state(
     n_dev, slab_w, lo0 = setup.n_dev, setup.slab_w, setup.box_low0
     L = slab_w * n_dev
     x0 = np.asarray(x0, float)
-    wrapped0 = lo0 + np.mod(x0[:, 0] - lo0, L)
+    if setup.nonperiodic0:
+        wrapped0 = np.clip(x0[:, 0], lo0, lo0 + L)  # no wrap across the box
+    else:
+        wrapped0 = lo0 + np.mod(x0[:, 0] - lo0, L)
     dev_of = np.clip((wrapped0 - lo0) // slab_w, 0, n_dev - 1).astype(int)
     dtype = state_template.bias.dtype
     xs = np.zeros((n_dev, capacity, x0.shape[1]))
@@ -178,6 +276,17 @@ def init_spatial_state(
     bias_stacked = jax.tree.map(
         lambda l: jnp.broadcast_to(l[None], (n_dev,) + l.shape), state_template
     )
+    if setup.initial_stack is not None:
+        # per-rank accumulation of the initial bias (edm_bias.cpp:166-167):
+        # each device adds the global grid sampled at ITS local coordinates
+        iv, idr = setup.initial_stack
+        g = bias_stacked.bias.grid
+        g = dataclasses.replace(
+            g, values=g.values + iv.astype(dtype), derivs=g.derivs + idr.astype(dtype)
+        )
+        bias_stacked = dataclasses.replace(
+            bias_stacked, bias=dataclasses.replace(bias_stacked.bias, grid=g)
+        )
     st = SpatialCoordState(
         x=jnp.asarray(xs, dtype),
         v=jnp.zeros((n_dev, capacity, x0.shape[1]), dtype),
@@ -203,7 +312,10 @@ def rebin_spatial_atoms(setup: SpatialSetup, state: SpatialCoordState, mesh):
     n_dev, slab_w, lo0 = setup.n_dev, setup.slab_w, setup.box_low0
     L = slab_w * n_dev
     cap = state.x.shape[1]
-    wrapped0 = lo0 + np.mod(xs[:, 0] - lo0, L)
+    if setup.nonperiodic0:
+        wrapped0 = np.clip(xs[:, 0], lo0, lo0 + L)
+    else:
+        wrapped0 = lo0 + np.mod(xs[:, 0] - lo0, L)
     dev_of = np.clip((wrapped0 - lo0) // slab_w, 0, n_dev - 1).astype(int)
     nx = np.array(np.asarray(state.x))
     nv = np.zeros_like(np.asarray(state.v))
@@ -241,11 +353,19 @@ def gather_spatial_grid(setup: SpatialSetup, state: SpatialCoordState):
     dx = spec.dx[0]
     xs_local = spec.min[0] + dx * np.arange(spec.nbins[0])
     own = (xs_local >= 0.0) & (xs_local < slab_w)
+    # a non-periodic global dim has one extra point AT the global max,
+    # owned by the last device
+    own_last = (
+        (xs_local >= 0.0) & (xs_local <= slab_w)
+        if setup.nonperiodic0
+        else own
+    )
     rows = []
     xg = []
     for d in range(n_dev):
-        rows.append(vals[d][own])
-        xg.append(xs_local[own] + lo0 + d * slab_w)
+        o = own_last if d == n_dev - 1 else own
+        rows.append(vals[d][o])
+        xg.append(xs_local[o] + lo0 + d * slab_w)
     return np.concatenate(xg), np.concatenate(rows)
 
 
@@ -264,8 +384,20 @@ def write_spatial_grid(setup: SpatialSetup, state: SpatialCoordState, filename: 
     dx = spec.dx[0]
     xs_local = spec.min[0] + dx * np.arange(spec.nbins[0])
     own = (xs_local >= 0.0) & (xs_local < slab_w)
-    gvals = np.concatenate([vals[d][own] for d in range(n_dev)], axis=0)
-    gders = np.concatenate([ders[d][own] for d in range(n_dev)], axis=0)
+    own_last = (
+        (xs_local >= 0.0) & (xs_local <= slab_w)
+        if setup.nonperiodic0
+        else own
+    )
+
+    def _rows(a):
+        return np.concatenate(
+            [a[d][own_last if d == n_dev - 1 else own] for d in range(n_dev)],
+            axis=0,
+        )
+
+    gvals = _rows(vals)
+    gders = _rows(ders)
     D = spec.dim
     gspec = GridSpec.create(
         [lo0] + [spec.min[d] for d in range(1, D)],
@@ -275,7 +407,7 @@ def write_spatial_grid(setup: SpatialSetup, state: SpatialCoordState, filename: 
             for d in range(1, D)
         ],
         list(spec.dx),
-        [True] + [spec.periodic[d] for d in range(1, D)],
+        [not setup.nonperiodic0] + [spec.periodic[d] for d in range(1, D)],
     )
     import jax.numpy as _jnp
 
@@ -310,6 +442,7 @@ def make_spatial_coord_step(
     axis = DATA_AXIS
     slab_w = setup.slab_w
     lo0 = setup.box_low0
+    nonper0 = setup.nonperiodic0
 
     def to_local(x):
         # global -> this device's local coordinates (dim 0 shifted); remap
@@ -317,13 +450,27 @@ def make_spatial_coord_step(
         off = lo0 + jax.lax.axis_index(axis).astype(x.dtype) * slab_w
         return x.at[..., 0].add(-off)
 
+    def boundary_off(dtype):
+        # local -> shifted-global conversion for the non-periodic sharded
+        # dim (the static boundary is the global box with box_low0 at 0)
+        if not nonper0:
+            return None
+        return (
+            jnp.zeros((D,), dtype)
+            .at[0]
+            .set(jax.lax.axis_index(axis).astype(dtype) * slab_w)
+        )
+
     def step_local(state):
         # shard_map view: strip the leading device axis
         s = jax.tree.map(lambda a: a[0], state)
 
         def force_fn(x):
             x_loc = to_local(x)
-            e_b, der = B.update_forces(params, s.bias, x_loc, mask=s.valid)
+            e_b, der = B.update_forces(
+                params, s.bias, x_loc, mask=s.valid,
+                boundary_offset=boundary_off(x.dtype),
+            )
             f = jnp.zeros_like(x)
             f = f.at[..., :D].add(-der)
             f = jnp.where(s.valid[..., None], f, 0)
@@ -353,8 +500,12 @@ def make_spatial_coord_step(
             else:
                 accept = s.valid & (runif < params.cfg.hill_density / est)
             # heights computed on the ORIGIN device against its local grid
-            # (round-start; see bias.hill_heights)
-            h = B.hill_heights(params, bs, pos_loc, est)
+            # (round-start; see bias.hill_heights); the target factor
+            # evaluates the GLOBAL target grid at global positions
+            h = B.hill_heights(
+                params, bs, pos_loc, est, target_positions=x[:, :D],
+                boundary_offset=boundary_off(x.dtype),
+            )
             # exchange: gather (global position, height, active) from all
             # devices; each device replays everything, masks do the rest
             pos_g = jax.lax.all_gather(x[:, :D], axis, tiled=True)
@@ -370,6 +521,7 @@ def make_spatial_coord_step(
                 active=act_g,
                 axis_name=axis,
                 override_heights=h_g,
+                boundary_offset=boundary_off(x.dtype),
             )
             log = (
                 B.HillRoundLog(jnp.ones((), bool), pos_g, rec)

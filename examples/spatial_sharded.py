@@ -48,8 +48,28 @@ CFG = parse_edm_text(
 )
 
 
+def make_target():
+    """Experiment-directed target: an unnormalized -ln p(x) the sampled
+    distribution should converge to (here: two preferred regions).  The
+    grid is GLOBAL — every device holds it whole, like every MPI rank
+    (edm_bias.cpp:1054-1064)."""
+    import jax.numpy as jnp
+
+    from edm_tpu.grid import Grid, GridSpec
+
+    tspec = GridSpec.create([0.0], [16.0], [0.05], [True])
+    xs = np.arange(tspec.nbins[0]) * tspec.dx[0]
+    tvals = 1.2 * (1.0 - np.cos(2 * np.pi * xs / 8.0)) / 2.0
+    return Grid(
+        values=jnp.asarray(tvals, jnp.float32), derivs=None, spec=tspec,
+        interpolate=False,
+    )
+
+
 def main():
-    setup, template = spatial_subdivide(CFG, 1.0, 1.0, N_DEV, skin=1.2)
+    setup, template = spatial_subdivide(
+        CFG, 1.0, 1.0, N_DEV, skin=1.2, target=make_target()
+    )
     mesh = make_mesh(N_DEV)
     rng = np.random.default_rng(0)
     x0 = np.stack(

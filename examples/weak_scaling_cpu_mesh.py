@@ -1,0 +1,124 @@
+"""Weak-scaling proxy for the slab-sharded cell host on the virtual CPU mesh.
+
+Real multi-chip hardware is unavailable in this environment, and the CPU
+"mesh" time-slices ONE physical core across its virtual devices — wall-clock
+speedup is therefore unmeasurable here.  What IS measurable and meaningful:
+
+1. **Per-device work balance**: the slab decomposition's cells-per-device
+   spread (asserted <= one x-column), which on real hardware bounds the
+   load-imbalance term of the scaling efficiency.
+2. **Aggregate-work overhead**: T(n devices, n x work) / (n * T(1 device,
+   1 x work)).  On a single core every device's compute serializes, so this
+   ratio isolates the *extra* work the sharded program does per device
+   (halo columns, collectives, credit exchange, replicated hill rounds) —
+   exactly the terms that erode weak scaling on a real pod slice, minus the
+   ICI bandwidth term (modeled separately in docs/perf.md).
+
+Run: python examples/weak_scaling_cpu_mesh.py  (forces an 8-device CPU mesh)
+Prints one JSON line per mesh size.
+"""
+
+import json
+import os
+import time
+
+if "host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
+import numpy as np
+import jax.numpy as jnp
+
+from edm_tpu import bias as B
+from edm_tpu.models import pair_edm
+from edm_tpu.models.cells import CellSpec
+from edm_tpu.models.langevin import LangevinParams
+from edm_tpu.models.lj import LJParams
+from edm_tpu.models.pair_edm_cells import init_cell_state
+from edm_tpu.parallel import make_mesh
+from edm_tpu.parallel.cells import make_slab_cell_step
+from edm_tpu.utils.config import parse_edm_text
+
+SIDE_PER_DEV = 8  # 8x8x8 lattice = 512 atoms per device at density 0.5
+A = 1.26
+STEPS = 10
+
+
+def run(n_dev: int):
+    n_atoms = SIDE_PER_DEV**3 * n_dev
+    nx, ny, nz = SIDE_PER_DEV * n_dev, SIDE_PER_DEV, SIDE_PER_DEV
+    pts = (
+        np.stack(np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz),
+                             indexing="ij"), -1).reshape(-1, 3) * A + 0.5 * A
+    )
+    box = [nx * A, ny * A, nz * A]
+    cfg = parse_edm_text(
+        "tempering 0\nhill_prefactor 0.1\nbias_per_step 1.0\nhill_density 100\n"
+        "dimension 1\nbox_low 0\nbox_high 3.0\nbias_spacing 0.02\nbias_sigma 0.1\n"
+    )
+    params, bias_state = B.subdivide(
+        cfg, 1.0, 1.0, [0], [3.0], [0], [3.0], [False], [0]
+    )
+    spec = CellSpec.create(box, cutoff=3.05, n_atoms=n_atoms)
+    mesh = make_mesh(n_dev)
+    core = pair_edm.init_state(
+        bias_state, jnp.asarray(pts, jnp.float32), jax.random.PRNGKey(0),
+        n_est=n_atoms * 20, pair_lookup="chebyshev", cheb_deg=16, cheb_panels=4,
+    )
+    state = init_cell_state(spec, core, with_ids=False)
+    step = make_slab_cell_step(
+        params, LangevinParams(dt=0.002, friction=1.0, kT=0.8), LJParams(),
+        spec, hill_stride=10, mesh=mesh, rebuild_stride=10, energy_stride=10,
+    )
+
+    # per-device cell balance of the (balanced) slab decomposition
+    nx_c = spec.ncells[0]
+    q, rem = divmod(nx_c, n_dev)
+    cols = [q + (d < rem) for d in range(n_dev)]
+    assert max(cols) - min(cols) <= 1, f"slab imbalance: columns per device {cols}"
+
+    state, _ = step(state)  # compile + settle
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        s = state
+        for _ in range(STEPS):
+            s, e = step(s)
+        float(jnp.sum(s.xs))  # force completion
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return {
+        "n_dev": n_dev,
+        "atoms": n_atoms,
+        "cells_x_per_dev": cols,
+        "steps_per_sec": round(STEPS / best, 3),
+        "sec_per_step": round(best / STEPS, 4),
+    }
+
+
+def main():
+    rows = []
+    for n in (1, 2, 4, 8):
+        r = run(n)
+        rows.append(r)
+        print(json.dumps(r), flush=True)
+    t1 = rows[0]["sec_per_step"]
+    for r in rows[1:]:
+        # aggregate-work overhead: extra per-device work under sharding
+        # (halo columns + collectives + replicated rounds), the scaling
+        # loss term measurable on a time-sliced single-core mesh
+        r["agg_overhead"] = round(r["sec_per_step"] / (r["n_dev"] * t1) - 1, 3)
+        print(json.dumps({"n_dev": r["n_dev"], "agg_overhead": r["agg_overhead"]}))
+
+
+if __name__ == "__main__":
+    main()

@@ -46,3 +46,15 @@ def fixture_dir():
     if not d.exists():
         pytest.skip("reference fixtures unavailable")
     return d
+
+
+@pytest.fixture(autouse=True)
+def _clear_jax_caches_after_slow(request):
+    """The slow profile compiles dozens of large interpret-mode Pallas
+    programs in one process; XLA:CPU's accumulated compiler state has been
+    observed to segfault a later compile deep into the sequence (the same
+    test passes in isolation).  Dropping the jit caches between slow cases
+    trades recompiles for a bounded compiler footprint."""
+    yield
+    if "slow" in request.keywords:
+        jax.clear_caches()

@@ -9,6 +9,7 @@ two HILLS files must be byte-identical.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -104,6 +105,7 @@ def test_pair_host_collect_records(tmp_path):
     assert abs(total - float(state.bias.cum_bias)) < 1e-6
 
 
+@pytest.mark.slow
 def test_cells_host_collect_records(tmp_path):
     """The production cell-list host also emits the HILLS stream."""
     from edm_tpu.models import pair_edm
@@ -142,6 +144,7 @@ def test_cells_host_collect_records(tmp_path):
     assert abs(total - float(state.core.bias.cum_bias)) < 1e-6
 
 
+@pytest.mark.slow
 def test_native_hills_formatter_byte_parity(tmp_path):
     """The C++ formatter (native/hillslog.cpp) must produce byte-identical
     output to the Python path for random capped rounds."""

@@ -4,6 +4,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from edm_tpu import bias as B
 from edm_tpu.models import coord_edm
@@ -91,6 +92,7 @@ def test_pairwise_lj_edm():
     assert int(st.last_calls) > 0
 
 
+@pytest.mark.slow
 def test_pairwise_blocked_matches_dense():
     """Blocked large-N path: same physics as the dense path (statistical
     agreement on accumulated bias; identical force law)."""
@@ -157,6 +159,7 @@ def test_flat_histogram_convergence():
     assert float(jnp.sum(st.bias.cv_hist.values)) > 0
 
 
+@pytest.mark.slow
 def test_cell_list_host_matches_blocked():
     """Cell-list host: identical force law to the dense chebyshev path
     (same first-step trajectory), stable over many steps, no overflows."""
@@ -227,6 +230,7 @@ def test_cell_list_host_matches_blocked():
     assert not bool(cstate.table_overflow)
 
 
+@pytest.mark.slow
 def test_pair_type_filtering():
     """rdf type-pair filtering (fix_edm_pair.cpp:39-44,177-202): only i-j
     type pairs contribute to the CV — hills and forces ignore same-type
@@ -270,6 +274,169 @@ def test_pair_type_filtering():
     assert float(st.bias.cum_bias) > 0
 
 
+@pytest.mark.slow
+def test_cell_host_type_filtering_pallas_matches_xla(monkeypatch):
+    """Type-filtered runs through the Newton Pallas kernel (cached slot-type
+    planes masking only the CV term) reproduce the XLA typed path — the rdf
+    type pair is a first-class fix_edm_pair argument and must not lose the
+    kernel fast path (fix_edm_pair.cpp:39-44,177-202)."""
+    import jax.experimental.pallas as pl
+    import edm_tpu.ops.cellforce_pallas as M
+    from edm_tpu.models import pair_edm
+    from edm_tpu.models.cells import CellSpec
+    from edm_tpu.models.pair_edm_cells import init_cell_state, make_cell_step
+    from edm_tpu.models.lj import LJParams
+    from edm_tpu.utils.config import parse_edm_text
+
+    orig = pl.pallas_call
+
+    def interp_call(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(M.pl, "pallas_call", interp_call)
+
+    cfg = parse_edm_text(
+        "tempering 0\nhill_prefactor 0.1\nbias_per_step 10.0\nhill_density 40\n"
+        "dimension 1\nbox_low 0\nbox_high 3.0\nbias_spacing 0.02\nbias_sigma 0.1\n"
+    )
+    params, state = B.subdivide(
+        cfg, 1.0, 1.0, [0], [3.0], [0], [3.0], [False], [0], dtype=jnp.float32
+    )
+    side, a = 8, 1.26
+    pts = (
+        np.stack(np.meshgrid(*[np.arange(side)] * 3, indexing="ij"), -1).reshape(-1, 3)
+        * a + 0.5 * a
+    )
+    types = np.ones(len(pts), np.int32)
+    types[::2] = 2
+    lp = LangevinParams(dt=0.002, friction=1.0, kT=0.8)
+    spec = CellSpec.create([side * a] * 3, cutoff=3.0, n_atoms=len(pts))
+    core = pair_edm.init_state(
+        state, jnp.asarray(pts, jnp.float32), jax.random.PRNGKey(0),
+        pair_lookup="chebyshev",
+    )
+    # seed bias so the CV force is nonzero and the filter matters
+    bias2, _ = core.bias.bias.add_value(
+        jnp.asarray([[1.2], [1.8]], jnp.float32), jnp.asarray([0.5, 0.3], jnp.float32)
+    )
+    import dataclasses as dc
+    from edm_tpu.ops.chebyshev import fit_gauss_grid
+
+    core = dc.replace(
+        core, bias=dc.replace(core.bias, bias=bias2), cheb=fit_gauss_grid(bias2, 64)
+    )
+    cst = init_cell_state(spec, core, types=types)
+    assert cst.ts is not None
+
+    def run(use_pallas):
+        step = make_cell_step(
+            params, lp, LJParams(), spec, hill_stride=1,
+            types=types, type_pair=(1, 2), use_pallas=use_pallas,
+        )
+        return step(cst, None)[0]
+
+    s_xla = run(False)
+    s_pal = run(True)
+    np.testing.assert_allclose(
+        np.asarray(s_pal.xs), np.asarray(s_xla.xs), rtol=1e-5, atol=1e-6
+    )
+    scale = np.abs(np.asarray(s_xla.fs)).max()
+    np.testing.assert_allclose(
+        np.asarray(s_pal.fs), np.asarray(s_xla.fs), atol=1e-4 * max(scale, 1.0)
+    )
+    # same typed candidate count and identical hill round (same collector)
+    assert int(s_pal.core.last_calls) == int(s_xla.core.last_calls)
+    np.testing.assert_allclose(
+        np.asarray(s_pal.core.bias.bias.grid.values),
+        np.asarray(s_xla.core.bias.bias.grid.values),
+        atol=1e-6,
+    )
+    # filter engaged: typed candidate count strictly below the untyped count
+    core_all = dc.replace(core, cheb=core.cheb)
+    cst_all = init_cell_state(spec, core_all)
+    step_all = make_cell_step(
+        params, lp, LJParams(), spec, hill_stride=1, use_pallas=True
+    )
+    s_all = step_all(cst_all, None)[0]
+    assert 0 < int(s_pal.core.last_calls) < int(s_all.core.last_calls)
+
+
+@pytest.mark.slow
+def test_pallas_interp_exact_matches_xla(monkeypatch):
+    """pair_lookup='interp' through the Newton kernel: the in-kernel
+    HermiteTable fetch reproduces the XLA exact cubic-Hermite lookup
+    (reference lib/grid.h:95-137) — the bit-parity fallback path users
+    take when they distrust the spectral approximation."""
+    import jax.experimental.pallas as pl
+    import edm_tpu.ops.cellforce_pallas as M
+    from edm_tpu.models import pair_edm
+    from edm_tpu.models.cells import CellSpec
+    from edm_tpu.models.pair_edm_cells import init_cell_state, make_cell_step
+    from edm_tpu.models.lj import LJParams
+    from edm_tpu.utils.config import parse_edm_text
+
+    orig = pl.pallas_call
+
+    def interp_call(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(M.pl, "pallas_call", interp_call)
+
+    cfg = parse_edm_text(
+        "tempering 0\nhill_prefactor 0.1\nbias_per_step 1.0\nhill_density 20\n"
+        "dimension 1\nbox_low 0\nbox_high 3.0\nbias_spacing 0.02\nbias_sigma 0.1\n"
+    )
+    params, state = B.subdivide(
+        cfg, 1.0, 1.0, [0], [3.0], [0], [3.0], [False], [0], dtype=jnp.float32
+    )
+    side, a = 8, 1.26
+    pts = (
+        np.stack(np.meshgrid(*[np.arange(side)] * 3, indexing="ij"), -1).reshape(-1, 3)
+        * a + 0.5 * a
+    )
+    lp = LangevinParams(dt=0.002, friction=1.0, kT=0.8)
+    spec = CellSpec.create([side * a] * 3, cutoff=3.0, n_atoms=len(pts))
+    core = pair_edm.init_state(
+        state, jnp.asarray(pts, jnp.float32), jax.random.PRNGKey(0),
+        pair_lookup="interp",
+    )
+    assert core.cheb is None
+    bias2, _ = core.bias.bias.add_value(
+        jnp.asarray([[1.2], [1.8]], jnp.float32), jnp.asarray([0.5, 0.3], jnp.float32)
+    )
+    import dataclasses as dc
+
+    core = dc.replace(core, bias=dc.replace(core.bias, bias=bias2))
+    cst = init_cell_state(spec, core)
+
+    s_xla, _ = make_cell_step(params, lp, LJParams(), spec, hill_stride=10**6)(cst, None)
+    s_pal, _ = make_cell_step(
+        params, lp, LJParams(), spec, hill_stride=10**6, use_pallas=True
+    )(cst, None)
+    # same exact table; the kernel computes r via rsqrt (vs sqrt in XLA),
+    # so a pair's interval index can differ by an ULP at interval edges —
+    # force tolerance matches the cheb-kernel parity test
+    np.testing.assert_allclose(
+        np.asarray(s_pal.xs), np.asarray(s_xla.xs), rtol=1e-5, atol=1e-6
+    )
+    scale = np.abs(np.asarray(s_xla.fs)).max()
+    np.testing.assert_allclose(
+        np.asarray(s_pal.fs), np.asarray(s_xla.fs), atol=1e-4 * max(scale, 1.0)
+    )
+    assert abs(float(s_pal.core.energy) - float(s_xla.core.energy)) < 1e-3 * max(
+        1.0, abs(float(s_xla.core.energy))
+    )
+    # and a hill round keeps working (no cheb refit on the interp path)
+    s2, _ = make_cell_step(
+        params, lp, LJParams(), spec, hill_stride=1, use_pallas=True
+    )(cst, None)
+    assert s2.core.cheb is None
+    assert float(s2.core.bias.cum_bias) > 0
+
+
+@pytest.mark.slow
 def test_cell_host_type_filtering():
     from edm_tpu.models import pair_edm
     from edm_tpu.models.cells import CellSpec
@@ -313,6 +480,7 @@ def test_cell_host_type_filtering():
     assert 0 < int(st_f.core.last_calls) < int(st_a.core.last_calls)
 
 
+@pytest.mark.slow
 def test_pallas_cell_force_matches_xla(monkeypatch):
     """The fused Pallas cell-force kernel (interpret mode on CPU) produces
     the identical trajectory to the XLA cell path."""
@@ -426,6 +594,7 @@ def test_coordinate_edm_2d():
     assert float(jnp.sum(st.bias.cv_hist.values)) > 0
 
 
+@pytest.mark.slow
 def test_run_simulation_driver(tmp_path):
     """fix-style host loop: strided bias/histogram/table writes, histogram
     reset each write (README.md:139-141)."""
@@ -492,6 +661,7 @@ def test_coord_group_mask():
     assert vals[(xs > 6.2) & (xs < 7.8)].sum() < 1e-3
 
 
+@pytest.mark.slow
 def test_half_tile_hill_collection_census():
     """The half-tile hill collector enumerates every in-range unordered
     pair exactly once with TWO hills at its r (the reference's two ordered

@@ -63,6 +63,7 @@ def test_sharded_pair_step_8dev():
         np.testing.assert_array_equal(shards[0], s)
 
 
+@pytest.mark.slow
 def test_sharded_vs_single_device_statistics():
     """Same physics on 1 vs 8 devices: with the cap not binding and identical
     hill acceptance statistics, cumulative bias per round matches to the
@@ -93,6 +94,7 @@ def test_sharded_vs_single_device_statistics():
     assert abs(c1 - c8) / max(c1, c8) < 0.5
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     import importlib.util
     import pathlib
@@ -110,6 +112,7 @@ def test_graft_entry_dryrun():
     mod.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_sharded_cell_host():
     """Spatially-sharded cell host on the 8-device mesh: first-step
     trajectory matches the single-device cell host (kT=0 — the hosts now
@@ -226,6 +229,7 @@ def test_sharded_pair_hills_logging(tmp_path):
     assert abs(total - float(state.bias.cum_bias)) < 1e-4
 
 
+@pytest.mark.slow
 def test_sharded_cells_hills_logging(tmp_path):
     """Sharded cell-list host emits the HILLS stream too (the last compiled
     host without it; one gathered log stream represents every replica)."""
@@ -262,6 +266,7 @@ def test_sharded_cells_hills_logging(tmp_path):
     assert abs(total - float(state.core.bias.cum_bias)) < 1e-4
 
 
+@pytest.mark.slow
 def test_slab_cell_host_matches_single_device():
     """Slab-sharded slot-resident cells host (Newton kernel per x-slab +
     halo, one psum/step) reproduces the single-device host's trajectory
@@ -300,6 +305,7 @@ def test_slab_cell_host_matches_single_device():
     assert float(sN.core.bias.cum_bias) > 0
 
 
+@pytest.mark.slow
 def test_slab_cell_host_hills_logging(tmp_path):
     """Slab-sharded host threads collect_records through shard_map: the
     replicated hill rounds give one HILLS stream for every replica and

@@ -5,6 +5,7 @@ stitched-grid parity against a serial full-range run.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -46,6 +47,7 @@ def _setup(kT=0.0):
     return cfg, setup, mesh, x0, lp, state, step
 
 
+@pytest.mark.slow
 def test_spatial_matches_serial_stitch():
     cfg, setup, mesh, x0, lp, state, step = _setup()
     n_rounds = 3
@@ -91,6 +93,213 @@ def test_spatial_matches_serial_stitch():
     assert abs(setup.params.total_volume - N_DEV * 10.0) < 1e-9
 
 
+def test_spatial_targeting_matches_serial():
+    """Targeted (experiment-directed) metadynamics under spatial sharding —
+    the defining EDM feature (edm_bias.cpp:1054-1064): the global target
+    grid scales hill heights on every device, and the stitched grid matches
+    a serial full-range targeted run."""
+    from edm_tpu.grid import Grid, GridSpec
+
+    cfg = parse_edm_text(EDM)
+    # smooth periodic -ln p target on [0, 10]
+    tspec = GridSpec.create([0.0], [10.0], [0.05], [True])
+    xs_t = np.arange(tspec.nbins[0]) * tspec.dx[0]
+    tvals = 0.8 * np.cos(2 * np.pi * xs_t / 10.0) + 1.0
+    target = Grid(
+        values=jnp.asarray(tvals, jnp.float64), derivs=None, spec=tspec,
+        interpolate=False,
+    )
+    setup, template = spatial_subdivide(
+        cfg, 1.0, 1.0, N_DEV, SKIN, dtype=jnp.float64, target=target
+    )
+    mesh = make_mesh(N_DEV)
+    xs = []
+    for d in range(N_DEV):
+        xs.append([d * 1.25 + 0.3, 0.0, 0.0])
+        xs.append([d * 1.25 + 1.2, 0.0, 0.0])
+    x0 = np.asarray(xs)
+    lp = LangevinParams(dt=1e-8, friction=0.0, kT=0.0)
+    state = init_spatial_state(
+        setup, template, x0, jax.random.PRNGKey(0), capacity=4, mesh=mesh
+    )
+    step = make_spatial_coord_step(setup, lp, hill_stride=1, mesh=mesh)
+    n_rounds = 2
+    for _ in range(n_rounds):
+        state, e = step(state)
+    assert bool(jnp.isfinite(e))
+
+    # serial full-range targeted oracle: same est (= per-device atom count)
+    params_f, state_f = B.subdivide(
+        cfg, 1.0, 1.0, [0], [10], [0], [10], [True], [0],
+        target=target, dtype=jnp.float64,
+    )
+    for _ in range(n_rounds):
+        state_f, _ = B.add_hills_round(
+            params_f, state_f,
+            jnp.asarray(x0[:, :1], jnp.float64),
+            jnp.zeros(x0.shape[0], jnp.float64),
+            2.0,
+        )
+    xg, vg = gather_spatial_grid(setup, state)
+    order = np.argsort(xg)
+    np.testing.assert_allclose(
+        vg[order], np.asarray(state_f.bias.grid.values), atol=1e-9
+    )
+    # the target actually modulated heights: grid is NOT flat across slabs
+    assert np.ptp(vg) > 1e-3
+
+
+def test_spatial_initial_bias_matches_serial():
+    """initial_bias_filename analog: each device accumulates the global
+    initial grid at its local coordinates (edm_bias.cpp:166-167,1066-1072);
+    stitched state matches the serial accumulation, and a well-tempered
+    round sees the initial bias identically on both paths."""
+    from edm_tpu import GaussGrid
+
+    # build an initial bias grid (with derivatives) from a serial deposit
+    g0 = GaussGrid.create(
+        [0.0], [10.0], [0.01], [True], [0.2], dtype=jnp.float64
+    )
+    g0, _ = g0.add_value(
+        jnp.asarray([[2.0], [5.5], [9.9]], jnp.float64),
+        jnp.asarray([0.4, 0.2, 0.3], jnp.float64),
+    )
+    initial = g0.grid
+
+    cfg = parse_edm_text(
+        "tempering 1\nbias_factor 10\nglobal_tempering -1\n"
+        "hill_prefactor 1.0\nbias_per_step 100\ndimension 1\n"
+        "box_low 0\nbox_high 10\nbias_spacing 0.01\nbias_sigma 0.2\n"
+    )
+    setup, template = spatial_subdivide(
+        cfg, 1.0, 1.0, N_DEV, SKIN, dtype=jnp.float64, initial_bias=initial
+    )
+    mesh = make_mesh(N_DEV)
+    xs = []
+    for d in range(N_DEV):
+        xs.append([d * 1.25 + 0.3, 0.0, 0.0])
+        xs.append([d * 1.25 + 1.2, 0.0, 0.0])
+    x0 = np.asarray(xs)
+    lp = LangevinParams(dt=1e-8, friction=0.0, kT=0.0)
+    state = init_spatial_state(
+        setup, template, x0, jax.random.PRNGKey(0), capacity=4, mesh=mesh
+    )
+
+    params_f, state_f = B.subdivide(
+        cfg, 1.0, 1.0, [0], [10], [0], [10], [True], [0],
+        initial_bias=initial, dtype=jnp.float64,
+    )
+    # initial state already stitches to the serial grid
+    xg, vg = gather_spatial_grid(setup, state)
+    order = np.argsort(xg)
+    np.testing.assert_allclose(
+        vg[order], np.asarray(state_f.bias.grid.values), atol=1e-9
+    )
+
+    # one well-tempered round: heights shrink where the initial bias is
+    # high, identically on both paths
+    step = make_spatial_coord_step(setup, lp, hill_stride=1, mesh=mesh)
+    state, _ = step(state)
+    state_f, _ = B.add_hills_round(
+        params_f, state_f,
+        jnp.asarray(x0[:, :1], jnp.float64),
+        jnp.zeros(x0.shape[0], jnp.float64),
+        2.0,
+    )
+    xg, vg = gather_spatial_grid(setup, state)
+    np.testing.assert_allclose(
+        vg[np.argsort(xg)], np.asarray(state_f.bias.grid.values), atol=1e-9
+    )
+
+
+def test_spatial_nonperiodic_boundary_matches_serial():
+    """Non-periodic global box along the sharded dim: McGovern-De Pablo
+    boundary-corrected zero-force hills evaluated per device through the
+    boundary_offset machinery must stitch to the serial full-range engine
+    (which test_subdivide pins against the reference binary).  Covers
+    edm_bias.cpp:134-155 + lib/gaussian_grid.h:378-435 under sharding."""
+    cfg = parse_edm_text(EDM)
+    setup, template = spatial_subdivide(
+        cfg, 1.0, 1.0, N_DEV, SKIN, dtype=jnp.float64, periodic=[False]
+    )
+    assert setup.nonperiodic0
+    mesh = make_mesh(N_DEV)
+    # atoms near BOTH global edges (BC corrections engage within ~4 sigma
+    # sqrt(2) ~ 1.13 of the boundary) plus mid-box ones
+    xs = []
+    for d in range(N_DEV):
+        xs.append([d * 1.25 + 0.3, 0.0, 0.0])
+        xs.append([d * 1.25 + 1.2, 0.0, 0.0])
+    xs[0][0] = 0.15   # deep in the low-boundary correction zone
+    xs[-1][0] = 9.9   # deep in the high-boundary correction zone
+    x0 = np.asarray(xs)
+    lp = LangevinParams(dt=1e-8, friction=0.0, kT=0.0)
+    state = init_spatial_state(
+        setup, template, x0, jax.random.PRNGKey(0), capacity=4, mesh=mesh
+    )
+    step = make_spatial_coord_step(setup, lp, hill_stride=1, mesh=mesh)
+    n_rounds = 2
+    for _ in range(n_rounds):
+        state, e = step(state)
+    assert bool(jnp.isfinite(e))
+
+    # serial full-range non-periodic oracle, matched replay heights
+    params_f, state_f = B.subdivide(
+        cfg, 1.0, 1.0, [0], [10], [0], [10], [False], [0], dtype=jnp.float64
+    )
+    h = np.full((x0.shape[0],), cfg.hill_prefactor / 2.0)
+    for _ in range(n_rounds):
+        state_f, _ = B.add_hills_round(
+            params_f, state_f,
+            jnp.asarray(x0[:, :1], jnp.float64),
+            jnp.zeros(x0.shape[0], jnp.float64),
+            2.0,
+            override_heights=jnp.asarray(h, jnp.float64),
+        )
+
+    xg, vg = gather_spatial_grid(setup, state)
+    # the non-periodic global grid carries the extra top point
+    assert xg.shape[0] == state_f.bias.grid.values.shape[0] == 1001
+    order = np.argsort(xg)
+    np.testing.assert_allclose(
+        vg[order], np.asarray(state_f.bias.grid.values), atol=1e-9
+    )
+    # stored gradients too (zero-force boundary behavior is in the derivs)
+    spec = state.bias.bias.spec.grid
+    xs_local = spec.min[0] + spec.dx[0] * np.arange(spec.nbins[0])
+    own = (xs_local >= 0.0) & (xs_local < setup.slab_w)
+    own_last = (xs_local >= 0.0) & (xs_local <= setup.slab_w)
+    ders = np.asarray(state.bias.bias.grid.derivs)
+    gders = np.concatenate(
+        [ders[d][own_last if d == N_DEV - 1 else own] for d in range(N_DEV)]
+    )
+    np.testing.assert_allclose(
+        gders[order], np.asarray(state_f.bias.grid.derivs), atol=1e-9
+    )
+    # boundary corrections actually fired: the hill at 0.15 deposits MORE
+    # than an uncorrected Gaussian peak would (mass reflected at the wall)
+    assert vg[order][0] > 0.0
+    # and no periodic wrap: device 0's low-skin rows (global x < 0) carry
+    # only boundary-duplicated values, no image of the 9.9 hill
+    vals0 = np.asarray(state.bias.bias.grid.values)[0]
+    low_skin = xs_local < -0.5
+    assert vals0[low_skin].max() < 1e-6 + vals0[np.argmin(np.abs(xs_local))]
+
+
+def test_spatial_hill_density_normalization():
+    """hill_density/hill_prefactor divide by the replica count with NO >=1
+    clamp (edm_bias.cpp:173-180 resets to 1 only on an exact-zero quotient):
+    for hill_density < n_dev the per-replica density stays fractional."""
+    cfg = parse_edm_text(EDM + "hill_density 2\n")
+    setup, _ = spatial_subdivide(cfg, 1.0, 1.0, N_DEV, SKIN, dtype=jnp.float64)
+    assert setup.params.cfg.hill_density == 2.0 / N_DEV  # not clamped to 1
+    assert setup.params.cfg.hill_prefactor == cfg.hill_prefactor / N_DEV
+    # and a density above n_dev divides plainly too
+    cfg2 = parse_edm_text(EDM + "hill_density 80\n")
+    setup2, _ = spatial_subdivide(cfg2, 1.0, 1.0, N_DEV, SKIN, dtype=jnp.float64)
+    assert setup2.params.cfg.hill_density == 10.0
+
+
 def test_spatial_wraparound_delivery():
     """A hill near the global box edge must land in the opposite-edge
     device's skin via its periodic image (edm_bias.cpp:764-781)."""
@@ -126,6 +335,7 @@ def test_spatial_rebin():
     assert bool(jnp.isfinite(e))
 
 
+@pytest.mark.slow
 def test_spatial_2d_coordinate_grid():
     """2-D coordinate CV sharded along dim 0 only (dims 1+ span globally):
     the >HBM-grid decomposition of SURVEY §7 step 7. Stitch parity against

@@ -3,6 +3,7 @@
 and bias_per_step capping under heavy hill load on a large grid."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -200,6 +201,7 @@ def test_rdf_convergence_to_target():
     assert abs(hx[p.argmax()] - R0) <= hspec.dx[0] + 1e-9
 
 
+@pytest.mark.slow
 def test_panelized_chebyshev_accuracy():
     """The panelized spectral table (4 panels x deg 16) matches the global
     deg-48 fit's force accuracy on a rough many-hill bias profile at ~2/3
