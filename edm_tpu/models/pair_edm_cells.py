@@ -31,7 +31,10 @@ pipeline runs no per-atom gathers or scatters at all:
      unordered pair = the reference's two ordered candidates), slot
      compaction, exact per-candidate extraction on the selected slots —
      then the standard add_hills_round.  Type-filtered runs keep the
-     27-stencil gather collection.
+     27-stencil gather collection.  Under slab sharding the collection
+     itself is slab-decomposed by default (slab_collect): per-device
+     passes over owned x-columns + one all_gather that reproduces the
+     single-device deposit order exactly.
 
 ``core.x/v/f`` (atom order) are refreshed only at FULL (argsort) rebuilds
 — incremental rebins leave them stale; use ``atom_positions(spec, state)``
@@ -347,6 +350,7 @@ def make_cell_step(
     slab_axis: Optional[str] = None,
     slab_ndev: int = 1,
     mover_cap: Optional[int] = None,
+    slab_collect: bool = True,
 ):
     """``slab_axis``/``slab_ndev``: run the force pass slab-sharded under
     ``shard_map`` over that mesh axis — each device evaluates the Newton
@@ -354,9 +358,14 @@ def make_cell_step(
     side and the per-slot forces combine with one psum (the TPU analog of
     the reference's spatial domain decomposition, edm_bias.cpp:98-222,
     with the hill exchange collapsed into the replicated-state psum).
-    Everything else (integration, hill rounds, rebuilds) runs replicated
-    and deterministic — identical on every device, no further collectives.
-    Requires use_pallas (the Newton kernel path)."""
+    With ``slab_collect`` (default) the hill-collection passes are ALSO
+    slab-sharded — each device samples candidates only over its own
+    x-columns and the per-device hill lists are all_gathered in device
+    order, which replays bitwise in the single-device deposit order (see
+    collect_hills_half) — leaving only integration, deposition and
+    rebuilds as the replicated Amdahl terms.  Type-filtered runs keep the
+    replicated 27-stencil collection.  Requires use_pallas (the Newton
+    kernel path)."""
     if min(spec.ncells) < 3:
         raise ValueError(
             "cell list needs >= 3 cells per dim (box >= 3x interaction "
@@ -385,6 +394,11 @@ def make_cell_step(
     else:
         types_arr = None
         tpair = None
+
+    # sharded hill collection (slab mode, untyped): per-device passes over
+    # owned x-columns, gathered + re-compacted to exactly hill_capacity
+    # slots in global order (bitwise the replicated collection's round)
+    slab_hills = slab_axis is not None and slab_collect and types_arr is None
 
     # type-filtered Pallas runs read the cached per-slot type plane
     # (init_cell_state(..., types=...)); checked at trace time below
@@ -694,7 +708,8 @@ def make_cell_step(
 
         return force_fn
 
-    def collect_hills_half(state: CellPairState, xs, key, last_calls, dtype):
+    def collect_hills_half(state: CellPairState, xs, key, last_calls, dtype,
+                           slab: bool = False):
         """Two-level hill collection over HALF-stencil tiles.
 
         Each unordered pair appears once (self block strictly upper,
@@ -704,7 +719,19 @@ def make_cell_step(
         same r).  Candidate tiles are dynamic slices of roll-built planar
         views (no gathers) and distances stay squared until extraction.
         Used whenever no type filter is active (the typed path keeps the
-        27-stencil gather collection)."""
+        27-stencil gather collection).
+
+        ``slab=True`` (slab_axis set): pass 1 + extraction run ONLY over
+        this device's owned x-columns — a contiguous ascending cell range
+        in the x-major cell order — and the per-device compacted hill
+        lists are ``all_gather``ed in device order.  Because compaction
+        preserves row order within each device and devices own ascending
+        ranges, the gathered round replays in EXACTLY the single-device
+        deposit order (the cap semantics see the same sequence); the
+        counter-hash uniforms are keyed by global row index, so the
+        draws are identical too.  This shards the collection the same
+        way the force pass is sharded (the reference's per-rank hill
+        sampling over its own subdomain, edm_bias.cpp:397-411)."""
         from ..ops.cellforce_pallas import HALF_OFFSETS
         from ..ops.hashrng import seeds_from_key, uniform_rows_cols
 
@@ -731,11 +758,31 @@ def make_cell_step(
 
         n_chunks_h = -(-C // cell_chunk)
         Cp_h = n_chunks_h * cell_chunk
+        if slab:
+            # per-device scan over owned cells [x0*ny*nz, (x0+wd)*ny*nz);
+            # balanced column partition as in slab_newton_force
+            q_s, rem_s = nx // slab_ndev, nx % slab_ndev
+            dev = jax.lax.axis_index(slab_axis)
+            x0c = (dev * q_s + jnp.minimum(dev, rem_s)).astype(jnp.int32)
+            wdc = (q_s + (dev < rem_s)).astype(jnp.int32)
+            c_start = x0c * (ny * nz)
+            c_end = (x0c + wdc) * (ny * nz)
+            max_cells = (q_s + (1 if rem_s else 0)) * ny * nz
+            n_chunks_loc = -(-max_cells // cell_chunk)
+            pad_extra = n_chunks_loc * cell_chunk
+        else:
+            c_start = jnp.zeros((), jnp.int32)
+            c_end = jnp.full((), C, jnp.int32)
+            n_chunks_loc = n_chunks_h
+            pad_extra = 0
+        rows_pad = Cp_h + pad_extra  # slab slices never clamp
+        sent = rows_pad * cap
+        n_rows_loc = n_chunks_loc * cell_chunk * cap
 
         def pad_rows(a):
-            if Cp_h > C:
+            if rows_pad > C:
                 return jnp.concatenate(
-                    [a, jnp.zeros((Cp_h - C, a.shape[1]), a.dtype)], 0
+                    [a, jnp.zeros((rows_pad - C, a.shape[1]), a.dtype)], 0
                 )
             return a
 
@@ -766,8 +813,12 @@ def make_cell_step(
 
         def p1_chunk(carry, hi):
             row_counts, ncalls = carry
-            c0 = hi * cell_chunk
+            c0 = c_start + hi * cell_chunk
             _, cand_ok = half_tile(c0, cell_chunk)
+            # ownership mask: cells past c_end belong to the next device
+            # (slab) or are lattice padding (replicated tail chunk)
+            own = (c0 + jnp.arange(cell_chunk)) < c_end
+            cand_ok = cand_ok & own[:, None, None]
             rows = (c0 * cap + jnp.arange(cell_chunk * cap)).astype(jnp.int32)
             u = draws(rows, cell_chunk)
             if thresh is None:
@@ -778,7 +829,7 @@ def make_cell_step(
                 acc = cand_ok[..., None] & (u < thresh)
             rc = jnp.sum(acc.astype(jnp.int32), axis=(2, 3)).reshape(-1)
             row_counts = jax.lax.dynamic_update_slice_in_dim(
-                row_counts, rc.astype(jnp.int32), c0 * cap, axis=0
+                row_counts, rc.astype(jnp.int32), hi * cell_chunk * cap, axis=0
             )
             ncalls = (
                 ncalls + 2 * jnp.sum(cand_ok.astype(jnp.int32))
@@ -787,20 +838,21 @@ def make_cell_step(
 
         (row_counts, ncalls), _ = jax.lax.scan(
             p1_chunk,
-            (jnp.zeros((Cp_h * cap,), jnp.int32), jnp.zeros((), jnp.int32)),
-            jnp.arange(n_chunks_h),
+            (jnp.zeros((n_rows_loc,), jnp.int32), jnp.zeros((), jnp.int32)),
+            jnp.arange(n_chunks_loc),
         )
 
         has = row_counts > 0
         rranks = jnp.cumsum(has.astype(jnp.int32)) - 1
         rtgt = jnp.where(has, rranks, row_cap)
-        rows_sel = jnp.full((row_cap,), Cp_h * cap, jnp.int32).at[rtgt].set(
-            jnp.arange(Cp_h * cap, dtype=jnp.int32), mode="drop"
+        rows_sel = jnp.full((row_cap,), sent, jnp.int32).at[rtgt].set(
+            (c_start * cap + jnp.arange(n_rows_loc)).astype(jnp.int32),
+            mode="drop",
         )
         n_rows = jnp.sum(has.astype(jnp.int32)).astype(jnp.int32)
 
         # pass 2 on selected slot-rows: row gather of the planar views
-        rows_c = jnp.clip(rows_sel, 0, Cp_h * cap - 1)
+        rows_c = jnp.clip(rows_sel, 0, sent - 1)
         cells_c = rows_c // cap
         slot_c = rows_c % cap
         r2 = None
@@ -812,7 +864,7 @@ def make_cell_step(
             dd = dd - jnp.round(dd / L) * L
             r2 = dd * dd if r2 is None else r2 + dd * dd
         mrow = jnp.take_along_axis(ms, slot_c[:, None], axis=1)
-        row_valid = rows_sel < Cp_h * cap
+        row_valid = rows_sel < sent
         ci = jnp.arange(width)[None, :]
         valid = (
             row_valid[:, None]
@@ -859,6 +911,33 @@ def make_cell_step(
         count = jnp.sum(vflat.astype(jnp.int32)).astype(jnp.int32)
         active = jnp.arange(hill_capacity) < count
         truncated = (count > hill_capacity) | (n_rows > row_cap) | row_overflow
+        if slab:
+            # device-order concatenation of per-device segments == the
+            # single-device (global cell-row) deposit order; re-compacting
+            # the gathered segments to the FIRST hill_capacity actives
+            # reproduces the replicated collection bitwise, including its
+            # truncation-at-capacity semantics (a hill the global pass
+            # keeps has global rank < capacity, hence within-device rank
+            # < capacity, so it survives the per-device compaction too)
+            hills_g = jax.lax.all_gather(hills, slab_axis, tiled=True)
+            runifs_g = jax.lax.all_gather(runifs, slab_axis, tiled=True)
+            active_g = jax.lax.all_gather(active, slab_axis, tiled=True)
+            total = jax.lax.psum(count, slab_axis)
+            ncalls = jax.lax.psum(ncalls, slab_axis)
+            granks = jnp.cumsum(active_g.astype(jnp.int32)) - 1
+            keep = active_g & (granks < hill_capacity)
+            gtgt = jnp.where(keep, granks, hill_capacity)
+            hills = jnp.zeros((hill_capacity,), dtype).at[gtgt].set(
+                hills_g, mode="drop"
+            )
+            runifs = jnp.ones((hill_capacity,), dtype).at[gtgt].set(
+                runifs_g, mode="drop"
+            )
+            count = total
+            active = jnp.arange(hill_capacity) < total
+            truncated = (
+                jax.lax.psum(truncated.astype(jnp.int32), slab_axis) > 0
+            ) | (total > hill_capacity)
         return hills[:, None], runifs, active, count, ncalls, truncated
 
     def collect_hills(state: CellPairState, xs, key, last_calls, dtype):
@@ -996,12 +1075,17 @@ def make_cell_step(
         def with_hills(args):
             bs, key, last_calls = args
             key, sub = jax.random.split(key)
-            collector = (
-                collect_hills if types_arr is not None else collect_hills_half
-            )
-            hills, runifs, active, count, ncalls, truncated = collector(
-                state, xs, sub, last_calls, xs.dtype
-            )
+            if types_arr is not None:
+                hills, runifs, active, count, ncalls, truncated = (
+                    collect_hills(state, xs, sub, last_calls, xs.dtype)
+                )
+            else:
+                hills, runifs, active, count, ncalls, truncated = (
+                    collect_hills_half(
+                        state, xs, sub, last_calls, xs.dtype,
+                        slab=slab_hills,
+                    )
+                )
             new_bs, rec = B.add_hills_round(
                 params, bs, hills, runifs, last_calls.astype(xs.dtype),
                 active=active, axis_name=axis_name,

@@ -357,10 +357,14 @@ def make_slab_cell_step(
     Wraps ``models.pair_edm_cells.make_cell_step`` (same state, same
     physics, same Pallas Newton kernel) in ``shard_map`` with the force
     pass slab-decomposed over the mesh's x-columns (one psum of slot
-    forces per step).  Integration, hill rounds, and rebuilds run
-    replicated and deterministic, so the state stays bitwise identical
-    across devices with no further collectives — the reference's entire
-    MPI hill-exchange layer (edm_bias.cpp:614-920) has no analog here.
+    forces per step) and — by default — the hill-collection passes
+    slab-decomposed the same way (per-device candidate sampling over
+    owned columns, one all_gather of compacted hills per round that
+    replays in the single-device deposit order; ``slab_collect=False``
+    restores replicated collection).  Integration, deposition and
+    rebuilds run replicated and deterministic, so the state stays
+    bitwise identical across devices — the reference's entire MPI
+    hill-exchange layer (edm_bias.cpp:614-920) has no analog here.
 
     Use with ``models.pair_edm_cells.init_cell_state`` state; returns a
     jitted ``state, e = step(state)`` — or ``state, (e, log) = step(state)``

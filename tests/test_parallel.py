@@ -343,3 +343,49 @@ def test_slab_cell_host_hills_logging(tmp_path):
     assert lines and all(l[1] in "hubvz" and len(l) == 7 for l in lines)
     total = sum(float(l[5]) for l in lines)
     assert abs(total - float(state.core.bias.cum_bias)) < 1e-4
+
+
+def test_slab_sharded_hill_collection_matches_replicated():
+    """Sharded hill collection (per-device pass over owned x-columns +
+    all_gather + global re-compaction) must replay the IDENTICAL round as
+    the replicated collection: same counter-hash draws (keyed by global
+    row index), same deposit order, same truncation-at-capacity set —
+    bitwise."""
+    from edm_tpu.models.cells import CellSpec
+    from edm_tpu.models.pair_edm_cells import init_cell_state
+    from edm_tpu.parallel.cells import make_slab_cell_step
+
+    params, bias_state, x0, box = _setup(8)
+    lp = LangevinParams(dt=0.002, friction=1.0, kT=0.8)
+    mesh = make_mesh(8)
+    spec = CellSpec.create(box, cutoff=3.0, n_atoms=x0.shape[0])
+    core = pair_edm.init_state(
+        bias_state, x0, jax.random.PRNGKey(0), pair_lookup="chebyshev",
+        cheb_deg=16, cheb_panels=4,
+    )
+    st0 = init_cell_state(spec, core, with_ids=False)
+    step_sh = make_slab_cell_step(
+        params, lp, LJParams(), spec, hill_stride=2, mesh=mesh,
+        hill_capacity=512,
+    )
+    step_rep = make_slab_cell_step(
+        params, lp, LJParams(), spec, hill_stride=2, mesh=mesh,
+        hill_capacity=512, slab_collect=False,
+    )
+    s_sh, s_rep = st0, st0
+    for _ in range(4):
+        s_sh, _ = step_sh(s_sh)
+        s_rep, _ = step_rep(s_rep)
+    # the gathered + re-compacted round is BITWISE the replicated round
+    # (including its truncation-at-capacity semantics), so the whole
+    # trajectory matches exactly
+    assert np.array_equal(np.asarray(s_sh.xs), np.asarray(s_rep.xs))
+    assert np.array_equal(
+        np.asarray(s_sh.core.bias.bias.grid.values),
+        np.asarray(s_rep.core.bias.bias.grid.values),
+    )
+    assert float(s_sh.core.bias.cum_bias) > 0
+    assert abs(
+        float(s_sh.core.bias.cum_bias) - float(s_rep.core.bias.cum_bias)
+    ) < 1e-5
+    assert int(s_sh.core.last_calls) == int(s_rep.core.last_calls)
