@@ -301,6 +301,36 @@ def atom_positions(spec: CellSpec, state: CellPairState) -> jax.Array:
     )
 
 
+def _extract_first_m(acc, rvals, uvals, m_per_row: int, dtype):
+    """First ``m_per_row`` accepted candidates per row, ascending column
+    order: (hills_rows, runif_rows, valid_rows), each (R, m_per_row).
+
+    Rank one-hot select: within-row prefix counts make the m-th accepted
+    column the unique accepted column with rank m+1, so each output column
+    is a masked row-sum (~7 VPU ops per matrix element per m) — replaces a
+    sequential argmax/take_along/scatter chain over the work matrix that
+    XLA schedules ~10x slower.  ``rvals`` may hold inf at masked-out
+    columns; selection uses where-masks (never multiplication) so no
+    0*inf NaNs.  Rows with fewer than m accepts get valid=False there
+    (the values at invalid slots are never consumed — the caller's
+    compaction drops them)."""
+    ranks = jnp.cumsum(acc.astype(jnp.int32), axis=1)
+    R = acc.shape[0]
+    hills_rows = jnp.zeros((R, m_per_row), dtype)
+    runif_rows = jnp.ones((R, m_per_row), dtype)
+    valid_rows = jnp.zeros((R, m_per_row), bool)
+    for m in range(m_per_row):
+        sel = acc & (ranks == (m + 1))
+        hills_rows = hills_rows.at[:, m].set(
+            jnp.sum(jnp.where(sel, rvals, 0), axis=1)
+        )
+        runif_rows = runif_rows.at[:, m].set(
+            jnp.sum(jnp.where(sel, uvals, 0), axis=1)
+        )
+        valid_rows = valid_rows.at[:, m].set(jnp.any(sel, axis=1))
+    return hills_rows, runif_rows, valid_rows
+
+
 def init_cell_state(
     spec: CellSpec, core: PairEDMState, with_ids: bool = True, types=None
 ) -> CellPairState:
@@ -884,21 +914,9 @@ def make_cell_step(
         u2 = u.reshape(row_cap, 2 * width)
         r21 = jnp.repeat(r, 2, axis=1)  # r[w] at work columns 2w, 2w+1
 
-        hills_rows = jnp.zeros((row_cap, m_per_row), dtype)
-        runif_rows = jnp.ones((row_cap, m_per_row), dtype)
-        valid_rows = jnp.zeros((row_cap, m_per_row), bool)
-        work = acc2
-        for m in range(m_per_row):
-            j = jnp.argmax(work, axis=1)
-            found = jnp.take_along_axis(work, j[:, None], axis=1)[:, 0]
-            hills_rows = hills_rows.at[:, m].set(
-                jnp.take_along_axis(r21, j[:, None], axis=1)[:, 0]
-            )
-            runif_rows = runif_rows.at[:, m].set(
-                jnp.take_along_axis(u2, j[:, None], axis=1)[:, 0]
-            )
-            valid_rows = valid_rows.at[:, m].set(found)
-            work = work.at[jnp.arange(row_cap), j].set(False)
+        hills_rows, runif_rows, valid_rows = _extract_first_m(
+            acc2, r21, u2, m_per_row, dtype
+        )
         row_overflow = jnp.any(row_counts > m_per_row)
 
         hflat = hills_rows.reshape(-1)
@@ -1025,21 +1043,9 @@ def make_cell_step(
         runif = row_uniform(rows_c)
         _, acc = accept_of(jnp.isfinite(r) & (r < bmax_cv), runif)
 
-        hills_rows = jnp.zeros((row_cap, m_per_row), dtype)
-        runif_rows = jnp.ones((row_cap, m_per_row), dtype)
-        valid_rows = jnp.zeros((row_cap, m_per_row), bool)
-        work = acc
-        for m in range(m_per_row):
-            j = jnp.argmax(work, axis=1)
-            found = jnp.take_along_axis(work, j[:, None], axis=1)[:, 0]
-            hills_rows = hills_rows.at[:, m].set(
-                jnp.take_along_axis(r, j[:, None], axis=1)[:, 0]
-            )
-            runif_rows = runif_rows.at[:, m].set(
-                jnp.take_along_axis(runif, j[:, None], axis=1)[:, 0]
-            )
-            valid_rows = valid_rows.at[:, m].set(found)
-            work = work.at[jnp.arange(row_cap), j].set(False)
+        hills_rows, runif_rows, valid_rows = _extract_first_m(
+            acc, r, runif, m_per_row, dtype
+        )
         row_overflow = jnp.any(row_counts > m_per_row)
 
         hflat = hills_rows.reshape(-1)
