@@ -81,6 +81,13 @@ class CellPairState:
     ts: Optional[jax.Array] = None  # (Cg, cap) slot atom types (float; 0 =
     # empty), cached per rebuild — only for type-filtered Pallas runs
     # (init_cell_state(..., types=...))
+    mnf: Optional[jax.Array] = None  # (Cg, 13cap) rolled half-stencil
+    # candidate mask (HALF_OFFSETS order), cached per rebuild/rebin:
+    # occupancy changes only when slots move, so rebuilding it per step
+    # (13 strided lattice rolls + an ~11 MB concat at 100k atoms) wastes
+    # HBM bandwidth on the hot force path
+    tnf: Optional[jax.Array] = None  # (Cg, 13cap) rolled half-stencil type
+    # plane, cached alongside ``ts`` for type-filtered Pallas runs
 
 
 def _padded_cells(spec: CellSpec) -> int:
@@ -144,7 +151,9 @@ def _slots_from_atoms(spec: CellSpec, Cg: int, sten_g, x, v, f, aid_g,
     xs = xs * mc[..., None]
     vs = vs * mc[..., None]
     fs = fs * mc[..., None]
-    return xs, vs, fs, mc, mn, sid, nid, ts
+    mnf = _half_concat(mc, spec.ncells, cap, Cg)
+    tnf = None if ts is None else _half_concat(ts, spec.ncells, cap, Cg)
+    return xs, vs, fs, mc, mn, sid, nid, ts, mnf, tnf
 
 
 def _atoms_from_slots(spec: CellSpec, aid_g, xs, vs, fs):
@@ -181,19 +190,18 @@ def _half_concat(plane, ncells, cap, Cg, fill=0.0):
     return out
 
 
-def _planar_half_views(xs, mc, ncells, cap, Cg):
-    """Planar half-stencil inputs for the Newton kernels: xyz-major local
-    coords (Cg, 3cap), rolled neighbor coords (Cg, 3*13cap), and the rolled
-    candidate mask (Cg, 13cap).  Rolled views concatenate straight into the
-    kernel layout — strided layout copies run ~10x below HBM peak, so no
-    (Cg, 13cap, 3) intermediates are ever materialized."""
+def _planar_coord_views(xs, ncells, cap, Cg):
+    """Planar coordinate inputs for the Newton kernels: xyz-major local
+    coords (Cg, 3cap) and rolled neighbor coords (Cg, 3*13cap).  Rolled
+    views concatenate straight into the kernel layout — strided layout
+    copies run ~10x below HBM peak, so no (Cg, 13cap, 3) intermediates are
+    ever materialized."""
     from ..ops.cellforce_pallas import HALF_OFFSETS
 
     nx, ny, nz = ncells
     C = nx * ny * nz
     k13 = len(HALF_OFFSETS)
     g = xs[:C].reshape(nx, ny, nz, cap, 3)
-    gm = mc[:C].reshape(nx, ny, nz, cap)
     cols = []
     for c in range(3):
         cols += [
@@ -201,27 +209,25 @@ def _planar_half_views(xs, mc, ncells, cap, Cg):
             for (di, dj, dk) in HALF_OFFSETS
         ]
     xn_f = jnp.concatenate(cols, axis=1)
-    mn_f = jnp.concatenate(
-        [
-            jnp.roll(gm, (-di, -dj, -dk), (0, 1, 2)).reshape(C, cap)
-            for (di, dj, dk) in HALF_OFFSETS
-        ],
-        axis=1,
-    )
     xc_f = jnp.concatenate([xs[..., 0], xs[..., 1], xs[..., 2]], axis=1)
     if Cg > C:
         xn_f = jnp.concatenate(
             [xn_f, jnp.zeros((Cg - C, 3 * k13 * cap), xs.dtype)], 0
         )
-        mn_f = jnp.concatenate(
-            [mn_f, jnp.zeros((Cg - C, k13 * cap), xs.dtype)], 0
-        )
-    return xc_f, xn_f, mn_f
+    return xc_f, xn_f
+
+
+def _planar_half_views(xs, mc, ncells, cap, Cg):
+    """Coordinate views plus the rolled candidate mask (Cg, 13cap).  The
+    mask only changes at rebuilds/rebins — per-step callers pass the
+    state-cached ``mnf`` instead (see CellPairState.mnf)."""
+    xc_f, xn_f = _planar_coord_views(xs, ncells, cap, Cg)
+    return xc_f, xn_f, _half_concat(mc, ncells, cap, Cg)
 
 
 def newton_lattice_force(
     xs, mc_rows, mc_cand, ncells, cap, box, lj, table, do_energy=None,
-    ts=None, type_pair=None,
+    ts=None, type_pair=None, mn_f=None, tn_f=None,
 ):
     """Half-stencil Newton force pass over an (nx, ny, nz) slot lattice.
 
@@ -237,7 +243,9 @@ def newton_lattice_force(
     type pair.  Planar layout throughout: rolled neighbor views concatenate
     straight into the kernel's xyz-major input and reverse-force credits
     apply per component (strided layout copies run ~10x below HBM peak and
-    would otherwise rival the kernel time).
+    would otherwise rival the kernel time).  ``mn_f``/``tn_f``: optional
+    precomputed rolled mask/type planes (state-cached between rebuilds;
+    built here when absent).
     """
     from ..ops.cellforce_pallas import (
         HALF_OFFSETS,
@@ -248,12 +256,13 @@ def newton_lattice_force(
     C = nx * ny * nz
     Cg = xs.shape[0]
     k13 = len(HALF_OFFSETS)
-    xc_f, xn_f, mn_f = _planar_half_views(xs, mc_cand, ncells, cap, Cg)
-    types = (
-        None
-        if ts is None or type_pair is None
-        else (ts, _half_concat(ts, ncells, cap, Cg))
-    )
+    xc_f, xn_f = _planar_coord_views(xs, ncells, cap, Cg)
+    if mn_f is None:
+        mn_f = _half_concat(mc_cand, ncells, cap, Cg)
+    if ts is not None and type_pair is not None:
+        types = (ts, tn_f if tn_f is not None else _half_concat(ts, ncells, cap, Cg))
+    else:
+        types = None
 
     def call(energy):
         return cell_forces_pallas_newton_planar(
@@ -348,14 +357,14 @@ def init_cell_state(
     aid_g = jnp.concatenate(
         [table.aid, jnp.full((Cg * spec.cap - spec.n_slots,), n, jnp.int32)]
     )
-    xs, vs, fs, mc, mn, sid, nid, ts = _slots_from_atoms(
+    xs, vs, fs, mc, mn, sid, nid, ts, mnf, tnf = _slots_from_atoms(
         spec, Cg, sten_g, core.x, core.v, core.f, aid_g, with_ids=with_ids,
         types_arr=types,
     )
     return CellPairState(
         core=core, aid=aid_g, xs=xs, vs=vs, fs=fs,
         mc=mc, mn=mn, sid=sid, nid=nid, table_overflow=table.overflow,
-        ts=ts,
+        ts=ts, mnf=mnf, tnf=tnf,
     )
 
 
@@ -542,6 +551,7 @@ def make_cell_step(
             return newton_lattice_force(
                 xs, state.mc, state.mc, spec.ncells, cap, spec.box, lj,
                 _table(state), do_energy, ts=ts_k, type_pair=tp_k,
+                mn_f=state.mnf, tn_f=state.tnf,
             )
 
         def slab_newton_force(xs):
@@ -658,16 +668,23 @@ def make_cell_step(
                 cell_forces_pallas_newton_rescredit,
             )
 
-            xc_f, xn_f, mn_f = _planar_half_views(
-                xs, state.mc, spec.ncells, cap, Cg
+            xc_f, xn_f = _planar_coord_views(xs, spec.ncells, cap, Cg)
+            mn_f = (
+                state.mnf
+                if state.mnf is not None
+                else _half_concat(state.mc, spec.ncells, cap, Cg)
             )
             tbl = _table(state)
             ts_k, tp_k = _kernel_types(state)
-            types_k = (
-                None
-                if ts_k is None
-                else (ts_k, _half_concat(ts_k, spec.ncells, cap, Cg))
-            )
+            if ts_k is None:
+                types_k = None
+            else:
+                tn_f = (
+                    state.tnf
+                    if state.tnf is not None
+                    else _half_concat(ts_k, spec.ncells, cap, Cg)
+                )
+                types_k = (ts_k, tn_f)
 
             def call(energy):
                 return cell_forces_pallas_newton_rescredit(
@@ -817,7 +834,11 @@ def make_cell_step(
             return a
 
         cand = [pad_rows(build_planar(g[..., c])) for c in range(3)]
-        candm = pad_rows(build_planar(gm))
+        candm = pad_rows(
+            jnp.concatenate([state.mc[:C], state.mnf[:C]], axis=1)
+            if state.mnf is not None
+            else build_planar(gm)
+        )
         bb = box_arr.astype(dtype)
         bmax2 = bmax_cv * bmax_cv
 
@@ -1132,13 +1153,13 @@ def make_cell_step(
             aid_g = jnp.concatenate(
                 [t.aid, jnp.full((Cg * cap - spec.n_slots,), n, jnp.int32)]
             )
-            nxs, nvs, nfs, mc, mn, sid, nid, ts = _slots_from_atoms(
+            nxs, nvs, nfs, mc, mn, sid, nid, ts, mnf, tnf = _slots_from_atoms(
                 spec, Cg, sten_g, x_at, v_at, f_at, aid_g,
                 with_ids=state.sid is not None,
                 types_arr=types_arr if state.ts is not None else None,
             )
             return (
-                aid_g, nxs, nvs, nfs, mc, mn, sid, nid, ts,
+                aid_g, nxs, nvs, nfs, mc, mn, sid, nid, ts, mnf, tnf,
                 state.table_overflow | t.overflow, x_at, v_at, f_at,
             )
 
@@ -1175,9 +1196,16 @@ def make_cell_step(
                     if state.ts is not None
                     else None
                 )
+                mnf2 = _half_concat(mc2, spec.ncells, cap, Cg)
+                tnf2 = (
+                    _half_concat(ts2, spec.ncells, cap, Cg)
+                    if ts2 is not None
+                    else None
+                )
                 # core.x/v/f stay stale (atom_positions() is the live view)
                 return (
                     aid_new, nxs, nvs, nfs, mc2, None, None, None, ts2,
+                    mnf2, tnf2,
                     state.table_overflow, core.x, core.v, core.f,
                 )
 
@@ -1186,12 +1214,12 @@ def make_cell_step(
         def keep(_):
             return (
                 state.aid, xs, vs, fs, state.mc, state.mn, state.sid,
-                state.nid, state.ts, state.table_overflow,
-                core.x, core.v, core.f,
+                state.nid, state.ts, state.mnf, state.tnf,
+                state.table_overflow, core.x, core.v, core.f,
             )
 
         (
-            aid_g, nxs, nvs, nfs, mc, mn, sid, nid, ts, overflow,
+            aid_g, nxs, nvs, nfs, mc, mn, sid, nid, ts, mnf, tnf, overflow,
             x_at, v_at, f_at,
         ) = jax.lax.cond(do_rebuild, rebuild, keep, None)
 
@@ -1204,7 +1232,7 @@ def make_cell_step(
         new_state = CellPairState(
             core=new_core, aid=aid_g, xs=nxs, vs=nvs, fs=nfs,
             mc=mc, mn=mn, sid=sid, nid=nid, table_overflow=overflow,
-            ts=ts,
+            ts=ts, mnf=mnf, tnf=tnf,
         )
         return new_state, ((e_bias, log) if collect_records else e_bias)
 
