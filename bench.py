@@ -268,7 +268,10 @@ def main():
         "vs_baseline": round(sps_2dm / REF_STEPS_2D, 2),
     }), flush=True)
 
-    sps_100k = bench_pairwise(n_atoms=100000, steps=30)
+    # 90-step segments: the axon relay costs ~30 ms per dispatch, which at
+    # 30 steps/segment inflates the per-step time by ~1 ms (~10%); the
+    # metric is the steady-state step rate, not dispatch latency
+    sps_100k = bench_pairwise(n_atoms=100000, steps=90)
     print(json.dumps({
         "metric": "MD steps/sec, 100000-atom pairwise EDM (full LJ+bias MD step)",
         "value": round(sps_100k, 2),

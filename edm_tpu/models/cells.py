@@ -163,10 +163,16 @@ def plan_incremental_rebin(
     # holes: pre-existing empty slots plus slots vacated by movers, so
     # cell-to-cell swaps at full occupancy stay feasible
     empty_eff = (aid2 == n) | mover.reshape(Cg, cap)
-    holes_per_cell = jnp.sum(empty_eff.astype(jnp.int32), axis=1)
-    # stable argsort of the occupied mask puts hole slot indices first,
-    # in slot order: ht[c, q] = the q-th hole of cell c
-    ht = jnp.argsort(~empty_eff, axis=1, stable=True).astype(jnp.int32)
+    hrank = jnp.cumsum(empty_eff.astype(jnp.int32), axis=1) - 1
+    holes_per_cell = hrank[:, -1] + 1
+    # ht[c, q] = the q-th hole slot of cell c (slot order), via a one-hot
+    # rank sum — a per-row argsort over (Cg, cap) costs ~1 ms at 100k on
+    # v5e while this fuses into one (Cg, cap, cap) masked reduction
+    qi = jnp.arange(cap, dtype=jnp.int32)
+    oh = empty_eff[:, :, None] & (hrank[:, :, None] == qi[None, None, :])
+    ht = jnp.sum(
+        oh * jnp.arange(cap, dtype=jnp.int32)[None, :, None], axis=1
+    ).astype(jnp.int32)
 
     valid = m_src_s < S
     c_cl = jnp.clip(m_cell_s, 0, Cg - 1)

@@ -190,24 +190,47 @@ def _half_concat(plane, ncells, cap, Cg, fill=0.0):
     return out
 
 
-def _planar_coord_views(xs, ncells, cap, Cg):
-    """Planar coordinate inputs for the Newton kernels: xyz-major local
-    coords (Cg, 3cap) and rolled neighbor coords (Cg, 3*13cap).  Rolled
-    views concatenate straight into the kernel layout — strided layout
-    copies run ~10x below HBM peak, so no (Cg, 13cap, 3) intermediates are
-    ever materialized."""
+def _halo_wrap(g):
+    """(nx, ny, nz, ...) -> (nx+2, ny+2, nz+2, ...) with periodic wrap: a
+    one-cell halo on each face.  Neighbor views become STATIC SLICES of the
+    extended array, so a 13-offset stencil build is one fused
+    slice+reshape+concat pass instead of 13 three-axis rolls (each of
+    which XLA lowers to per-axis copies)."""
+    for ax in range(3):
+        lo = jax.lax.slice_in_dim(g, g.shape[ax] - 1, g.shape[ax], axis=ax)
+        hi = jax.lax.slice_in_dim(g, 0, 1, axis=ax)
+        g = jnp.concatenate([lo, g, hi], axis=ax)
+    return g
+
+
+def _half_slices(E, ncells, cap):
+    """[(C, cap) views of each HALF_OFFSETS neighbor] from a halo-extended
+    (nx+2, ny+2, nz+2, cap) array."""
     from ..ops.cellforce_pallas import HALF_OFFSETS
 
     nx, ny, nz = ncells
     C = nx * ny * nz
-    k13 = len(HALF_OFFSETS)
+    return [
+        E[1 + di : 1 + di + nx, 1 + dj : 1 + dj + ny, 1 + dk : 1 + dk + nz]
+        .reshape(C, cap)
+        for (di, dj, dk) in HALF_OFFSETS
+    ]
+
+
+def _planar_coord_views(xs, ncells, cap, Cg):
+    """Planar coordinate inputs for the Newton kernels: xyz-major local
+    coords (Cg, 3cap) and neighbor coords (Cg, 3*13cap) in HALF_OFFSETS
+    order.  Built from one halo-extended array per step — the 13 stencil
+    views are static slices that fuse into the output concat, so no
+    (Cg, 13cap, 3) intermediates are ever materialized."""
+    nx, ny, nz = ncells
+    C = nx * ny * nz
+    k13 = 13
     g = xs[:C].reshape(nx, ny, nz, cap, 3)
+    E = _halo_wrap(g)
     cols = []
     for c in range(3):
-        cols += [
-            jnp.roll(g[..., c], (-di, -dj, -dk), (0, 1, 2)).reshape(C, cap)
-            for (di, dj, dk) in HALF_OFFSETS
-        ]
+        cols += _half_slices(E[..., c], ncells, cap)
     xn_f = jnp.concatenate(cols, axis=1)
     xc_f = jnp.concatenate([xs[..., 0], xs[..., 1], xs[..., 2]], axis=1)
     if Cg > C:
@@ -414,11 +437,13 @@ def make_cell_step(
     cap = spec.cap
     n = spec.n_atoms
     Cg = _padded_cells(spec)
-    # incremental-rebin mover buffer: sized for ~12% boundary crossers per
+    # incremental-rebin mover buffer: sized for ~3% boundary crossers per
     # rebuild (typical is 1-2% at stride 10); infeasible plans fall back to
-    # the full argsort rebuild inside the step, so this is a speed knob
+    # the full argsort rebuild inside the step, so this is a speed knob —
+    # and every mover-proportional gather/scatter scales with the CAP, not
+    # the live mover count, so oversizing it costs every rebuild
     if mover_cap is None:
-        mover_cap = max(256, -(-n // 8))
+        mover_cap = max(256, -(-n // 32))
     box_arr = jnp.asarray(spec.box)
     sten_g = _stencil_padded(spec, Cg)
     n_chunks = -(-C // cell_chunk)

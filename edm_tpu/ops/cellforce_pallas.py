@@ -270,7 +270,10 @@ def _kernel(
         nz = xn[2 * ncand : 3 * ncand]
 
         def mimage(d, L):
-            return d - jnp.floor(d / L + 0.5) * L
+            # reciprocal multiply: VPU division costs several issue slots
+            # per element; L is a static box length so 1/L folds to a
+            # compile-time constant
+            return d - jnp.floor(d * (1.0 / L) + 0.5) * L
 
         dx = mimage(lx[:, None] - nx[None, :], bx)
         dy = mimage(ly[:, None] - ny[None, :], by)
@@ -358,7 +361,10 @@ def _kernel_newton(
         nz = jnp.concatenate([lz, xn[2 * ncand : 3 * ncand]])
 
         def mimage(d, L):
-            return d - jnp.floor(d / L + 0.5) * L
+            # reciprocal multiply: VPU division costs several issue slots
+            # per element; L is a static box length so 1/L folds to a
+            # compile-time constant
+            return d - jnp.floor(d * (1.0 / L) + 0.5) * L
 
         dx = mimage(lx[:, None] - nx[None, :], bx)
         dy = mimage(ly[:, None] - ny[None, :], by)
@@ -511,7 +517,10 @@ def _kernel_newton_rc(
         nz = jnp.concatenate([lz, xn[2 * ncand : 3 * ncand]])
 
         def mimage(d, L):
-            return d - jnp.floor(d / L + 0.5) * L
+            # reciprocal multiply: VPU division costs several issue slots
+            # per element; L is a static box length so 1/L folds to a
+            # compile-time constant
+            return d - jnp.floor(d * (1.0 / L) + 0.5) * L
 
         dx = mimage(lx[:, None] - nx[None, :], bx)
         dy = mimage(ly[:, None] - ny[None, :], by)
