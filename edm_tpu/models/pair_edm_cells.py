@@ -413,6 +413,8 @@ def make_cell_step(
     slab_ndev: int = 1,
     mover_cap: Optional[int] = None,
     slab_collect: bool = True,
+    brick_axes: Optional[Tuple[str, str]] = None,
+    brick_ndev: Tuple[int, int] = (1, 1),
 ):
     """``slab_axis``/``slab_ndev``: run the force pass slab-sharded under
     ``shard_map`` over that mesh axis — each device evaluates the Newton
@@ -427,7 +429,22 @@ def make_cell_step(
     collect_hills_half) — leaving only integration, deposition and
     rebuilds as the replicated Amdahl terms.  Type-filtered runs keep the
     replicated 27-stencil collection.  Requires use_pallas (the Newton
-    kernel path)."""
+    kernel path).
+
+    ``brick_axes``/``brick_ndev``: 2-D BRICK decomposition over a
+    (px, py) device grid — each device owns a contiguous x-range x y-range
+    of columns plus a one-cell halo ring, halving the halo fraction of the
+    1-D slab at equal device count (halo share ~ 2/wx + 2/wy vs 2/w).
+    Hill collection is brick-sharded too: per-device passes over owned
+    (x, y) columns, merged back to the EXACT single-device deposit order
+    by a global row-key sort (see collect_hills_half).  Mutually
+    exclusive with ``slab_axis``; same replicated-state psum contract
+    (maps the reference's 3-D MPI subdivision, edm_bias.cpp:98-222, onto
+    a 2-D ICI torus; z stays unsharded — v5e/v6 meshes are 2-D tori)."""
+    if brick_axes is not None and slab_axis is not None:
+        raise ValueError("brick_axes and slab_axis are mutually exclusive")
+    if brick_axes is not None and not use_pallas:
+        raise ValueError("brick mode requires use_pallas")
     if min(spec.ncells) < 3:
         raise ValueError(
             "cell list needs >= 3 cells per dim (box >= 3x interaction "
@@ -459,10 +476,13 @@ def make_cell_step(
         types_arr = None
         tpair = None
 
-    # sharded hill collection (slab mode, untyped): per-device passes over
-    # owned x-columns, gathered + re-compacted to exactly hill_capacity
+    # sharded hill collection (slab/brick modes, untyped): per-device passes
+    # over owned columns, gathered + re-compacted to exactly hill_capacity
     # slots in global order (bitwise the replicated collection's round)
     slab_hills = slab_axis is not None and slab_collect and types_arr is None
+    brick_hills = (
+        brick_axes is not None and slab_collect and types_arr is None
+    )
 
     # type-filtered Pallas runs read the cached per-slot type plane
     # (init_cell_state(..., types=...)); checked at trace time below
@@ -660,6 +680,111 @@ def make_cell_step(
             e = jax.lax.psum(e, slab_axis)
             return e, f_rows
 
+        def brick_newton_force(xs):
+            """2-D brick decomposition: each device owns an x-range x
+            y-range of columns; the Newton kernel runs on the owned brick
+            plus a one-cell halo ring, per-slot forces combine with one
+            psum over both mesh axes.  Same correctness argument as the
+            slab: a cross-brick pair is enumerated from its lex-low cell
+            by exactly one device (the one owning that cell as a row),
+            whose halo contains the partner; the Newton credit lands in
+            the halo copy and the psum delivers it to the owner."""
+            from ..ops.cellforce_pallas import CELLS_PER_PROGRAM
+
+            axx, axy = brick_axes
+            px, py = brick_ndev
+            dvx = jax.lax.axis_index(axx)
+            dvy = jax.lax.axis_index(axy)
+            qx, rx = nx // px, nx % px
+            x0 = dvx * qx + jnp.minimum(dvx, rx)
+            wx = qx + (dvx < rx).astype(jnp.int32)
+            qy, ry = ny // py, ny % py
+            y0 = dvy * qy + jnp.minimum(dvy, ry)
+            wy = qy + (dvy < ry).astype(jnp.int32)
+            wxm, wym = -(-nx // px), -(-ny // py)
+            tbl = _table(state)
+            ts_k, tp_k = _kernel_types(state)
+            if wxm + 2 <= nx and wym + 2 <= ny:
+                wX, wY = wxm + 2, wym + 2
+                gx_ = xs[:C].reshape(nx, ny, nz, cap, 3)
+                gm_ = state.mc[:C].reshape(nx, ny, nz, cap)
+
+                def subgrid(a):
+                    return jnp.roll(a, (1 - x0, 1 - y0), axis=(0, 1))[:wX, :wY]
+
+                sub = subgrid(gx_)
+                subm = subgrid(gm_)
+                jj = jnp.arange(wX)
+                kk = jnp.arange(wY)
+                row_ok = (
+                    ((jj >= 1) & (jj <= wx))[:, None]
+                    & ((kk >= 1) & (kk <= wy))[None, :]
+                )
+                rows = subm * row_ok[:, :, None, None].astype(subm.dtype)
+                C_sub = wX * wY * nz
+                Cg_sub = -(-C_sub // CELLS_PER_PROGRAM) * CELLS_PER_PROGRAM
+
+                def flat(a, extra):
+                    a = a.reshape((C_sub,) + extra)
+                    if Cg_sub > C_sub:
+                        a = jnp.concatenate(
+                            [a, jnp.zeros((Cg_sub - C_sub,) + extra, a.dtype)], 0
+                        )
+                    return a
+
+                ts_sub = (
+                    None
+                    if ts_k is None
+                    else flat(
+                        subgrid(ts_k[:C].reshape(nx, ny, nz, cap)), (cap,)
+                    )
+                )
+                e, f_sub = newton_lattice_force(
+                    flat(sub, (cap, 3)), flat(rows, (cap,)), flat(subm, (cap,)),
+                    (wX, wY, nz), cap, spec.box, lj, tbl, do_energy,
+                    ts=ts_sub, type_pair=tp_k,
+                )
+                fsg = f_sub[:C_sub].reshape(wX, wY, nz, cap, 3)
+                if nx > wX:
+                    fsg = jnp.concatenate(
+                        [fsg, jnp.zeros((nx - wX, wY, nz, cap, 3), xs.dtype)], 0
+                    )
+                if ny > wY:
+                    fsg = jnp.concatenate(
+                        [fsg, jnp.zeros((nx, ny - wY, nz, cap, 3), xs.dtype)], 1
+                    )
+                f_full = jnp.roll(fsg, (x0 - 1, y0 - 1), axis=(0, 1)).reshape(
+                    C, cap, 3
+                )
+            else:
+                # lattice too small to slice brick+halo: full kernel with
+                # rows restricted to my columns (test-scale only)
+                cidx = jnp.arange(C, dtype=jnp.int32)
+                colx = cidx // (ny * nz)
+                coly = (cidx // nz) % ny
+                mine = (
+                    (colx >= x0) & (colx < x0 + wx)
+                    & (coly >= y0) & (coly < y0 + wy)
+                )
+                mine = mine.astype(xs.dtype)[:, None]
+                if Cg > C:
+                    mine = jnp.concatenate(
+                        [mine, jnp.zeros((Cg - C, 1), xs.dtype)], 0
+                    )
+                e, f_rows_g = newton_lattice_force(
+                    xs, state.mc * mine, state.mc, spec.ncells, cap,
+                    spec.box, lj, tbl, do_energy, ts=ts_k, type_pair=tp_k,
+                    mn_f=state.mnf, tn_f=state.tnf,
+                )
+                f_full = f_rows_g[:C]
+            if Cg > C:
+                f_full = jnp.concatenate(
+                    [f_full, jnp.zeros((Cg - C, cap, 3), xs.dtype)], 0
+                )
+            f_rows = jax.lax.psum(f_full, (axx, axy))
+            e = jax.lax.psum(e, (axx, axy))
+            return e, f_rows
+
         def pallas_force(xs):
             from ..ops.cellforce_pallas import cell_forces_pallas
 
@@ -728,6 +853,8 @@ def make_cell_step(
             return jnp.sum(eb), jnp.stack([fx, fy, fz], axis=-1)
 
         def force_fn(xs):
+            if brick_axes is not None:
+                return brick_newton_force(xs)
             if slab_axis is not None:
                 if not use_pallas:
                     raise ValueError("slab mode requires use_pallas")
@@ -781,7 +908,7 @@ def make_cell_step(
         return force_fn
 
     def collect_hills_half(state: CellPairState, xs, key, last_calls, dtype,
-                           slab: bool = False):
+                           slab: bool = False, brick: bool = False):
         """Two-level hill collection over HALF-stencil tiles.
 
         Each unordered pair appears once (self block strictly upper,
@@ -803,7 +930,19 @@ def make_cell_step(
         counter-hash uniforms are keyed by global row index, so the
         draws are identical too.  This shards the collection the same
         way the force pass is sharded (the reference's per-rank hill
-        sampling over its own subdomain, edm_bias.cpp:397-411)."""
+        sampling over its own subdomain, edm_bias.cpp:397-411).
+
+        ``brick=True`` (brick_axes set): pass 1 + extraction run over this
+        device's owned x-range x y-range of columns — for each owned
+        x-column a contiguous run of wy*nz cells — and the per-device
+        compacted lists carry their GLOBAL (slot-row, within-row) sort key.
+        Brick ownership is not contiguous in the x-major cell order, so
+        device-order concatenation cannot reproduce the global order;
+        instead the gathered lists are merged by one argsort of the keys,
+        which IS the single-device enumeration order (ascending flat cell,
+        slot, candidate column) — bitwise, including truncation (a hill
+        with global rank < capacity has within-device rank < capacity, so
+        it survives the per-device compaction and the merge keeps it)."""
         from ..ops.cellforce_pallas import HALF_OFFSETS
         from ..ops.hashrng import seeds_from_key, uniform_rows_cols
 
@@ -830,6 +969,8 @@ def make_cell_step(
 
         n_chunks_h = -(-C // cell_chunk)
         Cp_h = n_chunks_h * cell_chunk
+        c_start = jnp.zeros((), jnp.int32)
+        c_end = jnp.full((), C, jnp.int32)
         if slab:
             # per-device scan over owned cells [x0*ny*nz, (x0+wd)*ny*nz);
             # balanced column partition as in slab_newton_force
@@ -842,14 +983,56 @@ def make_cell_step(
             max_cells = (q_s + (1 if rem_s else 0)) * ny * nz
             n_chunks_loc = -(-max_cells // cell_chunk)
             pad_extra = n_chunks_loc * cell_chunk
+        elif brick:
+            # per-device scan over owned (x, y) columns: for each owned
+            # x-column, a contiguous run of wy*nz cells; balanced per-axis
+            # partitions as in brick_newton_force
+            axx_h, axy_h = brick_axes
+            px_h, py_h = brick_ndev
+            qx_h, rx_h = nx // px_h, nx % px_h
+            dvx_h = jax.lax.axis_index(axx_h)
+            x0c = (dvx_h * qx_h + jnp.minimum(dvx_h, rx_h)).astype(jnp.int32)
+            wxc = (qx_h + (dvx_h < rx_h)).astype(jnp.int32)
+            qy_h, ry_h = ny // py_h, ny % py_h
+            dvy_h = jax.lax.axis_index(axy_h)
+            y0c = (dvy_h * qy_h + jnp.minimum(dvy_h, ry_h)).astype(jnp.int32)
+            wyc = (qy_h + (dvy_h < ry_h)).astype(jnp.int32)
+            wxm_h = -(-nx // px_h)
+            wym_h = -(-ny // py_h)
+            n_sub_h = -(-(wym_h * nz) // cell_chunk)
+            n_chunks_loc = wxm_h * n_sub_h
+            # chunk overruns may reach into the next x-row of cells (masked
+            # by ownership); pad enough that the slices never clamp
+            pad_extra = ny * nz + wym_h * nz + 2 * cell_chunk
         else:
-            c_start = jnp.zeros((), jnp.int32)
-            c_end = jnp.full((), C, jnp.int32)
             n_chunks_loc = n_chunks_h
             pad_extra = 0
-        rows_pad = Cp_h + pad_extra  # slab slices never clamp
+        rows_pad = Cp_h + pad_extra  # sharded slices never clamp
         sent = rows_pad * cap
         n_rows_loc = n_chunks_loc * cell_chunk * cap
+
+        def chunk_range(hi):
+            """(first cell id, per-cell ownership mask) of scan chunk hi."""
+            if brick:
+                ixo = hi // n_sub_h
+                c0 = (
+                    (x0c + ixo) * (ny * nz)
+                    + y0c * nz
+                    + (hi % n_sub_h) * cell_chunk
+                )
+                gcell = c0 + jnp.arange(cell_chunk)
+                gy_ = (gcell // nz) % ny
+                own = (
+                    (ixo < wxc)
+                    & (gcell // (ny * nz) == x0c + ixo)
+                    & (gy_ >= y0c)
+                    & (gy_ < y0c + wyc)
+                )
+                return c0, own
+            c0 = c_start + hi * cell_chunk
+            # cells past c_end belong to the next device (slab) or are
+            # lattice padding (replicated tail chunk)
+            return c0, (c0 + jnp.arange(cell_chunk)) < c_end
 
         def pad_rows(a):
             if rows_pad > C:
@@ -889,11 +1072,8 @@ def make_cell_step(
 
         def p1_chunk(carry, hi):
             row_counts, ncalls = carry
-            c0 = c_start + hi * cell_chunk
+            c0, own = chunk_range(hi)
             _, cand_ok = half_tile(c0, cell_chunk)
-            # ownership mask: cells past c_end belong to the next device
-            # (slab) or are lattice padding (replicated tail chunk)
-            own = (c0 + jnp.arange(cell_chunk)) < c_end
             cand_ok = cand_ok & own[:, None, None]
             rows = (c0 * cap + jnp.arange(cell_chunk * cap)).astype(jnp.int32)
             u = draws(rows, cell_chunk)
@@ -918,12 +1098,26 @@ def make_cell_step(
             jnp.arange(n_chunks_loc),
         )
 
+        # local scan-buffer position -> global slot-row id (pure arithmetic
+        # mirror of chunk_range; the RNG and the deposit order are keyed by
+        # these global ids, so sharded and replicated passes draw alike)
+        l_pos = jnp.arange(n_rows_loc, dtype=jnp.int32)
+        if brick:
+            hi_l = l_pos // (cell_chunk * cap)
+            c0_l = (
+                (x0c + hi_l // n_sub_h) * (ny * nz)
+                + y0c * nz
+                + (hi_l % n_sub_h) * cell_chunk
+            )
+            local_gids = c0_l * cap + l_pos % (cell_chunk * cap)
+        else:
+            local_gids = (c_start * cap + l_pos).astype(jnp.int32)
+
         has = row_counts > 0
         rranks = jnp.cumsum(has.astype(jnp.int32)) - 1
         rtgt = jnp.where(has, rranks, row_cap)
         rows_sel = jnp.full((row_cap,), sent, jnp.int32).at[rtgt].set(
-            (c_start * cap + jnp.arange(n_rows_loc)).astype(jnp.int32),
-            mode="drop",
+            local_gids, mode="drop"
         )
         n_rows = jnp.sum(has.astype(jnp.int32)).astype(jnp.int32)
 
@@ -975,7 +1169,35 @@ def make_cell_step(
         count = jnp.sum(vflat.astype(jnp.int32)).astype(jnp.int32)
         active = jnp.arange(hill_capacity) < count
         truncated = (count > hill_capacity) | (n_rows > row_cap) | row_overflow
-        if slab:
+        if brick:
+            # global (slot-row, within-row) sort key per hill: ascending
+            # key order IS the single-device enumeration order.  Keys fit
+            # int32 comfortably (sent * m_per_row ~ 4M at 100k atoms).
+            BIGKEY = jnp.iinfo(jnp.int32).max
+            kflat = (
+                rows_sel[:, None] * m_per_row
+                + jnp.arange(m_per_row, dtype=jnp.int32)[None, :]
+            ).reshape(-1)
+            keys = jnp.full((hill_capacity,), BIGKEY, jnp.int32).at[tgt].set(
+                kflat, mode="drop"
+            )
+            hills_g = jax.lax.all_gather(hills, brick_axes, tiled=True)
+            runifs_g = jax.lax.all_gather(runifs, brick_axes, tiled=True)
+            keys_g = jax.lax.all_gather(keys, brick_axes, tiled=True)
+            active_g = jax.lax.all_gather(active, brick_axes, tiled=True)
+            total = jax.lax.psum(count, brick_axes)
+            ncalls = jax.lax.psum(ncalls, brick_axes)
+            order = jnp.argsort(
+                jnp.where(active_g, keys_g, BIGKEY), stable=True
+            )[:hill_capacity]
+            hills = hills_g[order]
+            runifs = runifs_g[order]
+            count = total
+            active = jnp.arange(hill_capacity) < total
+            truncated = (
+                jax.lax.psum(truncated.astype(jnp.int32), brick_axes) > 0
+            ) | (total > hill_capacity)
+        elif slab:
             # device-order concatenation of per-device segments == the
             # single-device (global cell-row) deposit order; re-compacting
             # the gathered segments to the FIRST hill_capacity actives
@@ -1135,7 +1357,7 @@ def make_cell_step(
                 hills, runifs, active, count, ncalls, truncated = (
                     collect_hills_half(
                         state, xs, sub, last_calls, xs.dtype,
-                        slab=slab_hills,
+                        slab=slab_hills, brick=brick_hills,
                     )
                 )
             new_bs, rec = B.add_hills_round(

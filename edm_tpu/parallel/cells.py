@@ -404,3 +404,65 @@ def make_slab_cell_step(
         return fn(state)
 
     return jax.jit(one_step)
+
+
+def make_brick_cell_step(
+    params: B.BiasParams,
+    lp: LangevinParams,
+    lj: LJParams,
+    spec: CellSpec,
+    hill_stride: int,
+    mesh,
+    **kw,
+):
+    """2-D brick-decomposed slot-resident cells host.
+
+    Like ``make_slab_cell_step`` but the force pass (and, by default, the
+    hill collection) is decomposed over a (px, py) device grid — each
+    device owns an x-range x y-range of cell columns plus a one-cell halo
+    ring.  At equal device count the halo fraction is ~2/wx + 2/wy
+    instead of the slab's 2/w, and the decomposition scales to px*py ~
+    nx*ny devices where the 1-D slab saturates at nx.  This is the TPU
+    analog of the reference's 3-D MPI box subdivision
+    (edm_bias.cpp:98-222) laid onto a 2-D ICI torus (z stays unsharded).
+
+    ``mesh`` must be a 2-D mesh (see parallel.make_brick_mesh); pass
+    ``init_cell_state`` state; returns a jitted ``state, e = step(state)``
+    (or ``state, (e, log)`` with ``collect_records``)."""
+    from ..models.pair_edm_cells import make_cell_step
+
+    if mesh.devices.ndim != 2:
+        raise ValueError("brick host needs a 2-D (px, py) device mesh")
+    px, py = mesh.devices.shape
+    axes = tuple(mesh.axis_names)
+    kw.setdefault("use_pallas", True)
+    collect_records = kw.get("collect_records", False)
+    inner = make_cell_step(
+        params, lp, lj, spec, hill_stride,
+        brick_axes=axes, brick_ndev=(px, py), **kw,
+    )
+
+    hill_capacity = kw.get("hill_capacity", 2048)
+
+    def one_step(state):
+        specs = jax.tree.map(lambda _: P(), state)
+        if collect_records:
+            log_shape = jax.eval_shape(
+                lambda bs: B.round_log_zeros(params, bs, hill_capacity),
+                state.core.bias,
+            )
+            out_specs = (
+                specs, (P(), jax.tree.map(lambda _: P(), log_shape)),
+            )
+        else:
+            out_specs = (specs, P())
+        fn = jax.shard_map(
+            lambda s: inner(s, None),
+            mesh=mesh,
+            in_specs=(specs,),
+            out_specs=out_specs,
+            check_vma=False,
+        )
+        return fn(state)
+
+    return jax.jit(one_step)

@@ -15,6 +15,8 @@ from jax.sharding import Mesh
 
 
 DATA_AXIS = "dp"
+BRICK_X_AXIS = "bx"
+BRICK_Y_AXIS = "by"
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
@@ -22,3 +24,16 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (axis,))
+
+
+def make_brick_mesh(
+    px: int, py: int, axes: tuple = (BRICK_X_AXIS, BRICK_Y_AXIS)
+) -> Mesh:
+    """(px, py) 2-D device grid for brick decomposition — on real hardware
+    lay px x py onto the physical ICI torus (v5e/v6 slices are 2-D tori,
+    so a matching logical grid keeps halo/psum traffic on nearest-neighbor
+    links)."""
+    devs = jax.devices()
+    if len(devs) < px * py:
+        raise ValueError(f"need {px * py} devices, have {len(devs)}")
+    return Mesh(np.asarray(devs[: px * py]).reshape(px, py), tuple(axes))

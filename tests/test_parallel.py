@@ -389,3 +389,95 @@ def test_slab_sharded_hill_collection_matches_replicated():
         float(s_sh.core.bias.cum_bias) - float(s_rep.core.bias.cum_bias)
     ) < 1e-5
     assert int(s_sh.core.last_calls) == int(s_rep.core.last_calls)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("grid", [(2, 4), (3, 2)])
+def test_brick_cell_host_matches_single_device(grid):
+    """2-D brick-decomposed cells host (Newton kernel per x-range x
+    y-range brick + halo ring, one 2-axis psum/step; brick-sharded hill
+    collection merged by global row key) reproduces the single-device
+    host's trajectory at kT=0 — including ragged partitions (3 devices
+    over 10 columns own 4/3/3)."""
+    from edm_tpu.models.cells import CellSpec
+    from edm_tpu.models.pair_edm_cells import init_cell_state, make_cell_step
+    from edm_tpu.parallel import make_brick_mesh
+    from edm_tpu.parallel.cells import make_brick_cell_step
+
+    params, bias_state, x0, box = _setup(10)
+    lp = LangevinParams(dt=0.002, friction=1.0, kT=0.0)
+    spec = CellSpec.create(box, cutoff=3.0, n_atoms=x0.shape[0])
+    assert min(spec.ncells) >= 3
+    core = pair_edm.init_state(
+        bias_state, x0, jax.random.PRNGKey(0), pair_lookup="chebyshev",
+        cheb_deg=16, cheb_panels=4,
+    )
+    st0 = init_cell_state(spec, core, with_ids=False)
+
+    step1 = make_cell_step(
+        params, lp, LJParams(), spec, hill_stride=2, use_pallas=True
+    )
+    mesh = make_brick_mesh(*grid)
+    stepN = make_brick_cell_step(
+        params, lp, LJParams(), spec, hill_stride=2, mesh=mesh
+    )
+    s1, sN = st0, st0
+    for _ in range(4):
+        s1, _ = step1(s1, None)
+        sN, _ = stepN(sN)
+    np.testing.assert_allclose(
+        np.asarray(sN.xs), np.asarray(s1.xs), rtol=1e-5, atol=1e-6
+    )
+    # the brick-sharded hill collection merges to the EXACT single-device
+    # round (same draws, same deposit order): the grids match bitwise
+    assert np.array_equal(
+        np.asarray(sN.core.bias.bias.grid.values),
+        np.asarray(s1.core.bias.bias.grid.values),
+    )
+    assert abs(
+        float(sN.core.bias.cum_bias) - float(s1.core.bias.cum_bias)
+    ) < 1e-5
+    assert float(sN.core.bias.cum_bias) > 0
+    assert int(sN.core.last_calls) == int(s1.core.last_calls)
+
+
+@pytest.mark.slow
+def test_brick_cell_host_small_lattice_fallback():
+    """On lattices too small to slice a brick+halo window (wxm+2 > nx) the
+    brick host falls back to the full kernel with rows restricted to the
+    owned columns — trajectory and hill rounds still match the
+    single-device host."""
+    from edm_tpu.models.cells import CellSpec
+    from edm_tpu.models.pair_edm_cells import init_cell_state, make_cell_step
+    from edm_tpu.parallel import make_brick_mesh
+    from edm_tpu.parallel.cells import make_brick_cell_step
+
+    params, bias_state, x0, box = _setup(8)
+    lp = LangevinParams(dt=0.002, friction=1.0, kT=0.0)
+    spec = CellSpec.create(box, cutoff=3.0, n_atoms=x0.shape[0])
+    assert spec.ncells == (3, 3, 3)  # forces the fallback on both axes
+    core = pair_edm.init_state(
+        bias_state, x0, jax.random.PRNGKey(0), pair_lookup="chebyshev",
+        cheb_deg=16, cheb_panels=4,
+    )
+    st0 = init_cell_state(spec, core, with_ids=False)
+    step1 = make_cell_step(
+        params, lp, LJParams(), spec, hill_stride=2, use_pallas=True,
+        hill_capacity=512,
+    )
+    stepN = make_brick_cell_step(
+        params, lp, LJParams(), spec, hill_stride=2,
+        mesh=make_brick_mesh(2, 2), hill_capacity=512,
+    )
+    s1, sN = st0, st0
+    for _ in range(3):
+        s1, _ = step1(s1, None)
+        sN, _ = stepN(sN)
+    np.testing.assert_allclose(
+        np.asarray(sN.xs), np.asarray(s1.xs), rtol=1e-5, atol=1e-6
+    )
+    assert np.array_equal(
+        np.asarray(sN.core.bias.bias.grid.values),
+        np.asarray(s1.core.bias.bias.grid.values),
+    )
+    assert float(sN.core.bias.cum_bias) > 0
