@@ -39,8 +39,10 @@ pipeline runs no per-atom gathers or scatters at all:
 ``core.x/v/f`` (atom order) are refreshed only at FULL (argsort) rebuilds
 — incremental rebins leave them stale; use ``atom_positions(spec, state)``
 for an up-to-date atom-order view.
-``slab_axis``/``slab_ndev`` shard the force pass over a mesh (see
-parallel.make_slab_cell_step).
+``slab_axis``/``slab_ndev`` shard the force pass over a 1-D mesh (see
+parallel.make_slab_cell_step); ``brick_axes``/``brick_ndev`` decompose it
+over a 2-D (px, py) device grid with a one-cell halo ring (see
+parallel.make_brick_cell_step) — the pod-scale decomposition.
 
 The cell edge is max(lj.rcut, bias domain) + skin, so both force laws and
 the hill candidate set live within the stencil.  The per-atom BAOAB noise

@@ -1,12 +1,12 @@
-"""Weak-scaling proxy for the slab-sharded cell host on the virtual CPU mesh.
+"""Weak-scaling proxy for the sharded cell hosts on the virtual CPU mesh.
 
 Real multi-chip hardware is unavailable in this environment, and the CPU
 "mesh" time-slices ONE physical core across its virtual devices — wall-clock
 speedup is therefore unmeasurable here.  What IS measurable and meaningful:
 
-1. **Per-device work balance**: the slab decomposition's cells-per-device
-   spread (asserted <= one x-column), which on real hardware bounds the
-   load-imbalance term of the scaling efficiency.
+1. **Per-device work balance**: the decomposition's cells-per-device
+   spread (asserted <= one column per sharded axis), which on real
+   hardware bounds the load-imbalance term of the scaling efficiency.
 2. **Aggregate-work overhead**: T(n devices, n x work) / (n * T(1 device,
    1 x work)).  On a single core every device's compute serializes, so this
    ratio isolates the *extra* work the sharded program does per device
@@ -14,8 +14,16 @@ speedup is therefore unmeasurable here.  What IS measurable and meaningful:
    exactly the terms that erode weak scaling on a real pod slice, minus the
    ICI bandwidth term (modeled separately in docs/perf.md).
 
+Both decompositions are measured: the 1-D slab (per-device x-columns,
+halo share ~2/w) and the 2-D brick (x-range x y-range bricks, halo share
+~2/wx + 2/wy + 4/(wx*wy)).  At equal toy widths the brick's halo RING
+costs more than the slab's two faces — its value is that it keeps
+scaling past n = nx devices where the slab saturates, and that its halo
+share falls quadratically faster as per-device width grows (see
+docs/perf.md for the v5e-32 model).
+
 Run: python examples/weak_scaling_cpu_mesh.py  (forces an 8-device CPU mesh)
-Prints one JSON line per mesh size.
+Prints one JSON line per configuration.
 """
 
 import json
@@ -44,8 +52,8 @@ from edm_tpu.models.cells import CellSpec
 from edm_tpu.models.langevin import LangevinParams
 from edm_tpu.models.lj import LJParams
 from edm_tpu.models.pair_edm_cells import init_cell_state
-from edm_tpu.parallel import make_mesh
-from edm_tpu.parallel.cells import make_slab_cell_step
+from edm_tpu.parallel import make_brick_mesh, make_mesh
+from edm_tpu.parallel.cells import make_brick_cell_step, make_slab_cell_step
 from edm_tpu.utils.config import parse_edm_text
 
 SIDE_PER_DEV = 8  # 8x8x8 lattice = 512 atoms per device at density 0.5
@@ -53,9 +61,12 @@ A = 1.26
 STEPS = 10
 
 
-def run(n_dev: int):
-    n_atoms = SIDE_PER_DEV**3 * n_dev
-    nx, ny, nz = SIDE_PER_DEV * n_dev, SIDE_PER_DEV, SIDE_PER_DEV
+def run(n_dev: int, grid=None):
+    """grid=None: 1-D slab over n_dev; grid=(px, py): 2-D brick (the atom
+    lattice grows along both sharded axes so work/device is constant)."""
+    px, py = grid if grid else (n_dev, 1)
+    nx, ny, nz = SIDE_PER_DEV * px, SIDE_PER_DEV * py, SIDE_PER_DEV
+    n_atoms = nx * ny * nz
     pts = (
         np.stack(np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz),
                              indexing="ij"), -1).reshape(-1, 3) * A + 0.5 * A
@@ -69,22 +80,27 @@ def run(n_dev: int):
         cfg, 1.0, 1.0, [0], [3.0], [0], [3.0], [False], [0]
     )
     spec = CellSpec.create(box, cutoff=3.05, n_atoms=n_atoms)
-    mesh = make_mesh(n_dev)
     core = pair_edm.init_state(
         bias_state, jnp.asarray(pts, jnp.float32), jax.random.PRNGKey(0),
         n_est=n_atoms * 20, pair_lookup="chebyshev", cheb_deg=16, cheb_panels=4,
     )
     state = init_cell_state(spec, core, with_ids=False)
-    step = make_slab_cell_step(
-        params, LangevinParams(dt=0.002, friction=1.0, kT=0.8), LJParams(),
-        spec, hill_stride=10, mesh=mesh, rebuild_stride=10, energy_stride=10,
-    )
-
-    # per-device cell balance of the (balanced) slab decomposition
-    nx_c = spec.ncells[0]
-    q, rem = divmod(nx_c, n_dev)
-    cols = [q + (d < rem) for d in range(n_dev)]
-    assert max(cols) - min(cols) <= 1, f"slab imbalance: columns per device {cols}"
+    kw = dict(hill_stride=10, rebuild_stride=10, energy_stride=10)
+    lp = LangevinParams(dt=0.002, friction=1.0, kT=0.8)
+    cols = []
+    for n_ax, p_ax in ((spec.ncells[0], px), (spec.ncells[1], py)):
+        q, rem = divmod(n_ax, p_ax)
+        c = [q + (d < rem) for d in range(p_ax)]
+        assert max(c) - min(c) <= 1, f"imbalance: columns per device {c}"
+        cols.append(c)
+    if grid:
+        step = make_brick_cell_step(
+            params, lp, LJParams(), spec, mesh=make_brick_mesh(px, py), **kw
+        )
+    else:
+        step = make_slab_cell_step(
+            params, lp, LJParams(), spec, mesh=make_mesh(n_dev), **kw
+        )
 
     state, _ = step(state)  # compile + settle
     best = None
@@ -97,9 +113,10 @@ def run(n_dev: int):
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     return {
+        "mode": f"brick {px}x{py}" if grid else "slab",
         "n_dev": n_dev,
         "atoms": n_atoms,
-        "cells_x_per_dev": cols,
+        "cells_per_dev_xy": cols,
         "steps_per_sec": round(STEPS / best, 3),
         "sec_per_step": round(best / STEPS, 4),
     }
@@ -107,8 +124,9 @@ def run(n_dev: int):
 
 def main():
     rows = []
-    for n in (1, 2, 4, 8):
-        r = run(n)
+    for n, grid in ((1, None), (2, None), (4, None), (8, None),
+                    (4, (2, 2)), (8, (4, 2))):
+        r = run(n, grid)
         rows.append(r)
         print(json.dumps(r), flush=True)
     t1 = rows[0]["sec_per_step"]
@@ -117,7 +135,8 @@ def main():
         # (halo columns + collectives + replicated rounds), the scaling
         # loss term measurable on a time-sliced single-core mesh
         r["agg_overhead"] = round(r["sec_per_step"] / (r["n_dev"] * t1) - 1, 3)
-        print(json.dumps({"n_dev": r["n_dev"], "agg_overhead": r["agg_overhead"]}))
+        print(json.dumps({"mode": r["mode"], "n_dev": r["n_dev"],
+                          "agg_overhead": r["agg_overhead"]}))
 
 
 if __name__ == "__main__":
