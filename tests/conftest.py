@@ -28,6 +28,13 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the suite's cost is dominated by XLA:CPU
+# compiles of the same step programs run-to-run; caching them on disk keeps
+# the fast profile well under the 5-minute budget after the first run
+# (code changes invalidate exactly the affected programs).
+jax.config.update("jax_compilation_cache_dir", "/tmp/edm_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 assert jax.default_backend() == "cpu", (
     f"tests must run on CPU, got {jax.default_backend()}"
 )
