@@ -18,7 +18,11 @@ pipeline runs no per-atom gathers or scatters at all:
      (legacy 27-stencil ordered pairs; Chebyshev-only, untyped; the only
      consumer of the sid/nid id masks), False (XLA chunked tiles);
   2. BAOAB integration directly on slot arrays (padded slots are masked
-     out of all pair math and hill collection);
+     out of all pair math and hill collection); thermostat noise comes
+     from a counter-hash Box-Muller stream keyed by GLOBAL slot row
+     (ops/hashrng.normal_rows_cols), so under slab/brick sharding each
+     device can draw just its owned columns' noise bitwise
+     (shard_floor);
   3. every ``rebuild_stride`` steps: incremental slot-to-slot rebin —
      only boundary-crossing atoms move, into free holes of their target
      cells (models/cells.plan_incremental_rebin; work ~ movers, not
@@ -62,7 +66,7 @@ import numpy as np
 from .. import bias as B
 from ..ops.chebyshev import fit_gauss_grid
 from .cells import CellSpec, build_table
-from .langevin import LangevinParams, baoab_step
+from .langevin import LangevinParams
 from .lj import LJParams
 from .pair_edm import PairEDMState
 
@@ -417,6 +421,8 @@ def make_cell_step(
     slab_collect: bool = True,
     brick_axes: Optional[Tuple[str, str]] = None,
     brick_ndev: Tuple[int, int] = (1, 1),
+    shard_floor: bool = True,
+    row_cap_local: Optional[int] = None,
 ):
     """``slab_axis``/``slab_ndev``: run the force pass slab-sharded under
     ``shard_map`` over that mesh axis — each device evaluates the Newton
@@ -442,7 +448,21 @@ def make_cell_step(
     by a global row-key sort (see collect_hills_half).  Mutually
     exclusive with ``slab_axis``; same replicated-state psum contract
     (maps the reference's 3-D MPI subdivision, edm_bias.cpp:98-222, onto
-    a 2-D ICI torus; z stays unsharded — v5e/v6 meshes are 2-D tori)."""
+    a 2-D ICI torus; z stays unsharded — v5e/v6 meshes are 2-D tori).
+
+    ``shard_floor`` (default True, slab/brick modes): decompose the
+    replicated Amdahl-floor terms too — (a) the BAOAB pre-force phase
+    (B-A-O-A: velocity/position updates + the thermostat noise draw) runs
+    per device over owned columns only and the halves combine with one
+    fused (x, v) psum; (b) the hill pass-2/extraction tiles shrink to
+    ``row_cap_local`` rows (default row_cap/n_dev, min 64, rounded to the
+    sublane tile).  Bitwise-neutral by construction: the noise is drawn
+    by global slot row with a counter-hash Box-Muller generator
+    (ops/hashrng.normal_rows_cols) — a sliced row range draws the exact
+    values the replicated draw produces — and ALL cells hosts (sharded
+    or not) use this noise stream, so sharded trajectories match the
+    single-device host bit-for-bit at any kT.  Deposition and rebuilds
+    remain the replicated floor (see docs/perf.md)."""
     if brick_axes is not None and slab_axis is not None:
         raise ValueError("brick_axes and slab_axis are mutually exclusive")
     if brick_axes is not None and not use_pallas:
@@ -485,6 +505,34 @@ def make_cell_step(
     brick_hills = (
         brick_axes is not None and slab_collect and types_arr is None
     )
+
+    # sharded-floor pass-2 row budget: each device extracts hills only from
+    # rows of its owned columns, so the fixed-shape pass-2/extraction tiles
+    # shrink to the owned-CELL fraction of the global budget — the ceil
+    # partition width over the lattice, NOT 1/n_dev (8 devices over 3
+    # x-columns leave one device a third of the rows).  A device
+    # overflowing its local budget raises the same hills_truncated flag
+    # the replicated overflow does.
+    n_dev_shard = (
+        slab_ndev
+        if slab_axis is not None
+        else (brick_ndev[0] * brick_ndev[1] if brick_axes is not None else 1)
+    )
+    if row_cap_local is None:
+        if n_dev_shard == 1 or not shard_floor:
+            row_cap_local = row_cap
+        else:
+            ncx, ncy, _ = spec.ncells
+            if brick_axes is not None:
+                frac = (
+                    (-(-ncx // brick_ndev[0])) * (-(-ncy // brick_ndev[1]))
+                ) / (ncx * ncy)
+            else:
+                frac = (-(-ncx // slab_ndev)) / ncx
+            row_cap_local = min(
+                row_cap,
+                max(64, (int(row_cap * frac) + 7) // 8 * 8),
+            )
 
     # type-filtered Pallas runs read the cached per-slot type plane
     # (init_cell_state(..., types=...)); checked at trace time below
@@ -909,6 +957,140 @@ def make_cell_step(
 
         return force_fn
 
+    # BAOAB split around the force pass: the pre-force phase (B-A-O-A —
+    # velocity half-kick, drift, thermostat, drift) is elementwise over
+    # slots plus the noise draw, so under slab/brick sharding each device
+    # runs it over its OWNED columns only and the halves combine with one
+    # fused (x, v) psum (shard_floor).  Noise comes from the counter-hash
+    # Box-Muller generator keyed by GLOBAL slot row
+    # (ops/hashrng.normal_rows_cols): a sliced row range draws exactly the
+    # values the replicated draw produces, so sharded and single-device
+    # trajectories are bitwise identical at any kT.  The reference
+    # delegates integration to LAMMPS (fix nve/langevin); this is the
+    # TPU-native analog of LAMMPS's per-rank thermostat over owned atoms.
+    _c1_np = float(np.exp(-lp.friction * lp.dt))
+    _c2_np = float(
+        np.sqrt(max(0.0, (1.0 - _c1_np * _c1_np)) * lp.kT / lp.mass)
+    )
+    _rows_all = jnp.arange(Cg * cap, dtype=jnp.int32)
+    rowlen_z = nz * cap
+    rowlen_yz = ny * rowlen_z
+
+    def _p1_update(xsub, vsub, fsub, xi, dtype):
+        v1 = vsub + jnp.asarray(0.5 * lp.dt / lp.mass, dtype) * fsub  # B
+        x1 = xsub + jnp.asarray(0.5 * lp.dt, dtype) * v1  # A
+        v2 = jnp.asarray(_c1_np, dtype) * v1 + jnp.asarray(_c2_np, dtype) * xi  # O
+        x2 = x1 + jnp.asarray(0.5 * lp.dt, dtype) * v2  # A
+        return x2, v2
+
+    def phase1_full(state, seeds):
+        from ..ops.hashrng import normal_rows_cols
+
+        dtype = state.xs.dtype
+        xi = normal_rows_cols(seeds, _rows_all, 3, dtype).reshape(Cg, cap, 3)
+        x2, v2 = _p1_update(state.xs, state.vs, state.fs, xi, dtype)
+        m = state.mc[..., None]
+        return x2 * m, v2 * m
+
+    def _p1_scatter(x2, v2, pads, rolls, axis_names, dtype):
+        """Zero-pad the owned window back to lattice shape, roll it into
+        place and psum — disjoint ownership makes the sum exact."""
+        for ax, padw in pads:
+            if padw > 0:
+                z = jnp.zeros(
+                    x2.shape[:ax] + (padw,) + x2.shape[ax + 1:], dtype
+                )
+                x2 = jnp.concatenate([x2, z], ax)
+                v2 = jnp.concatenate([v2, z], ax)
+        shifts = tuple(s for s, _ in rolls)
+        axes = tuple(a for _, a in rolls)
+        x2 = jnp.roll(x2, shifts, axes).reshape(C, cap, 3)
+        v2 = jnp.roll(v2, shifts, axes).reshape(C, cap, 3)
+        if Cg > C:
+            z = jnp.zeros((Cg - C, cap, 3), dtype)
+            x2 = jnp.concatenate([x2, z], 0)
+            v2 = jnp.concatenate([v2, z], 0)
+        return jax.lax.psum((x2, v2), axis_names)
+
+    def phase1_slab(state, seeds):
+        from ..ops.hashrng import normal_rows_cols
+
+        dtype = state.xs.dtype
+        dev = jax.lax.axis_index(slab_axis)
+        q, rem = nx // slab_ndev, nx % slab_ndev
+        x0 = (dev * q + jnp.minimum(dev, rem)).astype(jnp.int32)
+        wd = (q + (dev < rem)).astype(jnp.int32)
+        w = -(-nx // slab_ndev)
+
+        def sub(a, extra):
+            return jnp.roll(
+                a[:C].reshape((nx, ny, nz, cap) + extra), -x0, axis=0
+            )[:w]
+
+        cols = (x0 + jnp.arange(w, dtype=jnp.int32)) % nx
+        rows = (
+            cols[:, None] * rowlen_yz
+            + jnp.arange(rowlen_yz, dtype=jnp.int32)[None, :]
+        ).reshape(-1)
+        xi = normal_rows_cols(seeds, rows, 3, dtype).reshape(w, ny, nz, cap, 3)
+        x2, v2 = _p1_update(sub(state.xs, (3,)), sub(state.vs, (3,)),
+                            sub(state.fs, (3,)), xi, dtype)
+        own = (jnp.arange(w) < wd).astype(dtype)
+        m = (sub(state.mc, ()) * own[:, None, None, None])[..., None]
+        return _p1_scatter(
+            x2 * m, v2 * m, [(0, nx - w)], [(x0, 0)], slab_axis, dtype
+        )
+
+    def phase1_brick(state, seeds):
+        from ..ops.hashrng import normal_rows_cols
+
+        dtype = state.xs.dtype
+        axx, axy = brick_axes
+        px, py = brick_ndev
+        dvx = jax.lax.axis_index(axx)
+        dvy = jax.lax.axis_index(axy)
+        qx, rx = nx // px, nx % px
+        x0 = (dvx * qx + jnp.minimum(dvx, rx)).astype(jnp.int32)
+        wx = (qx + (dvx < rx)).astype(jnp.int32)
+        qy, ry = ny // py, ny % py
+        y0 = (dvy * qy + jnp.minimum(dvy, ry)).astype(jnp.int32)
+        wy = (qy + (dvy < ry)).astype(jnp.int32)
+        wX, wY = -(-nx // px), -(-ny // py)
+
+        def sub(a, extra):
+            return jnp.roll(
+                a[:C].reshape((nx, ny, nz, cap) + extra),
+                (-x0, -y0), axis=(0, 1),
+            )[:wX, :wY]
+
+        colx = (x0 + jnp.arange(wX, dtype=jnp.int32)) % nx
+        coly = (y0 + jnp.arange(wY, dtype=jnp.int32)) % ny
+        rows = (
+            colx[:, None, None] * rowlen_yz
+            + coly[None, :, None] * rowlen_z
+            + jnp.arange(rowlen_z, dtype=jnp.int32)[None, None, :]
+        ).reshape(-1)
+        xi = normal_rows_cols(seeds, rows, 3, dtype).reshape(
+            wX, wY, nz, cap, 3
+        )
+        x2, v2 = _p1_update(sub(state.xs, (3,)), sub(state.vs, (3,)),
+                            sub(state.fs, (3,)), xi, dtype)
+        own = (
+            (jnp.arange(wX) < wx)[:, None] & (jnp.arange(wY) < wy)[None, :]
+        ).astype(dtype)
+        m = (sub(state.mc, ()) * own[:, :, None, None])[..., None]
+        return _p1_scatter(
+            x2 * m, v2 * m, [(0, nx - wX), (1, ny - wY)],
+            [(x0, 0), (y0, 1)], (axx, axy), dtype,
+        )
+
+    if shard_floor and brick_axes is not None:
+        phase1 = phase1_brick
+    elif shard_floor and slab_axis is not None:
+        phase1 = phase1_slab
+    else:
+        phase1 = phase1_full
+
     def collect_hills_half(state: CellPairState, xs, key, last_calls, dtype,
                            slab: bool = False, brick: bool = False):
         """Two-level hill collection over HALF-stencil tiles.
@@ -950,6 +1132,9 @@ def make_cell_step(
 
         k13 = len(HALF_OFFSETS)
         width = (k13 + 1) * cap
+        # sharded passes extract from owned rows only: the pass-2 tiles
+        # shrink to the per-device row budget (shard_floor)
+        rc = row_cap_local if (slab or brick) else row_cap
         seeds = seeds_from_key(key)
         thresh = (
             None
@@ -1117,8 +1302,8 @@ def make_cell_step(
 
         has = row_counts > 0
         rranks = jnp.cumsum(has.astype(jnp.int32)) - 1
-        rtgt = jnp.where(has, rranks, row_cap)
-        rows_sel = jnp.full((row_cap,), sent, jnp.int32).at[rtgt].set(
+        rtgt = jnp.where(has, rranks, rc)
+        rows_sel = jnp.full((rc,), sent, jnp.int32).at[rtgt].set(
             local_gids, mode="drop"
         )
         n_rows = jnp.sum(has.astype(jnp.int32)).astype(jnp.int32)
@@ -1146,14 +1331,14 @@ def make_cell_step(
         cand_ok = valid & (r2 < bmax2)
         r = jnp.sqrt(jnp.where(cand_ok, r2, jnp.inf))
         u = uniform_rows_cols(seeds, rows_c, 2 * width, dtype).reshape(
-            row_cap, width, 2
+            rc, width, 2
         )
         if thresh is None:
             acc = jnp.broadcast_to(cand_ok[..., None], cand_ok.shape + (2,))
         else:
             acc = cand_ok[..., None] & (u < thresh)
-        acc2 = acc.reshape(row_cap, 2 * width)
-        u2 = u.reshape(row_cap, 2 * width)
+        acc2 = acc.reshape(rc, 2 * width)
+        u2 = u.reshape(rc, 2 * width)
         r21 = jnp.repeat(r, 2, axis=1)  # r[w] at work columns 2w, 2w+1
 
         hills_rows, runif_rows, valid_rows = _extract_first_m(
@@ -1170,7 +1355,7 @@ def make_cell_step(
         runifs = jnp.ones((hill_capacity,), dtype).at[tgt].set(uflat, mode="drop")
         count = jnp.sum(vflat.astype(jnp.int32)).astype(jnp.int32)
         active = jnp.arange(hill_capacity) < count
-        truncated = (count > hill_capacity) | (n_rows > row_cap) | row_overflow
+        truncated = (count > hill_capacity) | (n_rows > rc) | row_overflow
         if brick:
             # global (slot-row, within-row) sort key per hill: ascending
             # key order IS the single-device enumeration order.  Keys fit
@@ -1335,16 +1520,18 @@ def make_cell_step(
         do_energy = (
             None if energy_stride == 1 else (core.step % energy_stride) == 0
         )
-        xs, vs, fs, e_bias, key = baoab_step(
-            lp, state.xs, state.vs, state.fs, core.key,
-            force_fn_for(state, do_energy)
-        )
+        from ..ops.hashrng import seeds_from_key
+
+        key, sub_noise = jax.random.split(core.key)
+        xs, vh = phase1(state, seeds_from_key(sub_noise))
+        e_bias, fs = force_fn_for(state, do_energy)(xs)
+        # final B half-kick; pin padded slots (noise would random-walk them)
+        vs = (
+            vh + jnp.asarray(0.5 * lp.dt / lp.mass, xs.dtype) * fs
+        ) * state.mc[..., None]
         if do_energy is not None:
             # carry the last computed bias energy through skipped steps
             e_bias = jnp.where(do_energy, e_bias, core.energy)
-        # padded slots carry no atoms: pin them (noise would random-walk them)
-        xs = xs * state.mc[..., None]
-        vs = vs * state.mc[..., None]
 
         do_hills = (core.step % hill_stride) == 0
 

@@ -31,6 +31,25 @@ def seeds_from_key(key) -> jax.Array:
     return jax.random.bits(key, (2,), jnp.uint32)
 
 
+def normal_rows_cols(seeds, rows, n_cols: int, dtype) -> jax.Array:
+    """(R,) int32 row ids -> (R, n_cols) standard normals (Box-Muller).
+
+    Deterministic in (seeds, row, col), so a SLICED row range draws the
+    exact values the full range draws at those rows — the property the
+    sharded-floor BAOAB integration needs: each device draws thermostat
+    noise only for its owned slot rows and the result is bitwise the
+    replicated draw (models/pair_edm_cells).  The reference has no analog
+    (LAMMPS owns the thermostat; RanMars is seeded per rank,
+    fix_edm.cpp:61).  Box-Muller from two independent column streams;
+    u1 is offset by 2^-33 so log(u1) is finite at the (p = 2^-32) zero
+    draw, bounding |z| at ~6.8 sigma."""
+    u = uniform_rows_cols(seeds, rows, 2 * n_cols, dtype)
+    u1 = u[:, :n_cols] + jnp.asarray(2.0 ** -33, dtype)
+    u2 = u[:, n_cols:]
+    r = jnp.sqrt(jnp.asarray(-2.0, dtype) * jnp.log(u1))
+    return r * jnp.cos(jnp.asarray(2.0 * 3.14159265358979323846, dtype) * u2)
+
+
 def uniform_rows_cols(seeds, rows, n_cols: int, dtype) -> jax.Array:
     """(R,) int32 row ids -> (R, n_cols) uniforms in [0, 1).
 

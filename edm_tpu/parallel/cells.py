@@ -361,10 +361,13 @@ def make_slab_cell_step(
     slab-decomposed the same way (per-device candidate sampling over
     owned columns, one all_gather of compacted hills per round that
     replays in the single-device deposit order; ``slab_collect=False``
-    restores replicated collection).  Integration, deposition and
-    rebuilds run replicated and deterministic, so the state stays
-    bitwise identical across devices — the reference's entire MPI
-    hill-exchange layer (edm_bias.cpp:614-920) has no analog here.
+    restores replicated collection).  The BAOAB pre-force phase and the
+    hill pass-2 budgets are slab-decomposed too (``shard_floor``, default
+    on — slot-row-keyed thermostat noise + one fused (x, v) psum keep the
+    result bitwise the replicated floor's); deposition and rebuilds run
+    replicated and deterministic, so the state stays bitwise identical
+    across devices — the reference's entire MPI hill-exchange layer
+    (edm_bias.cpp:614-920) has no analog here.
 
     Use with ``models.pair_edm_cells.init_cell_state`` state; returns a
     jitted ``state, e = step(state)`` — or ``state, (e, log) = step(state)``

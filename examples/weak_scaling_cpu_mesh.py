@@ -22,6 +22,13 @@ scaling past n = nx devices where the slab saturates, and that its halo
 share falls quadratically faster as per-device width grows (see
 docs/perf.md for the v5e-32 model).
 
+With the sharded floor (shard_floor, default on) the slab's aggregate
+overhead goes NEGATIVE at these toy widths: the fixed-shape global
+costs (the pass-2/extraction row budget, the thermostat draw) split per
+device instead of replicating, and at 512 atoms/device that saving
+outweighs the halo surcharge.  The halo term itself is unchanged — see
+docs/perf.md for the decomposition and the floor-off comparison rows.
+
 Run: python examples/weak_scaling_cpu_mesh.py  (forces an 8-device CPU mesh)
 Prints one JSON line per configuration.
 """
@@ -104,6 +111,7 @@ def run(n_dev: int, grid=None):
 
     state, _ = step(state)  # compile + settle
     best = None
+    s = state
     for _ in range(3):
         t0 = time.perf_counter()
         s = state
@@ -112,6 +120,9 @@ def run(n_dev: int, grid=None):
         float(jnp.sum(s.xs))  # force completion
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
+    # the sharded-floor per-device row budgets must not truncate at this
+    # workload (truncation would silently shrink the hill rounds measured)
+    assert not bool(s.table_overflow) and not bool(s.core.hills_truncated)
     return {
         "mode": f"brick {px}x{py}" if grid else "slab",
         "n_dev": n_dev,

@@ -269,14 +269,16 @@ def test_sharded_cells_hills_logging(tmp_path):
 @pytest.mark.slow
 def test_slab_cell_host_matches_single_device():
     """Slab-sharded slot-resident cells host (Newton kernel per x-slab +
-    halo, one psum/step) reproduces the single-device host's trajectory
-    bitwise-ish at kT=0, including hill rounds (replicated, deterministic)."""
+    halo, one psum/step) reproduces the single-device host's trajectory at
+    kT > 0 — the slot-row-keyed thermostat noise draws identically under
+    any decomposition, so only force-psum roundoff separates them — and
+    the hill rounds replay bitwise."""
     from edm_tpu.models.cells import CellSpec
     from edm_tpu.models.pair_edm_cells import init_cell_state, make_cell_step
     from edm_tpu.parallel.cells import make_slab_cell_step
 
     params, bias_state, x0, box = _setup(10)
-    lp = LangevinParams(dt=0.002, friction=1.0, kT=0.0)
+    lp = LangevinParams(dt=0.002, friction=1.0, kT=0.8)
     spec = CellSpec.create(box, cutoff=3.0, n_atoms=x0.shape[0])
     assert min(spec.ncells) >= 3
     core = pair_edm.init_state(
@@ -298,6 +300,12 @@ def test_slab_cell_host_matches_single_device():
         sN, _ = stepN(sN)
     np.testing.assert_allclose(
         np.asarray(sN.xs), np.asarray(s1.xs), rtol=1e-5, atol=1e-6
+    )
+    # the slab-sharded hill collection replays the single-device round
+    # bitwise (same draws, same deposit order)
+    assert np.array_equal(
+        np.asarray(sN.core.bias.bias.grid.values),
+        np.asarray(s1.core.bias.bias.grid.values),
     )
     assert abs(
         float(sN.core.bias.cum_bias) - float(s1.core.bias.cum_bias)
@@ -391,21 +399,62 @@ def test_slab_sharded_hill_collection_matches_replicated():
     assert int(s_sh.core.last_calls) == int(s_rep.core.last_calls)
 
 
+def test_shard_floor_bitwise():
+    """Sharded-floor BAOAB (per-device owned-column phase 1 + fused (x, v)
+    psum; shrunken per-device pass-2 row budgets) is BITWISE the
+    full-replicated floor on the same slab decomposition at kT > 0: the
+    counter-hash Box-Muller noise is keyed by global slot row, so the
+    sliced draw equals the replicated draw, and the psum of disjoint
+    owned windows is exact."""
+    from edm_tpu.models.cells import CellSpec
+    from edm_tpu.models.pair_edm_cells import init_cell_state
+    from edm_tpu.parallel.cells import make_slab_cell_step
+
+    params, bias_state, x0, box = _setup(8)
+    lp = LangevinParams(dt=0.002, friction=1.0, kT=0.8)
+    mesh = make_mesh(8)
+    spec = CellSpec.create(box, cutoff=3.0, n_atoms=x0.shape[0])
+    core = pair_edm.init_state(
+        bias_state, x0, jax.random.PRNGKey(0), pair_lookup="chebyshev",
+        cheb_deg=16, cheb_panels=4,
+    )
+    st0 = init_cell_state(spec, core, with_ids=False)
+    step_f = make_slab_cell_step(
+        params, lp, LJParams(), spec, hill_stride=2, mesh=mesh,
+        hill_capacity=512,
+    )
+    step_r = make_slab_cell_step(
+        params, lp, LJParams(), spec, hill_stride=2, mesh=mesh,
+        hill_capacity=512, shard_floor=False,
+    )
+    s_f, s_r = st0, st0
+    for _ in range(4):
+        s_f, _ = step_f(s_f)
+        s_r, _ = step_r(s_r)
+    assert np.array_equal(np.asarray(s_f.xs), np.asarray(s_r.xs))
+    assert np.array_equal(np.asarray(s_f.vs), np.asarray(s_r.vs))
+    assert np.array_equal(
+        np.asarray(s_f.core.bias.bias.grid.values),
+        np.asarray(s_r.core.bias.bias.grid.values),
+    )
+    assert float(s_f.core.bias.cum_bias) > 0
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("grid", [(2, 4), (3, 2)])
 def test_brick_cell_host_matches_single_device(grid):
     """2-D brick-decomposed cells host (Newton kernel per x-range x
     y-range brick + halo ring, one 2-axis psum/step; brick-sharded hill
     collection merged by global row key) reproduces the single-device
-    host's trajectory at kT=0 — including ragged partitions (3 devices
-    over 10 columns own 4/3/3)."""
+    host's trajectory at kT > 0 (slot-row-keyed noise) — including ragged
+    partitions (3 devices over 10 columns own 4/3/3)."""
     from edm_tpu.models.cells import CellSpec
     from edm_tpu.models.pair_edm_cells import init_cell_state, make_cell_step
     from edm_tpu.parallel import make_brick_mesh
     from edm_tpu.parallel.cells import make_brick_cell_step
 
     params, bias_state, x0, box = _setup(10)
-    lp = LangevinParams(dt=0.002, friction=1.0, kT=0.0)
+    lp = LangevinParams(dt=0.002, friction=1.0, kT=0.8)
     spec = CellSpec.create(box, cutoff=3.0, n_atoms=x0.shape[0])
     assert min(spec.ncells) >= 3
     core = pair_edm.init_state(

@@ -201,3 +201,34 @@ def test_hashrng_uniforms():
     seeds_b = seeds_from_key(jax.random.PRNGKey(43))
     u3 = np.asarray(uniform_rows_cols(seeds_b, rows, 1024, jnp.float32))
     assert np.mean(u1 == u3) < 0.01
+
+
+def test_hashrng_normals():
+    """Box-Muller counter-hash normals (the sharded-floor BAOAB thermostat
+    noise): correct moments, Gaussian tails, and the slicing property the
+    sharding relies on — a sliced row range draws the exact values the
+    full range draws at those rows."""
+    import jax
+    import numpy as np
+    from edm_tpu.ops.hashrng import normal_rows_cols, seeds_from_key
+
+    seeds = seeds_from_key(jax.random.PRNGKey(7))
+    rows = jnp.arange(4096, dtype=jnp.int32)
+    z = np.asarray(normal_rows_cols(seeds, rows, 48, jnp.float32))
+    n = z.size
+    assert np.isfinite(z).all()
+    assert abs(z.mean()) < 4.0 / np.sqrt(n)
+    assert abs(z.var() - 1.0) < 4.0 * np.sqrt(2.0 / n)
+    assert abs((z ** 3).mean()) < 4.0 * np.sqrt(15.0 / n)  # skew
+    # Gaussian tail mass at 1/2/3 sigma
+    for s, p in ((1.0, 0.3173), (2.0, 0.0455), (3.0, 0.0027)):
+        frac = (np.abs(z) > s).mean()
+        assert abs(frac - p) < 5 * np.sqrt(p * (1 - p) / n)
+    # u1 offset bounds |z|; no inf/nan even at the zero draw
+    assert np.abs(z).max() < 7.5
+    # slice consistency: any row subset reproduces the full draw's rows
+    sl = np.asarray(normal_rows_cols(seeds, rows[100:200], 48, jnp.float32))
+    np.testing.assert_array_equal(sl, z[100:200])
+    # adjacent-draw decorrelation (row and column neighbors)
+    assert abs(np.corrcoef(z[:-1].ravel(), z[1:].ravel())[0, 1]) < 0.01
+    assert abs(np.corrcoef(z[:, :-1].ravel(), z[:, 1:].ravel())[0, 1]) < 0.01
