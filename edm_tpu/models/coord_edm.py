@@ -38,6 +38,9 @@ class CoordEDMState:
     # cached fused corner table for multi-dim interp force lookups
     # (ops/interp.packed_corner_table); rebuilt after hill rounds
     ptab: Optional[jax.Array] = None
+    # True if an accepted-hill batch ever exceeded the compaction capacity
+    # (hill_capacity; the round then dropped the tail — raise the capacity)
+    hills_truncated: Optional[jax.Array] = None
 
 
 def make_step(
@@ -48,6 +51,7 @@ def make_step(
     axis_name: Optional[str] = None,
     group_mask=None,
     collect_records: bool = False,
+    hill_capacity: Optional[int] = None,
 ):
     """Build the jitted single-step transition.
 
@@ -56,9 +60,29 @@ def make_step(
     ``group_mask`` (N,) bool restricts biasing to a group of atoms — the
     LAMMPS groupbit filter (fix_edm.cpp:104,140,153): masked-out atoms feel
     no bias force and deposit no hills (external forces still apply).
+
+    ``hill_capacity``: accepted-hill compaction.  With stochastic sampling
+    (hill_density >= 0) only ~hill_density of the N per-atom candidates
+    are accepted per round, but every per-hill cost of the round — deposit
+    tables, cap scan, histogram scatter — scales with the BATCH size, so
+    the host compacts accepted candidates (order-preserving, same draws,
+    same est_hill_count) into a ``hill_capacity`` batch first, exactly as
+    the reference's rejected candidates never reach do_add_hill
+    (edm_bias.cpp:543).  Default: ~8x the expected acceptance count
+    (>40 sigma of Poisson headroom), rounded to 512; overflow — which
+    drops the tail of a round — is flagged in ``state.hills_truncated``.
+    Pass 0 to disable compaction (replicates the full-batch round
+    bit-for-bit including its records shape).
     """
     D = params.cfg.dim
     gmask = None if group_mask is None else jnp.asarray(group_mask, bool)
+    density = float(params.cfg.hill_density)
+    if hill_capacity is None:
+        hill_capacity = (
+            0
+            if density < 0
+            else max(512, int(-(-8.0 * max(density, 64.0) // 512)) * 512)
+        )
 
     def force_fn(bias_state, ptab):
         def fn(x):
@@ -84,42 +108,81 @@ def make_step(
 
         do_hills = (state.step % hill_stride) == 0
         key, sub = jax.random.split(key)
-        runiform = jax.random.uniform(sub, (x.shape[0],), x.dtype)
+        N = x.shape[0]
+        runiform = jax.random.uniform(sub, (N,), x.dtype)
+        compact = 0 < hill_capacity < N and density >= 0
+        Hc = hill_capacity if compact else N
 
         def with_hills(bs):
-            new_bs, rec = B.add_hills_round(
-                params, bs, x[..., :D], runiform, x.shape[0],
-                active=gmask, axis_name=axis_name,
-            )
+            if compact:
+                # same acceptance predicate add_hills_round applies
+                # (bias.py step 3 <-> edm_bias.cpp:543); order-preserving
+                # rank compaction keeps the deposit/cap order, and the
+                # engine's re-check on the compacted batch accepts exactly
+                # these hills (same draws, same est_hill_count)
+                acc = runiform < params.cfg.hill_density / N
+                if gmask is not None:
+                    acc = acc & gmask
+                ranks = jnp.cumsum(acc.astype(jnp.int32)) - 1
+                tgt = jnp.where(acc & (ranks < Hc), ranks, Hc)
+                pos_c = jnp.zeros((Hc, D), x.dtype).at[tgt].set(
+                    x[..., :D], mode="drop"
+                )
+                run_c = jnp.ones((Hc,), x.dtype).at[tgt].set(
+                    runiform, mode="drop"
+                )
+                count = jnp.sum(acc.astype(jnp.int32))
+                active_c = jnp.arange(Hc) < count
+                trunc = count > Hc
+                new_bs, rec = B.add_hills_round(
+                    params, bs, pos_c, run_c, N,
+                    active=active_c, axis_name=axis_name,
+                )
+                log_pos = pos_c
+            else:
+                trunc = jnp.zeros((), bool)
+                new_bs, rec = B.add_hills_round(
+                    params, bs, x[..., :D], runiform, N,
+                    active=gmask, axis_name=axis_name,
+                )
+                log_pos = x[..., :D]
             ptab = (
                 None
                 if state.ptab is None
                 else packed_corner_table(new_bs.bias.grid)
             )
             log = (
-                B.HillRoundLog(jnp.ones((), bool), x[..., :D], rec)
+                B.HillRoundLog(jnp.ones((), bool), log_pos, rec)
                 if collect_records
                 else None
             )
-            return new_bs, ptab, log
+            return new_bs, ptab, log, trunc
 
         def without_hills(bs):
             # keep steps aligned with the reference convention: steps_ counts
             # hill rounds, not MD steps (edm_bias.cpp:582)
             log = (
-                B.round_log_zeros(params, bs, x.shape[0])
+                B.round_log_zeros(params, bs, Hc)
                 if collect_records
                 else None
             )
-            return bs, state.ptab, log
+            return bs, state.ptab, log, jnp.zeros((), bool)
 
-        bias_state, ptab, log = jax.lax.cond(
+        bias_state, ptab, log, trunc = jax.lax.cond(
             do_hills, with_hills, without_hills, state.bias
+        )
+        # states built before the flag existed carry None — keep the pytree
+        # structure stable under lax.scan (init_state always sets it)
+        new_trunc = (
+            None
+            if state.hills_truncated is None
+            else state.hills_truncated | trunc
         )
 
         new_state = CoordEDMState(
             x=x, v=v, f=f, key=key, bias=bias_state,
             step=state.step + 1, energy=energy, ptab=ptab,
+            hills_truncated=new_trunc,
         )
         return new_state, ((energy, log) if collect_records else energy)
 
@@ -155,6 +218,7 @@ def init_state(
         step=jnp.zeros((), jnp.int32),
         energy=jnp.zeros((), x0.dtype),
         ptab=ptab,
+        hills_truncated=jnp.zeros((), bool),
     )
 
 

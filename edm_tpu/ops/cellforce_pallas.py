@@ -102,11 +102,15 @@ class HermiteTable(NamedTuple):
     """Exact cubic-Hermite pair table — the in-kernel form of the XLA
     interpolation path (ops/interp.py ↔ reference lib/grid.h:95-137).
 
-    ``tab`` (G, 4): per grid point the (value, qq, next-value, next-qq)
-    quadruple of the 1-D bias grid, where qq is the guarded slope/value
-    ratio of the interpolant (grid.h:113-116) and next = the clamped +1
-    neighbor — the corner tables of ops/interp._interp1d_matvec with the
-    per-pair division folded into the table.  ``geom`` is the static
+    ``tab`` (G, 4): per grid interval the HORNER coefficients
+    (a, b1, c1, d1) of the interval cubic — the same interpolant
+    ops/interp._interp1d_matvec evaluates from (value, qq, next-value,
+    next-qq) corner pairs (grid.h:95-137), refactored to monomial form
+    at table-build time so the in-kernel fetch accumulates 3 columns on
+    force-only steps (derivative dV/dr = b1 + c1*t + d1*t^2) and 4 when
+    the energy is needed (V = a + dx*(b1*t + c1*t^2/2 + d1*t^3/3)).
+    Identical polynomial, different evaluation order: agreement with the
+    XLA path is to f32 rounding, not bitwise.  ``geom`` is the static
     lookup geometry ("hermite", G, grid_lo, dx, grid_hi_exclusive,
     boundary_lo, boundary_hi) with the range floats computed in grid dtype
     so the in-kernel masks reproduce the XLA path's edge behavior."""
@@ -153,7 +157,20 @@ def hermite_pair_table(gg) -> HermiteTable:
     qq = jnp.where(safe, -d / jnp.where(safe, v, 1.0), 0.0)
     vn = jnp.concatenate([v[1:], v[-1:]])
     qn = jnp.concatenate([qq[1:], qq[-1:]])
-    tab = jnp.stack([v, qq, vn, qn], axis=-1)
+    # Horner coefficients of the interval cubic V(t) = a + b*t + c*t^2 +
+    # d*t^3 (t in [0, 1)); from the two-corner form
+    # v0*[(1-3t^2+2t^3) - dx*q0*(t-2t^2+t^3)] +
+    # v1*[(3t^2-2t^3) + dx*q1*(t^3-t^2)].  Stored derivative-ready:
+    # b1 = b/dx, c1 = 2c/dx, d1 = 3d/dx make dV/dr one 2-FMA Horner
+    # chain, cutting the per-row fetch from 4 accumulates (corner pairs)
+    # to 3 on force-only steps
+    gq0 = gdx * qq
+    gq1 = gdx * qn
+    ccoef = v * (gq0 + gq0 - 3.0) + vn * (gq1 + 3.0)
+    dcoef = v * (2.0 - gq0) - vn * (gq1 + 2.0)
+    tab = jnp.stack(
+        [v, -qq * v, (ccoef + ccoef) / gdx, (dcoef * 3.0) / gdx], axis=-1
+    )
     G = int(g.spec.nbins[0])
     return HermiteTable(tab=tab, geom=("hermite", G, glo, gdx, ghi_eff, blo, bhi))
 
@@ -176,9 +193,12 @@ def _hermite_val_der(r, ok, *, geom, energy, preload):
     """In-kernel exact cubic-Hermite value+derivative lookup.
 
     Coefficient fetch is an unrolled select-accumulate over the G table
-    rows (one compare + four scalar-FMA tile ops per row — ~5*G VPU ops per
-    pair); arithmetic after the fetch mirrors ops/interp._interp1d_matvec
-    term by term (qq prefolded into the table by hermite_pair_table)."""
+    rows of Horner coefficients — one compare + three scalar-FMA tile ops
+    per row on force-only steps (four with energy), ~4*G VPU ops per
+    pair, then a 2-FMA Horner chain.  Same interpolant as
+    ops/interp._interp1d_matvec (hermite_pair_table refactors the corner
+    form to monomial coefficients), agreeing to f32 rounding — covered by
+    the force tolerance of test_pallas_interp_exact_matches_xla."""
     _, G, glo, gdx, ghi_eff, blo, bhi = geom
     # GaussGrid.in_bounds ([blo, bhi] inclusive) x grid.in_grid ([glo,
     # max-dx) half-open) — the same two masks the XLA lookup applies
@@ -186,29 +206,25 @@ def _hermite_val_der(r, ok, *, geom, energy, preload):
     cv_on = jnp.where(okr, ok, 0.0)
     idxf = jnp.clip(jnp.floor((r - glo) / gdx), 0.0, float(G - 1))
     t = (r - glo - idxf * gdx) / gdx
+    a0 = jnp.zeros_like(r)
+    b0 = jnp.zeros_like(r)
     c0 = jnp.zeros_like(r)
-    q0 = jnp.zeros_like(r)
-    c1 = jnp.zeros_like(r)
-    q1 = jnp.zeros_like(r)
-    for g, (tv0, tq0, tv1, tq1) in enumerate(preload):
+    d0 = jnp.zeros_like(r)
+    for g, (ta, tb, tc, td) in enumerate(preload):
         m = jnp.where(idxf == float(g), 1.0, 0.0)
-        c0 = c0 + m * tv0
-        q0 = q0 + m * tq0
-        c1 = c1 + m * tv1
-        q1 = q1 + m * tq1
-    value = jnp.zeros_like(t)
-    deriv = jnp.zeros_like(t)
-    for corner, sign, tabf, qq in ((0, 1.0, c0, q0), (1, -1.0, c1, q1)):
-        X = jnp.abs(t - corner)
-        X2 = X * X
-        X3 = X2 * X
         if energy:
-            C = (1 - 3 * X2 + 2 * X3) - sign * qq * (X - 2 * X2 + X3) * gdx
-            value = value + tabf * C
-        Dp = ((-6 * X + 6 * X2) - sign * qq * (1 - 4 * X + 3 * X2) * gdx) * sign / gdx
-        deriv = deriv + tabf * Dp
-    der = deriv * cv_on
-    val = value * cv_on if energy else None
+            a0 = a0 + m * ta
+        b0 = b0 + m * tb
+        c0 = c0 + m * tc
+        d0 = d0 + m * td
+    der = (b0 + t * (c0 + t * d0)) * cv_on
+    if energy:
+        # V = a + dx*(b1*t + c1*t^2/2 + d1*t^3/3)
+        val = (
+            a0 + (t * gdx) * (b0 + t * (0.5 * c0 + (1.0 / 3.0) * (t * d0)))
+        ) * cv_on
+    else:
+        val = None
     return val, der, cv_on
 
 

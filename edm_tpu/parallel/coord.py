@@ -42,8 +42,11 @@ def shard_coord_state(state: CoordEDMState, mesh) -> CoordEDMState:
         step=jax.device_put(state.step, repl),
         energy=jax.device_put(state.energy, repl),
         # the sharded step rebuilds lookups per shard; drop any cached
-        # corner table so the carried structure stays consistent
+        # corner table (and the single-host compaction flag — this host
+        # gathers full candidate batches) so the carried structure stays
+        # consistent
         ptab=None,
+        hills_truncated=None,
     )
 
 

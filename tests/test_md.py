@@ -594,6 +594,54 @@ def test_coordinate_edm_2d():
     assert float(jnp.sum(st.bias.cv_hist.values)) > 0
 
 
+def test_coord_hill_compaction_matches_full_batch():
+    """Accepted-hill compaction (coord host hill_capacity): with
+    stochastic sampling only ~hill_density of the N candidates are
+    accepted, so the host compacts them before add_hills_round —
+    order-preserving, same draws, same est_hill_count.  The compacted
+    round deposits the IDENTICAL hills (same heights, order, cap
+    decisions; rejected candidates never reach do_add_hill,
+    edm_bias.cpp:543); only the deposit reduction's summation order
+    changes with the batch shape, so grids agree to f32 rounding and
+    the +-1 histogram scatter stays exact."""
+    from edm_tpu.utils.config import parse_edm_text
+
+    cfg = parse_edm_text(
+        "tempering 0\nhill_prefactor 0.2\nbias_per_step 5.0\nhill_density 40\n"
+        "dimension 1\nbox_low 0\nbox_high 6\nbias_spacing 0.05\nbias_sigma 0.2\n"
+    )
+    params, state = B.subdivide(
+        cfg, 1.0, 1.0, [0], [6], [0], [6], [True], [0], dtype=jnp.float32
+    )
+    lp = LangevinParams(dt=0.01, friction=2.0, kT=1.0)
+    x0 = jnp.asarray(
+        np.random.default_rng(3).uniform(0, 6, (700, 1)), jnp.float32
+    )
+    st0 = coord_edm.init_state(params, state, x0, jax.random.PRNGKey(4), lp)
+    # capacity 512 < N=700 activates compaction; 0 disables it
+    step_c = coord_edm.make_step(params, lp, hill_stride=3, hill_capacity=512)
+    step_f = coord_edm.make_step(params, lp, hill_stride=3, hill_capacity=0)
+    run_c = jax.jit(lambda s: coord_edm.run_segment(step_c, s, 10))
+    run_f = jax.jit(lambda s: coord_edm.run_segment(step_f, s, 10))
+    sc, _ = run_c(st0)
+    sf, _ = run_f(st0)
+    assert not bool(sc.hills_truncated)
+    np.testing.assert_allclose(
+        np.asarray(sc.x), np.asarray(sf.x), rtol=1e-5, atol=1e-5
+    )
+    gv_c = np.asarray(sc.bias.bias.grid.values)
+    gv_f = np.asarray(sf.bias.bias.grid.values)
+    np.testing.assert_allclose(
+        gv_c, gv_f, atol=1e-6 * max(1.0, np.abs(gv_f).max()), rtol=1e-5
+    )
+    # the +-1 histogram bookkeeping is order-independent: exact
+    assert np.array_equal(
+        np.asarray(sc.bias.cv_hist.values), np.asarray(sf.bias.cv_hist.values)
+    )
+    assert abs(float(sc.bias.cum_bias) - float(sf.bias.cum_bias)) < 1e-5
+    assert float(sc.bias.cum_bias) > 0
+
+
 @pytest.mark.slow
 def test_run_simulation_driver(tmp_path):
     """fix-style host loop: strided bias/histogram/table writes, histogram
