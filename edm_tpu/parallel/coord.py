@@ -3,9 +3,11 @@ lammps/fix_edm.cpp under MPI).
 
 The coordinate CV is per-atom, so atoms shard perfectly over the mesh: the
 bias force lookup is local, hill candidates are local atoms, and only the
-hill rounds synchronize (hills/uniforms all-gathered, every device replays
-the identical round on its grid replica — the reference's broadcast mode,
-edm_bias.cpp:647-660, without the exchange protocol).  cum_bias's
+hill rounds synchronize (accepted hills rank-compacted per device and
+all-gathered — the reference's bounded exchange buffer, edm_bias.h:151-154
+— then every device replays the identical round on its grid replica: the
+reference's broadcast mode, edm_bias.cpp:647-660, without the exchange
+protocol).  cum_bias's
 Allreduce (edm_bias.cpp:922-931) is implicit: the gathered round computes
 the same global total on every device.
 
@@ -42,11 +44,13 @@ def shard_coord_state(state: CoordEDMState, mesh) -> CoordEDMState:
         step=jax.device_put(state.step, repl),
         energy=jax.device_put(state.energy, repl),
         # the sharded step rebuilds lookups per shard; drop any cached
-        # corner table (and the single-host compaction flag — this host
-        # gathers full candidate batches) so the carried structure stays
-        # consistent
+        # corner table so the carried structure stays consistent
         ptab=None,
-        hills_truncated=None,
+        hills_truncated=(
+            None
+            if state.hills_truncated is None
+            else jax.device_put(state.hills_truncated, repl)
+        ),
     )
 
 
@@ -55,17 +59,35 @@ def make_sharded_coord_step(
     lp: LangevinParams,
     hill_stride: int,
     mesh,
-    hill_capacity_per_device: Optional[int] = None,
+    hill_capacity: Optional[int] = None,
     external_force: Optional[Callable] = None,
 ):
     """Jit-compiled sharded coordinate-EDM step (atoms data-parallel).
 
-    ``hill_capacity_per_device``: local atoms per device (defaults to the
-    shard size, i.e. every local atom is a hill candidate each round, as in
+    ``hill_capacity``: accepted-hill compaction, the cross-device form of
+    ``models.coord_edm.make_step(hill_capacity=...)`` and the analog of the
+    reference's bounded exchange buffer (BIAS_BUFFER_SIZE=2048 accepted
+    hills per round, edm_bias.h:151-154; rejected candidates are never
+    exchanged).  Each device rank-compacts its accepted candidates (same
+    draws, same acceptance predicate as add_hills_round), the compacted
+    segments are all-gathered and re-compacted in device-major order —
+    exactly the gathered full batch's deposit order — so every per-hill
+    cost of the replayed round (deposit tables, cap scan, histogram)
+    scales with ``hill_capacity`` instead of the global atom count.
+    Default: ~8x the expected global acceptance count, rounded to 512;
+    per-round overflow is flagged in ``state.hills_truncated``.  Pass 0 to
+    gather the full candidate batch (every local atom a candidate, as in
     the reference fix).
     """
     D = params.cfg.dim
     axis = DATA_AXIS
+    density = float(params.cfg.hill_density)
+    if hill_capacity is None:
+        hill_capacity = (
+            0
+            if density < 0
+            else max(512, int(-(-8.0 * max(density, 64.0) // 512)) * 512)
+        )
 
     def step_local(state: CoordEDMState):
         dev = jax.lax.axis_index(axis)
@@ -91,22 +113,74 @@ def make_sharded_coord_step(
         n_local = x.shape[0]
         n_global = n_local * mesh.devices.size
 
+        Hc = hill_capacity
+        compact = 0 < Hc < n_global and density >= 0
+
         def with_hills(bs):
             hkey = jax.random.fold_in(jax.random.fold_in(state.key, dev), 11)
             runif = jax.random.uniform(hkey, (n_local,), x.dtype)
-            hills_g = jax.lax.all_gather(x[:, :D], axis, tiled=True)
-            runif_g = jax.lax.all_gather(runif, axis, tiled=True)
-            new_bs, _ = B.add_hills_round(
-                params, bs, hills_g, runif_g, jnp.asarray(n_global, x.dtype)
-            )
-            return new_bs
+            if compact:
+                # per-device rank compaction of accepted candidates (the
+                # acceptance predicate of add_hills_round, same draws);
+                # per-device segments stay order-preserving, so the
+                # device-major re-compaction after the gather reproduces
+                # the full gathered batch's deposit order
+                acc = runif < density / n_global
+                ranks = jnp.cumsum(acc.astype(jnp.int32)) - 1
+                tgt = jnp.where(acc & (ranks < Hc), ranks, Hc)
+                pos_c = jnp.zeros((Hc, D), x.dtype).at[tgt].set(
+                    x[:, :D], mode="drop"
+                )
+                run_c = jnp.ones((Hc,), x.dtype).at[tgt].set(
+                    runif, mode="drop"
+                )
+                cnt = jnp.sum(acc.astype(jnp.int32))
+                act_c = jnp.arange(Hc) < cnt
+                pos_g = jax.lax.all_gather(pos_c, axis, tiled=True)
+                run_g = jax.lax.all_gather(run_c, axis, tiled=True)
+                act_g = jax.lax.all_gather(act_c, axis, tiled=True)
+                total = jax.lax.psum(jnp.minimum(cnt, Hc), axis)
+                granks = jnp.cumsum(act_g.astype(jnp.int32)) - 1
+                keep = act_g & (granks < Hc)
+                gtgt = jnp.where(keep, granks, Hc)
+                hills_m = jnp.zeros((Hc, D), x.dtype).at[gtgt].set(
+                    pos_g, mode="drop"
+                )
+                runif_m = jnp.ones((Hc,), x.dtype).at[gtgt].set(
+                    run_g, mode="drop"
+                )
+                active = jnp.arange(Hc) < total
+                trunc = (
+                    jax.lax.psum((cnt > Hc).astype(jnp.int32), axis) > 0
+                ) | (total > Hc)
+                new_bs, _ = B.add_hills_round(
+                    params, bs, hills_m, runif_m,
+                    jnp.asarray(n_global, x.dtype), active=active,
+                )
+            else:
+                trunc = jnp.zeros((), bool)
+                hills_g = jax.lax.all_gather(x[:, :D], axis, tiled=True)
+                runif_g = jax.lax.all_gather(runif, axis, tiled=True)
+                new_bs, _ = B.add_hills_round(
+                    params, bs, hills_g, runif_g, jnp.asarray(n_global, x.dtype)
+                )
+            return new_bs, trunc
 
-        bias_state = jax.lax.cond(do_hills, with_hills, lambda bs: bs, state.bias)
+        bias_state, trunc = jax.lax.cond(
+            do_hills, with_hills,
+            lambda bs: (bs, jnp.zeros((), bool)), state.bias,
+        )
+        new_trunc = (
+            None
+            if state.hills_truncated is None
+            else state.hills_truncated | trunc
+        )
 
         return (
             CoordEDMState(
                 x=x, v=v, f=f, key=key, bias=bias_state,
                 step=state.step + 1, energy=energy,
+                hills_truncated=new_trunc,
             ),
             energy,
         )
@@ -116,6 +190,9 @@ def make_sharded_coord_step(
         return CoordEDMState(
             x=P(DATA_AXIS), v=P(DATA_AXIS), f=P(DATA_AXIS), key=P(),
             bias=bias_specs, step=P(), energy=P(),
+            hills_truncated=(
+                None if state.hills_truncated is None else P()
+            ),
         )
 
     def one_step(state):

@@ -19,8 +19,11 @@ Design (SPMD over a 1-D mesh, one grid shard per device):
   hill to the image nearest this device's grid — periodic wraparound
   neighbor exchange (edm_bias.cpp:764-781) with no explicit topology.
 
-* Hill exchange is an ``all_gather`` of (position, height, active) over the
-  mesh, replayed on every device with ``override_heights`` (the reference's
+* Hill exchange is an ``all_gather`` of accepted (position, height) pairs
+  — per-device rank-compacted to ``hill_capacity`` rows, the bounded
+  exchange buffer of the reference (BIAS_BUFFER_SIZE=2048 accepted hills
+  per round, edm_bias.h:151-154; rejected candidates are never exchanged)
+  — replayed on every device with ``override_heights`` (the reference's
   do_add_hill(communicate=0) replay); deposits outside a device's grid are
   masked off by the window machinery — exactly the overlap criterion of
   infer_neighbors (edm_bias.cpp:740-762), point by point instead of rank by
@@ -85,6 +88,10 @@ class SpatialCoordState:
     bias: B.BiasState  # per-device local-coords bias (stacked)
     step: jax.Array  # (n_dev,)
     energy: jax.Array  # (n_dev,)
+    # True if a compacted hill exchange ever overflowed hill_capacity
+    # (the round then dropped the tail — raise the capacity); None on
+    # states built before the flag existed
+    hills_truncated: Optional[jax.Array] = None  # (n_dev,) bool
 
 
 class SpatialSetup(NamedTuple):
@@ -296,6 +303,7 @@ def init_spatial_state(
         bias=bias_stacked,
         step=jnp.zeros((n_dev,), jnp.int32),
         energy=jnp.zeros((n_dev,), dtype),
+        hills_truncated=jnp.zeros((n_dev,), bool),
     )
     shard = NamedSharding(mesh, P(DATA_AXIS))
     return jax.tree.map(lambda l: jax.device_put(l, shard), st)
@@ -428,6 +436,7 @@ def make_spatial_coord_step(
     mesh,
     external_force: Optional[Callable] = None,
     collect_records: bool = False,
+    hill_capacity: Optional[int] = None,
 ):
     """Jit-compiled sharded step.  ``external_force(x_global) -> (e, f)``.
 
@@ -436,13 +445,37 @@ def make_spatial_coord_step(
     coordinates — write per-replica HILLS_<r> files with
     ``log_spatial_round`` (the reference's per-rank hill trace,
     edm_bias.cpp:1075-1084; replayed hills log 'h' on the replaying rank,
-    as in the reference, which never emits its defined 'n' type)."""
+    as in the reference, which never emits its defined 'n' type).
+
+    ``hill_capacity``: bounded exchange of ACCEPTED hills only — the
+    reference's send_buffer_ semantics (BIAS_BUFFER_SIZE=2048 hills per
+    round, edm_bias.h:151-154; rejected candidates are never exchanged).
+    Each device rank-compacts its accepted (position, height) pairs, the
+    segments are all-gathered and re-compacted in device-major order — the
+    full gathered batch's deposit order — so every per-hill cost of the
+    replayed round scales with the capacity, not slot_capacity x n_dev.
+    Default: ~8x the expected global acceptance count rounded to 512;
+    overflow (a dropped tail) is flagged in ``state.hills_truncated``.
+    Pass 0 to exchange the full candidate batch."""
     params = setup.params
     D = params.cfg.dim
     axis = DATA_AXIS
     slab_w = setup.slab_w
     lo0 = setup.box_low0
     nonper0 = setup.nonperiodic0
+    n_dev = mesh.devices.size
+    # cfg.hill_density is already the per-replica (divided) density
+    # (spatial_subdivide <-> edm_bias.cpp:173-180): the expected GLOBAL
+    # acceptance count per round is ~n_dev x hill_density
+    density = float(params.cfg.hill_density)
+    if hill_capacity is None:
+        hill_capacity = (
+            0
+            if density < 0
+            else max(
+                512, int(-(-8.0 * max(n_dev * density, 64.0) // 512)) * 512
+            )
+        )
 
     def to_local(x):
         # global -> this device's local coordinates (dim 0 shifted); remap
@@ -488,6 +521,9 @@ def make_spatial_coord_step(
 
         do_hills = (s.step % hill_stride) == 0
         cap = x.shape[0]
+        Hc = hill_capacity
+        compact = 0 < Hc < cap * n_dev and density >= 0
+        n_log = Hc if compact else cap * n_dev
 
         def with_hills(bs):
             hkey = jax.random.fold_in(key, 17)
@@ -506,11 +542,44 @@ def make_spatial_coord_step(
                 params, bs, pos_loc, est, target_positions=x[:, :D],
                 boundary_offset=boundary_off(x.dtype),
             )
-            # exchange: gather (global position, height, active) from all
-            # devices; each device replays everything, masks do the rest
-            pos_g = jax.lax.all_gather(x[:, :D], axis, tiled=True)
-            h_g = jax.lax.all_gather(h, axis, tiled=True)
-            act_g = jax.lax.all_gather(accept, axis, tiled=True)
+            if compact:
+                # bounded exchange of accepted (position, height) pairs;
+                # per-device rank compaction preserves slot order, so the
+                # device-major re-compaction after the gather replays the
+                # full gathered batch's deposit order
+                ranks = jnp.cumsum(accept.astype(jnp.int32)) - 1
+                tgt = jnp.where(accept & (ranks < Hc), ranks, Hc)
+                pos_c = jnp.zeros((Hc, D), x.dtype).at[tgt].set(
+                    x[:, :D], mode="drop"
+                )
+                h_c = jnp.zeros((Hc,), x.dtype).at[tgt].set(h, mode="drop")
+                cnt = jnp.sum(accept.astype(jnp.int32))
+                act_c = jnp.arange(Hc) < cnt
+                pos_gg = jax.lax.all_gather(pos_c, axis, tiled=True)
+                h_gg = jax.lax.all_gather(h_c, axis, tiled=True)
+                act_gg = jax.lax.all_gather(act_c, axis, tiled=True)
+                total = jax.lax.psum(jnp.minimum(cnt, Hc), axis)
+                granks = jnp.cumsum(act_gg.astype(jnp.int32)) - 1
+                keep = act_gg & (granks < Hc)
+                gtgt = jnp.where(keep, granks, Hc)
+                pos_g = jnp.zeros((Hc, D), x.dtype).at[gtgt].set(
+                    pos_gg, mode="drop"
+                )
+                h_g = jnp.zeros((Hc,), x.dtype).at[gtgt].set(
+                    h_gg, mode="drop"
+                )
+                act_g = jnp.arange(Hc) < total
+                trunc = (
+                    jax.lax.psum((cnt > Hc).astype(jnp.int32), axis) > 0
+                ) | (total > Hc)
+            else:
+                # full exchange: gather (global position, height, active)
+                # from all devices; each device replays everything, masks
+                # do the rest
+                pos_g = jax.lax.all_gather(x[:, :D], axis, tiled=True)
+                h_g = jax.lax.all_gather(h, axis, tiled=True)
+                act_g = jax.lax.all_gather(accept, axis, tiled=True)
+                trunc = jnp.zeros((), bool)
             pos_g_loc = to_local(pos_g)
             new_bs, rec = B.add_hills_round(
                 params,
@@ -528,22 +597,28 @@ def make_spatial_coord_step(
                 if collect_records
                 else None
             )
-            return new_bs, log
+            return new_bs, log, trunc
 
         def without_hills(bs):
-            n_log = cap * mesh.devices.size
             log = (
                 B.round_log_zeros(params, bs, n_log)
                 if collect_records
                 else None
             )
-            return bs, log
+            return bs, log, jnp.zeros((), bool)
 
-        bias_state, log = jax.lax.cond(do_hills, with_hills, without_hills, s.bias)
+        bias_state, log, trunc = jax.lax.cond(
+            do_hills, with_hills, without_hills, s.bias
+        )
+        new_trunc = (
+            None
+            if s.hills_truncated is None
+            else s.hills_truncated | trunc
+        )
 
         out = SpatialCoordState(
             x=x, v=v, f=f, valid=s.valid, key=key, bias=bias_state,
-            step=s.step + 1, energy=energy,
+            step=s.step + 1, energy=energy, hills_truncated=new_trunc,
         )
         out = jax.tree.map(lambda a: a[None], out)
         if collect_records:
@@ -555,7 +630,12 @@ def make_spatial_coord_step(
         specs = jax.tree.map(lambda _: P(DATA_AXIS), state)
         if collect_records:
             # probe the log pytree structure (no axis ops) for out_specs
-            n_log = state.x.shape[1] * mesh.devices.size
+            cap_ = state.x.shape[1]
+            n_log = (
+                hill_capacity
+                if (0 < hill_capacity < cap_ * n_dev and density >= 0)
+                else cap_ * n_dev
+            )
             bias_one = jax.tree.map(
                 lambda a: jax.ShapeDtypeStruct(a.shape[1:], a.dtype), state.bias
             )

@@ -194,6 +194,57 @@ def test_sharded_coord_host():
     assert float(jnp.sum(st.bias.cv_hist.values)) > 0
 
 
+def test_sharded_coord_compaction_matches_full():
+    """Compacted hill exchange in the sharded coord host: each device
+    rank-compacts its accepted candidates before the all_gather (the
+    reference's bounded exchange buffer, edm_bias.h:151-154), and the
+    device-major re-compaction replays the full gathered batch's deposit
+    order — same draws, same hills, same cap decisions.  Only the deposit
+    reduction's summation order changes with the batch shape, so grids
+    agree to rounding; the +-1 histogram scatter stays exact."""
+    from edm_tpu.models import coord_edm
+    from edm_tpu.parallel import make_mesh, make_sharded_coord_step, shard_coord_state
+    from edm_tpu.utils.config import parse_edm_text
+
+    cfg = parse_edm_text(
+        "tempering 0\nhill_prefactor 0.1\nbias_per_step 10\nhill_density 24\n"
+        "dimension 1\nbox_low 0\nbox_high 10\nbias_spacing 0.05\nbias_sigma 0.3\n"
+    )
+    params, state = B.subdivide(
+        cfg, 1.0, 1.0, [0], [10], [0], [10], [True], [0], dtype=jnp.float32
+    )
+    lp = LangevinParams(dt=0.01, friction=2.0, kT=1.0)
+    x0 = jnp.asarray(np.random.default_rng(5).uniform(0, 10, (128, 1)), jnp.float32)
+    mesh = make_mesh(8)
+
+    def run(capacity):
+        st = coord_edm.init_state(params, state, x0, jax.random.PRNGKey(2), lp)
+        st = shard_coord_state(st, mesh)
+        step = make_sharded_coord_step(
+            params, lp, hill_stride=2, mesh=mesh, hill_capacity=capacity
+        )
+        for _ in range(6):
+            st, e = step(st)
+        return st
+
+    sc = run(64)   # 64 < n_global=128 activates compaction (~24 hills/round)
+    sf = run(0)    # full candidate gather
+    assert not bool(sc.hills_truncated)
+    gv_c = np.asarray(sc.bias.bias.grid.values)
+    gv_f = np.asarray(sf.bias.bias.grid.values)
+    np.testing.assert_allclose(
+        gv_c, gv_f, atol=1e-6 * max(1.0, np.abs(gv_f).max()), rtol=1e-5
+    )
+    assert np.array_equal(
+        np.asarray(sc.bias.cv_hist.values), np.asarray(sf.bias.cv_hist.values)
+    )
+    assert abs(float(sc.bias.cum_bias) - float(sf.bias.cum_bias)) < 1e-5
+    assert float(sc.bias.cum_bias) > 0
+    np.testing.assert_allclose(
+        np.asarray(sc.x), np.asarray(sf.x), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_sharded_pair_hills_logging(tmp_path):
     """Replicated-grid sharded pair host emits the HILLS stream (one log
     represents every replica — they replay identical gathered rounds)."""

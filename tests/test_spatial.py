@@ -300,6 +300,46 @@ def test_spatial_hill_density_normalization():
     assert setup2.params.cfg.hill_density == 10.0
 
 
+def test_spatial_compacted_exchange_matches_full():
+    """Bounded hill exchange (hill_capacity): each device rank-compacts its
+    accepted (position, height) pairs before the all_gather — the
+    reference's send_buffer_ semantics (BIAS_BUFFER_SIZE accepted hills per
+    round, edm_bias.h:151-154) — and the device-major re-compaction
+    replays the full gathered batch's deposit order.  Same draws, same
+    hills, same heights; grids agree to summation rounding."""
+    cfg = parse_edm_text(EDM + "hill_density 8\n")  # ~1 accept/device/round
+    setup, template = spatial_subdivide(cfg, 1.0, 1.0, N_DEV, SKIN, dtype=jnp.float64)
+    mesh = make_mesh(N_DEV)
+    xs = []
+    for d in range(N_DEV):
+        xs.append([d * 1.25 + 0.3, 0.0, 0.0])
+        xs.append([d * 1.25 + 1.2, 0.0, 0.0])
+    x0 = np.asarray(xs)
+    lp = LangevinParams(dt=1e-8, friction=0.0, kT=0.0)
+
+    def run(capacity):
+        st = init_spatial_state(
+            setup, template, x0, jax.random.PRNGKey(3), capacity=4, mesh=mesh
+        )
+        step = make_spatial_coord_step(
+            setup, lp, hill_stride=1, mesh=mesh, hill_capacity=capacity
+        )
+        for _ in range(4):
+            st, e = step(st)
+        return st
+
+    sc = run(16)  # 16 < cap*n_dev = 32 activates compaction
+    sf = run(0)   # full candidate exchange
+    assert not bool(np.asarray(sc.hills_truncated).any())
+    gv_c = np.asarray(sc.bias.bias.grid.values)
+    gv_f = np.asarray(sf.bias.bias.grid.values)
+    np.testing.assert_allclose(gv_c, gv_f, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(sc.bias.cum_bias), np.asarray(sf.bias.cum_bias), rtol=1e-12
+    )
+    assert float(np.asarray(sc.bias.cum_bias)[0]) > 0
+
+
 def test_spatial_wraparound_delivery():
     """A hill near the global box edge must land in the opposite-edge
     device's skin via its periodic image (edm_bias.cpp:764-781)."""
