@@ -45,8 +45,9 @@ pipeline runs no per-atom gathers or scatters at all:
 for an up-to-date atom-order view.
 ``slab_axis``/``slab_ndev`` shard the force pass over a 1-D mesh (see
 parallel.make_slab_cell_step); ``brick_axes``/``brick_ndev`` decompose it
-over a 2-D (px, py) device grid with a one-cell halo ring (see
-parallel.make_brick_cell_step) — the pod-scale decomposition.
+over a 2-D (px, py) or 3-D (px, py, pz) device grid with a one-cell halo
+ring along every bricked dim (see parallel.make_brick_cell_step) — the
+pod-scale decomposition (2-D for v5e/v6 tori, 3-D for v4/v5p tori).
 
 The cell edge is max(lj.rcut, bias domain) + skin, so both force laws and
 the hill candidate set live within the stencil.  The per-atom BAOAB noise
@@ -419,8 +420,8 @@ def make_cell_step(
     slab_ndev: int = 1,
     mover_cap: Optional[int] = None,
     slab_collect: bool = True,
-    brick_axes: Optional[Tuple[str, str]] = None,
-    brick_ndev: Tuple[int, int] = (1, 1),
+    brick_axes: Optional[Tuple[str, ...]] = None,
+    brick_ndev: Tuple[int, ...] = (1, 1),
     shard_floor: bool = True,
     row_cap_local: Optional[int] = None,
 ):
@@ -439,16 +440,18 @@ def make_cell_step(
     replicated 27-stencil collection.  Requires use_pallas (the Newton
     kernel path).
 
-    ``brick_axes``/``brick_ndev``: 2-D BRICK decomposition over a
-    (px, py) device grid — each device owns a contiguous x-range x y-range
-    of columns plus a one-cell halo ring, halving the halo fraction of the
-    1-D slab at equal device count (halo share ~ 2/wx + 2/wy vs 2/w).
-    Hill collection is brick-sharded too: per-device passes over owned
-    (x, y) columns, merged back to the EXACT single-device deposit order
-    by a global row-key sort (see collect_hills_half).  Mutually
-    exclusive with ``slab_axis``; same replicated-state psum contract
-    (maps the reference's 3-D MPI subdivision, edm_bias.cpp:98-222, onto
-    a 2-D ICI torus; z stays unsharded — v5e/v6 meshes are 2-D tori).
+    ``brick_axes``/``brick_ndev``: BRICK decomposition over a (px, py) or
+    (px, py, pz) device grid — each device owns a contiguous x-range x
+    y-range (x z-range) of cells plus a one-cell halo ring along every
+    bricked dim, cutting the halo fraction to ~sum_d 2/w_d vs the 1-D
+    slab's 2/w at equal device count.  Hill collection is brick-sharded
+    too: per-device passes over owned cells, merged back to the EXACT
+    single-device deposit order by a global row-key sort (see
+    collect_hills_half).  Mutually exclusive with ``slab_axis``; same
+    replicated-state psum contract (maps the reference's 3-D MPI
+    subdivision, edm_bias.cpp:98-222, onto the ICI torus: (px, py) for
+    v5e/v6 2-D tori, (px, py, pz) for v4/v5p 3-D tori).  A dim with
+    p_d == 1 is unsharded (no halo along it).
 
     ``shard_floor`` (default True, slab/brick modes): decompose the
     replicated Amdahl-floor terms too — (a) the BAOAB pre-force phase
@@ -467,6 +470,25 @@ def make_cell_step(
         raise ValueError("brick_axes and slab_axis are mutually exclusive")
     if brick_axes is not None and not use_pallas:
         raise ValueError("brick mode requires use_pallas")
+    if brick_axes is not None:
+        if len(brick_axes) not in (2, 3) or len(brick_axes) != len(brick_ndev):
+            raise ValueError("brick_axes/brick_ndev must be 2-D or 3-D")
+        # normalized per-lattice-dim partition: p_d == 1 along unbricked
+        # trailing dims (a 2-D brick is a 3-D brick with pz = 1)
+        brick_p3 = tuple(brick_ndev) + (1,) * (3 - len(brick_ndev))
+        brick_ax3 = tuple(brick_axes) + (None,) * (3 - len(brick_axes))
+
+    def _brick_part(n_cells_d, p, ax):
+        """(start, width, max_width) of this device's balanced partition
+        of ``n_cells_d`` cells over ``p`` devices along mesh axis ``ax``.
+        p == 1 returns static ints (whole dim, no halo)."""
+        if p == 1:
+            return 0, n_cells_d, n_cells_d
+        q, r = n_cells_d // p, n_cells_d % p
+        dv = jax.lax.axis_index(ax)
+        start = (dv * q + jnp.minimum(dv, r)).astype(jnp.int32)
+        width = (q + (dv < r)).astype(jnp.int32)
+        return start, width, -(-n_cells_d // p)
     if min(spec.ncells) < 3:
         raise ValueError(
             "cell list needs >= 3 cells per dim (box >= 3x interaction "
@@ -516,17 +538,19 @@ def make_cell_step(
     n_dev_shard = (
         slab_ndev
         if slab_axis is not None
-        else (brick_ndev[0] * brick_ndev[1] if brick_axes is not None else 1)
+        else (int(np.prod(brick_ndev)) if brick_axes is not None else 1)
     )
     if row_cap_local is None:
         if n_dev_shard == 1 or not shard_floor:
             row_cap_local = row_cap
         else:
-            ncx, ncy, _ = spec.ncells
+            ncx, ncy, ncz = spec.ncells
             if brick_axes is not None:
                 frac = (
-                    (-(-ncx // brick_ndev[0])) * (-(-ncy // brick_ndev[1]))
-                ) / (ncx * ncy)
+                    (-(-ncx // brick_p3[0]))
+                    * (-(-ncy // brick_p3[1]))
+                    * (-(-ncz // brick_p3[2]))
+                ) / (ncx * ncy * ncz)
             else:
                 frac = (-(-ncx // slab_ndev)) / ncx
             row_cap_local = min(
@@ -731,47 +755,62 @@ def make_cell_step(
             return e, f_rows
 
         def brick_newton_force(xs):
-            """2-D brick decomposition: each device owns an x-range x
-            y-range of columns; the Newton kernel runs on the owned brick
-            plus a one-cell halo ring, per-slot forces combine with one
-            psum over both mesh axes.  Same correctness argument as the
-            slab: a cross-brick pair is enumerated from its lex-low cell
-            by exactly one device (the one owning that cell as a row),
-            whose halo contains the partner; the Newton credit lands in
-            the halo copy and the psum delivers it to the owner."""
+            """Brick decomposition (2-D or 3-D): each device owns an
+            x-range x y-range (x z-range) of cells; the Newton kernel runs
+            on the owned brick plus a one-cell halo ring along every
+            bricked dim, per-slot forces combine with one psum over the
+            mesh axes.  Same correctness argument as the slab: a
+            cross-brick pair is enumerated from its lex-low cell by
+            exactly one device (the one owning that cell as a row), whose
+            halo contains the partner; the Newton credit lands in the halo
+            copy and the psum delivers it to the owner."""
             from ..ops.cellforce_pallas import CELLS_PER_PROGRAM
 
-            axx, axy = brick_axes
-            px, py = brick_ndev
-            dvx = jax.lax.axis_index(axx)
-            dvy = jax.lax.axis_index(axy)
-            qx, rx = nx // px, nx % px
-            x0 = dvx * qx + jnp.minimum(dvx, rx)
-            wx = qx + (dvx < rx).astype(jnp.int32)
-            qy, ry = ny // py, ny % py
-            y0 = dvy * qy + jnp.minimum(dvy, ry)
-            wy = qy + (dvy < ry).astype(jnp.int32)
-            wxm, wym = -(-nx // px), -(-ny // py)
+            ncd = (nx, ny, nz)
+            parts = [
+                _brick_part(ncd[d], brick_p3[d], brick_ax3[d])
+                for d in range(3)
+            ]
+            starts = [p[0] for p in parts]
+            widths = [p[1] for p in parts]
+            halo = [1 if brick_p3[d] > 1 else 0 for d in range(3)]
             tbl = _table(state)
             ts_k, tp_k = _kernel_types(state)
-            if wxm + 2 <= nx and wym + 2 <= ny:
-                wX, wY = wxm + 2, wym + 2
+            sliceable = all(
+                brick_p3[d] == 1 or parts[d][2] + 2 <= ncd[d]
+                for d in range(3)
+            )
+            if sliceable:
+                wdims = tuple(
+                    parts[d][2] + 2 if halo[d] else ncd[d] for d in range(3)
+                )
                 gx_ = xs[:C].reshape(nx, ny, nz, cap, 3)
                 gm_ = state.mc[:C].reshape(nx, ny, nz, cap)
+                shifts = tuple(halo[d] - starts[d] for d in range(3))
 
                 def subgrid(a):
-                    return jnp.roll(a, (1 - x0, 1 - y0), axis=(0, 1))[:wX, :wY]
+                    return jnp.roll(a, shifts, axis=(0, 1, 2))[
+                        : wdims[0], : wdims[1], : wdims[2]
+                    ]
 
                 sub = subgrid(gx_)
                 subm = subgrid(gm_)
-                jj = jnp.arange(wX)
-                kk = jnp.arange(wY)
+                ok1 = [
+                    (
+                        (jnp.arange(wdims[d]) >= 1)
+                        & (jnp.arange(wdims[d]) <= widths[d])
+                        if halo[d]
+                        else jnp.ones((wdims[d],), bool)
+                    )
+                    for d in range(3)
+                ]
                 row_ok = (
-                    ((jj >= 1) & (jj <= wx))[:, None]
-                    & ((kk >= 1) & (kk <= wy))[None, :]
+                    ok1[0][:, None, None]
+                    & ok1[1][None, :, None]
+                    & ok1[2][None, None, :]
                 )
-                rows = subm * row_ok[:, :, None, None].astype(subm.dtype)
-                C_sub = wX * wY * nz
+                rows = subm * row_ok[..., None].astype(subm.dtype)
+                C_sub = wdims[0] * wdims[1] * wdims[2]
                 Cg_sub = -(-C_sub // CELLS_PER_PROGRAM) * CELLS_PER_PROGRAM
 
                 def flat(a, extra):
@@ -791,31 +830,38 @@ def make_cell_step(
                 )
                 e, f_sub = newton_lattice_force(
                     flat(sub, (cap, 3)), flat(rows, (cap,)), flat(subm, (cap,)),
-                    (wX, wY, nz), cap, spec.box, lj, tbl, do_energy,
+                    wdims, cap, spec.box, lj, tbl, do_energy,
                     ts=ts_sub, type_pair=tp_k,
                 )
-                fsg = f_sub[:C_sub].reshape(wX, wY, nz, cap, 3)
-                if nx > wX:
-                    fsg = jnp.concatenate(
-                        [fsg, jnp.zeros((nx - wX, wY, nz, cap, 3), xs.dtype)], 0
-                    )
-                if ny > wY:
-                    fsg = jnp.concatenate(
-                        [fsg, jnp.zeros((nx, ny - wY, nz, cap, 3), xs.dtype)], 1
-                    )
-                f_full = jnp.roll(fsg, (x0 - 1, y0 - 1), axis=(0, 1)).reshape(
-                    C, cap, 3
-                )
+                fsg = f_sub[:C_sub].reshape(wdims + (cap, 3))
+                for d in range(3):
+                    if ncd[d] > wdims[d]:
+                        padshape = (
+                            fsg.shape[:d]
+                            + (ncd[d] - wdims[d],)
+                            + fsg.shape[d + 1:]
+                        )
+                        fsg = jnp.concatenate(
+                            [fsg, jnp.zeros(padshape, xs.dtype)], d
+                        )
+                f_full = jnp.roll(
+                    fsg,
+                    tuple(starts[d] - halo[d] for d in range(3)),
+                    axis=(0, 1, 2),
+                ).reshape(C, cap, 3)
             else:
                 # lattice too small to slice brick+halo: full kernel with
-                # rows restricted to my columns (test-scale only)
+                # rows restricted to my cells (test-scale only)
                 cidx = jnp.arange(C, dtype=jnp.int32)
-                colx = cidx // (ny * nz)
-                coly = (cidx // nz) % ny
-                mine = (
-                    (colx >= x0) & (colx < x0 + wx)
-                    & (coly >= y0) & (coly < y0 + wy)
-                )
+                cco = [cidx // (ny * nz), (cidx // nz) % ny, cidx % nz]
+                mine = jnp.ones((C,), bool)
+                for d in range(3):
+                    if brick_p3[d] > 1:
+                        mine = (
+                            mine
+                            & (cco[d] >= starts[d])
+                            & (cco[d] < starts[d] + widths[d])
+                        )
                 mine = mine.astype(xs.dtype)[:, None]
                 if Cg > C:
                     mine = jnp.concatenate(
@@ -831,8 +877,8 @@ def make_cell_step(
                 f_full = jnp.concatenate(
                     [f_full, jnp.zeros((Cg - C, cap, 3), xs.dtype)], 0
                 )
-            f_rows = jax.lax.psum(f_full, (axx, axy))
-            e = jax.lax.psum(e, (axx, axy))
+            f_rows = jax.lax.psum(f_full, brick_axes)
+            e = jax.lax.psum(e, brick_axes)
             return e, f_rows
 
         def pallas_force(xs):
@@ -1045,43 +1091,45 @@ def make_cell_step(
         from ..ops.hashrng import normal_rows_cols
 
         dtype = state.xs.dtype
-        axx, axy = brick_axes
-        px, py = brick_ndev
-        dvx = jax.lax.axis_index(axx)
-        dvy = jax.lax.axis_index(axy)
-        qx, rx = nx // px, nx % px
-        x0 = (dvx * qx + jnp.minimum(dvx, rx)).astype(jnp.int32)
-        wx = (qx + (dvx < rx)).astype(jnp.int32)
-        qy, ry = ny // py, ny % py
-        y0 = (dvy * qy + jnp.minimum(dvy, ry)).astype(jnp.int32)
-        wy = (qy + (dvy < ry)).astype(jnp.int32)
-        wX, wY = -(-nx // px), -(-ny // py)
+        ncd = (nx, ny, nz)
+        parts = [
+            _brick_part(ncd[d], brick_p3[d], brick_ax3[d]) for d in range(3)
+        ]
+        starts = [p[0] for p in parts]
+        widths = [p[1] for p in parts]
+        wX, wY, wZ = (p[2] for p in parts)
 
         def sub(a, extra):
             return jnp.roll(
                 a[:C].reshape((nx, ny, nz, cap) + extra),
-                (-x0, -y0), axis=(0, 1),
-            )[:wX, :wY]
+                (-starts[0], -starts[1], -starts[2]), axis=(0, 1, 2),
+            )[:wX, :wY, :wZ]
 
-        colx = (x0 + jnp.arange(wX, dtype=jnp.int32)) % nx
-        coly = (y0 + jnp.arange(wY, dtype=jnp.int32)) % ny
+        colx = (starts[0] + jnp.arange(wX, dtype=jnp.int32)) % nx
+        coly = (starts[1] + jnp.arange(wY, dtype=jnp.int32)) % ny
+        colz = (starts[2] + jnp.arange(wZ, dtype=jnp.int32)) % nz
         rows = (
-            colx[:, None, None] * rowlen_yz
-            + coly[None, :, None] * rowlen_z
-            + jnp.arange(rowlen_z, dtype=jnp.int32)[None, None, :]
+            colx[:, None, None, None] * rowlen_yz
+            + coly[None, :, None, None] * rowlen_z
+            + colz[None, None, :, None] * cap
+            + jnp.arange(cap, dtype=jnp.int32)[None, None, None, :]
         ).reshape(-1)
         xi = normal_rows_cols(seeds, rows, 3, dtype).reshape(
-            wX, wY, nz, cap, 3
+            wX, wY, wZ, cap, 3
         )
         x2, v2 = _p1_update(sub(state.xs, (3,)), sub(state.vs, (3,)),
                             sub(state.fs, (3,)), xi, dtype)
         own = (
-            (jnp.arange(wX) < wx)[:, None] & (jnp.arange(wY) < wy)[None, :]
+            (jnp.arange(wX) < widths[0])[:, None, None]
+            & (jnp.arange(wY) < widths[1])[None, :, None]
+            & (jnp.arange(wZ) < widths[2])[None, None, :]
         ).astype(dtype)
-        m = (sub(state.mc, ()) * own[:, :, None, None])[..., None]
+        m = (sub(state.mc, ()) * own[..., None])[..., None]
         return _p1_scatter(
-            x2 * m, v2 * m, [(0, nx - wX), (1, ny - wY)],
-            [(x0, 0), (y0, 1)], (axx, axy), dtype,
+            x2 * m, v2 * m,
+            [(0, nx - wX), (1, ny - wY), (2, nz - wZ)],
+            [(starts[0], 0), (starts[1], 1), (starts[2], 2)],
+            brick_axes, dtype,
         )
 
     if shard_floor and brick_axes is not None:
@@ -1171,26 +1219,25 @@ def make_cell_step(
             n_chunks_loc = -(-max_cells // cell_chunk)
             pad_extra = n_chunks_loc * cell_chunk
         elif brick:
-            # per-device scan over owned (x, y) columns: for each owned
-            # x-column, a contiguous run of wy*nz cells; balanced per-axis
-            # partitions as in brick_newton_force
-            axx_h, axy_h = brick_axes
-            px_h, py_h = brick_ndev
-            qx_h, rx_h = nx // px_h, nx % px_h
-            dvx_h = jax.lax.axis_index(axx_h)
-            x0c = (dvx_h * qx_h + jnp.minimum(dvx_h, rx_h)).astype(jnp.int32)
-            wxc = (qx_h + (dvx_h < rx_h)).astype(jnp.int32)
-            qy_h, ry_h = ny // py_h, ny % py_h
-            dvy_h = jax.lax.axis_index(axy_h)
-            y0c = (dvy_h * qy_h + jnp.minimum(dvy_h, ry_h)).astype(jnp.int32)
-            wyc = (qy_h + (dvy_h < ry_h)).astype(jnp.int32)
-            wxm_h = -(-nx // px_h)
-            wym_h = -(-ny // py_h)
-            n_sub_h = -(-(wym_h * nz) // cell_chunk)
+            # per-device scan over owned cells: for each owned x-column, a
+            # contiguous span covering its owned (y, z) range — with z
+            # unsharded (pz == 1) the span is exactly wy*nz cells; with z
+            # bricked it is ((wy-1)*nz + wz) cells whose non-owned z rows
+            # are masked off by the ownership test.  Balanced per-axis
+            # partitions as in brick_newton_force.
+            parts_h = [
+                _brick_part((nx, ny, nz)[d], brick_p3[d], brick_ax3[d])
+                for d in range(3)
+            ]
+            (x0c, wxc, wxm_h) = parts_h[0]
+            (y0c, wyc, wym_h) = parts_h[1]
+            (z0c, wzc, wzm_h) = parts_h[2]
+            span_h = (wym_h - 1) * nz + wzm_h
+            n_sub_h = -(-span_h // cell_chunk)
             n_chunks_loc = wxm_h * n_sub_h
             # chunk overruns may reach into the next x-row of cells (masked
             # by ownership); pad enough that the slices never clamp
-            pad_extra = ny * nz + wym_h * nz + 2 * cell_chunk
+            pad_extra = ny * nz + span_h + 2 * cell_chunk
         else:
             n_chunks_loc = n_chunks_h
             pad_extra = 0
@@ -1205,15 +1252,19 @@ def make_cell_step(
                 c0 = (
                     (x0c + ixo) * (ny * nz)
                     + y0c * nz
+                    + z0c
                     + (hi % n_sub_h) * cell_chunk
                 )
                 gcell = c0 + jnp.arange(cell_chunk)
                 gy_ = (gcell // nz) % ny
+                gz_ = gcell % nz
                 own = (
                     (ixo < wxc)
                     & (gcell // (ny * nz) == x0c + ixo)
                     & (gy_ >= y0c)
                     & (gy_ < y0c + wyc)
+                    & (gz_ >= z0c)
+                    & (gz_ < z0c + wzc)
                 )
                 return c0, own
             c0 = c_start + hi * cell_chunk
@@ -1294,6 +1345,7 @@ def make_cell_step(
             c0_l = (
                 (x0c + hi_l // n_sub_h) * (ny * nz)
                 + y0c * nz
+                + z0c
                 + (hi_l % n_sub_h) * cell_chunk
             )
             local_gids = c0_l * cap + l_pos % (cell_chunk * cap)

@@ -418,31 +418,35 @@ def make_brick_cell_step(
     mesh,
     **kw,
 ):
-    """2-D brick-decomposed slot-resident cells host.
+    """Brick-decomposed slot-resident cells host (2-D or 3-D device grid).
 
     Like ``make_slab_cell_step`` but the force pass (and, by default, the
-    hill collection) is decomposed over a (px, py) device grid — each
-    device owns an x-range x y-range of cell columns plus a one-cell halo
-    ring.  At equal device count the halo fraction is ~2/wx + 2/wy
-    instead of the slab's 2/w, and the decomposition scales to px*py ~
-    nx*ny devices where the 1-D slab saturates at nx.  This is the TPU
-    analog of the reference's 3-D MPI box subdivision
-    (edm_bias.cpp:98-222) laid onto a 2-D ICI torus (z stays unsharded).
+    hill collection) is decomposed over a (px, py) or (px, py, pz) device
+    grid — each device owns an x-range x y-range (x z-range) of cells
+    plus a one-cell halo ring.  At equal device count the halo fraction
+    is ~sum_d 2/w_d instead of the slab's 2/w, and the decomposition
+    scales to prod_d p_d ~ nx*ny*nz devices where the 1-D slab saturates
+    at nx.  This is the TPU analog of the reference's 3-D MPI box
+    subdivision (edm_bias.cpp:98-222): lay (px, py) onto a v5e/v6 2-D ICI
+    torus, or (px, py, pz) onto a v4/v5p 3-D torus.
 
-    ``mesh`` must be a 2-D mesh (see parallel.make_brick_mesh); pass
-    ``init_cell_state`` state; returns a jitted ``state, e = step(state)``
-    (or ``state, (e, log)`` with ``collect_records``)."""
+    ``mesh`` must be a 2-D or 3-D mesh (see parallel.make_brick_mesh);
+    pass ``init_cell_state`` state; returns a jitted
+    ``state, e = step(state)`` (or ``state, (e, log)`` with
+    ``collect_records``)."""
     from ..models.pair_edm_cells import make_cell_step
 
-    if mesh.devices.ndim != 2:
-        raise ValueError("brick host needs a 2-D (px, py) device mesh")
-    px, py = mesh.devices.shape
+    if mesh.devices.ndim not in (2, 3):
+        raise ValueError(
+            "brick host needs a 2-D (px, py) or 3-D (px, py, pz) device mesh"
+        )
+    ndev = tuple(mesh.devices.shape)
     axes = tuple(mesh.axis_names)
     kw.setdefault("use_pallas", True)
     collect_records = kw.get("collect_records", False)
     inner = make_cell_step(
         params, lp, lj, spec, hill_stride,
-        brick_axes=axes, brick_ndev=(px, py), **kw,
+        brick_axes=axes, brick_ndev=ndev, **kw,
     )
 
     hill_capacity = kw.get("hill_capacity", 2048)

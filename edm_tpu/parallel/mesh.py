@@ -17,6 +17,7 @@ from jax.sharding import Mesh
 DATA_AXIS = "dp"
 BRICK_X_AXIS = "bx"
 BRICK_Y_AXIS = "by"
+BRICK_Z_AXIS = "bz"
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
@@ -27,13 +28,18 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
 
 
 def make_brick_mesh(
-    px: int, py: int, axes: tuple = (BRICK_X_AXIS, BRICK_Y_AXIS)
+    px: int, py: int, pz: Optional[int] = None, axes: Optional[tuple] = None
 ) -> Mesh:
-    """(px, py) 2-D device grid for brick decomposition — on real hardware
-    lay px x py onto the physical ICI torus (v5e/v6 slices are 2-D tori,
-    so a matching logical grid keeps halo/psum traffic on nearest-neighbor
-    links)."""
+    """(px, py[, pz]) device grid for brick decomposition — on real
+    hardware lay the logical grid onto the physical ICI torus (v5e/v6
+    slices are 2-D tori -> (px, py); v4/v5p pods are 3-D tori -> a
+    (px, py, pz) grid keeps halo/psum traffic on nearest-neighbor links
+    in all three directions)."""
+    shape = (px, py) if pz is None else (px, py, pz)
+    if axes is None:
+        axes = (BRICK_X_AXIS, BRICK_Y_AXIS, BRICK_Z_AXIS)[: len(shape)]
+    n = int(np.prod(shape))
     devs = jax.devices()
-    if len(devs) < px * py:
-        raise ValueError(f"need {px * py} devices, have {len(devs)}")
-    return Mesh(np.asarray(devs[: px * py]).reshape(px, py), tuple(axes))
+    if len(devs) < n:
+        raise ValueError(f"need {n} devices, have {len(devs)}")
+    return Mesh(np.asarray(devs[:n]).reshape(shape), tuple(axes))

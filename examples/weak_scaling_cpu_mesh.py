@@ -14,13 +14,14 @@ speedup is therefore unmeasurable here.  What IS measurable and meaningful:
    exactly the terms that erode weak scaling on a real pod slice, minus the
    ICI bandwidth term (modeled separately in docs/perf.md).
 
-Both decompositions are measured: the 1-D slab (per-device x-columns,
-halo share ~2/w) and the 2-D brick (x-range x y-range bricks, halo share
-~2/wx + 2/wy + 4/(wx*wy)).  At equal toy widths the brick's halo RING
-costs more than the slab's two faces — its value is that it keeps
-scaling past n = nx devices where the slab saturates, and that its halo
-share falls quadratically faster as per-device width grows (see
-docs/perf.md for the v5e-32 model).
+All three decompositions are measured: the 1-D slab (per-device
+x-columns, halo share ~2/w), the 2-D brick (x-range x y-range bricks,
+halo share ~2/wx + 2/wy + 4/(wx*wy)) and the 3-D brick ((2,2,2) grid —
+the v4/v5p 3-D-torus layout).  At equal toy widths a brick's halo RING
+(shell) costs more than the slab's two faces — its value is that it
+keeps scaling past n = nx devices where the slab saturates, and that its
+halo share falls faster as per-device width grows (see docs/perf.md for
+the v5e-32 model).
 
 With the sharded floor (shard_floor, default on) the slab's aggregate
 overhead goes NEGATIVE at these toy widths: the fixed-shape global
@@ -69,10 +70,15 @@ STEPS = 10
 
 
 def run(n_dev: int, grid=None):
-    """grid=None: 1-D slab over n_dev; grid=(px, py): 2-D brick (the atom
-    lattice grows along both sharded axes so work/device is constant)."""
-    px, py = grid if grid else (n_dev, 1)
-    nx, ny, nz = SIDE_PER_DEV * px, SIDE_PER_DEV * py, SIDE_PER_DEV
+    """grid=None: 1-D slab over n_dev; grid=(px, py[, pz]): 2-D/3-D brick
+    (the atom lattice grows along every sharded axis so work/device is
+    constant)."""
+    if grid and len(grid) == 3:
+        px, py, pz = grid
+    else:
+        px, py = grid if grid else (n_dev, 1)
+        pz = 1
+    nx, ny, nz = SIDE_PER_DEV * px, SIDE_PER_DEV * py, SIDE_PER_DEV * pz
     n_atoms = nx * ny * nz
     pts = (
         np.stack(np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz),
@@ -95,14 +101,15 @@ def run(n_dev: int, grid=None):
     kw = dict(hill_stride=10, rebuild_stride=10, energy_stride=10)
     lp = LangevinParams(dt=0.002, friction=1.0, kT=0.8)
     cols = []
-    for n_ax, p_ax in ((spec.ncells[0], px), (spec.ncells[1], py)):
+    for n_ax, p_ax in ((spec.ncells[0], px), (spec.ncells[1], py),
+                       (spec.ncells[2], pz)):
         q, rem = divmod(n_ax, p_ax)
         c = [q + (d < rem) for d in range(p_ax)]
         assert max(c) - min(c) <= 1, f"imbalance: columns per device {c}"
         cols.append(c)
     if grid:
         step = make_brick_cell_step(
-            params, lp, LJParams(), spec, mesh=make_brick_mesh(px, py), **kw
+            params, lp, LJParams(), spec, mesh=make_brick_mesh(*grid), **kw
         )
     else:
         step = make_slab_cell_step(
@@ -124,10 +131,14 @@ def run(n_dev: int, grid=None):
     # workload (truncation would silently shrink the hill rounds measured)
     assert not bool(s.table_overflow) and not bool(s.core.hills_truncated)
     return {
-        "mode": f"brick {px}x{py}" if grid else "slab",
+        "mode": (
+            "x".join(str(p) for p in grid).join(("brick ", ""))
+            if grid
+            else "slab"
+        ),
         "n_dev": n_dev,
         "atoms": n_atoms,
-        "cells_per_dev_xy": cols,
+        "cells_per_dev_xyz": cols,
         "steps_per_sec": round(STEPS / best, 3),
         "sec_per_step": round(best / STEPS, 4),
     }
@@ -136,7 +147,7 @@ def run(n_dev: int, grid=None):
 def main():
     rows = []
     for n, grid in ((1, None), (2, None), (4, None), (8, None),
-                    (4, (2, 2)), (8, (4, 2))):
+                    (4, (2, 2)), (8, (4, 2)), (8, (2, 2, 2))):
         r = run(n, grid)
         rows.append(r)
         print(json.dumps(r), flush=True)

@@ -492,13 +492,14 @@ def test_shard_floor_bitwise():
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("grid", [(2, 4), (3, 2)])
+@pytest.mark.parametrize("grid", [(2, 4), (3, 2), (2, 2, 2)])
 def test_brick_cell_host_matches_single_device(grid):
-    """2-D brick-decomposed cells host (Newton kernel per x-range x
-    y-range brick + halo ring, one 2-axis psum/step; brick-sharded hill
-    collection merged by global row key) reproduces the single-device
-    host's trajectory at kT > 0 (slot-row-keyed noise) — including ragged
-    partitions (3 devices over 10 columns own 4/3/3)."""
+    """Brick-decomposed cells host (Newton kernel per x-range x y-range
+    (x z-range) brick + halo ring, one psum/step over the mesh axes;
+    brick-sharded hill collection merged by global row key) reproduces
+    the single-device host's trajectory at kT > 0 (slot-row-keyed noise)
+    — including ragged partitions (3 devices over 10 columns own 4/3/3)
+    and the 3-D (2, 2, 2) grid (the v4/v5p 3-D-torus decomposition)."""
     from edm_tpu.models.cells import CellSpec
     from edm_tpu.models.pair_edm_cells import init_cell_state, make_cell_step
     from edm_tpu.parallel import make_brick_mesh
@@ -542,11 +543,12 @@ def test_brick_cell_host_matches_single_device(grid):
 
 
 @pytest.mark.slow
-def test_brick_cell_host_small_lattice_fallback():
+@pytest.mark.parametrize("grid", [(2, 2), (2, 2, 2)])
+def test_brick_cell_host_small_lattice_fallback(grid):
     """On lattices too small to slice a brick+halo window (wxm+2 > nx) the
     brick host falls back to the full kernel with rows restricted to the
-    owned columns — trajectory and hill rounds still match the
-    single-device host."""
+    owned cells — trajectory and hill rounds still match the
+    single-device host (2-D and 3-D grids)."""
     from edm_tpu.models.cells import CellSpec
     from edm_tpu.models.pair_edm_cells import init_cell_state, make_cell_step
     from edm_tpu.parallel import make_brick_mesh
@@ -567,7 +569,7 @@ def test_brick_cell_host_small_lattice_fallback():
     )
     stepN = make_brick_cell_step(
         params, lp, LJParams(), spec, hill_stride=2,
-        mesh=make_brick_mesh(2, 2), hill_capacity=512,
+        mesh=make_brick_mesh(*grid), hill_capacity=512,
     )
     s1, sN = st0, st0
     for _ in range(3):
