@@ -425,11 +425,12 @@ def add_hills_round(
         and all(gspec1.boundary_periodic)
         and all(w < n for w, n in zip(gspec1.window_shape, gspec1.grid.nbins))
     )
-    # 2-D grids with McGovern-De Pablo corrected dims: separable MXU terms
-    # for the decaying Gaussian parts + exact-spherical-mask strip fields
-    # for the boundary-correction parts (ops/deposit.dense_tables_mcgdp_2d)
+    # 2-D/3-D grids with McGovern-De Pablo corrected dims: separable MXU
+    # terms for the decaying Gaussian parts + exact-spherical-mask strip
+    # fields for the boundary-correction parts (ops/deposit.
+    # dense_tables_mcgdp, chunked over hills)
     use_dense2m = (
-        D == 2
+        D in (2, 3)
         and any(not p for p in gspec1.boundary_periodic)
         and boundary_offset is None
         and all(w < n for w, n in zip(gspec1.window_shape, gspec1.grid.nbins))

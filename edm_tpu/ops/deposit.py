@@ -340,18 +340,18 @@ def deposit_from_tables_sep(gg: GaussGrid, tabs, heights):
     return dataclasses.replace(gg, grid=grid)
 
 
-class McGDP2DTables(NamedTuple):
-    """Linear-in-height deposit tables for a 2-D grid with McGovern-De
-    Pablo boundary-corrected dim(s) — see dense_tables_mcgdp_2d."""
+class McGDPTables(NamedTuple):
+    """Linear-in-height deposit tables for a 2-D/3-D grid with McGovern-De
+    Pablo boundary-corrected dim(s) — see dense_tables_mcgdp."""
 
-    sep_value: tuple  # ((H, G0), (H, G1)) factors of expo/D_tot
-    sep_grads: tuple  # per dim: tuple of terms, each ((H, G0), (H, G1))
+    sep_value: tuple  # per-dim (H, G_d) factors of expo/D_tot
+    sep_grads: tuple  # per grad dim: tuple of terms, each a per-dim tuple
     strip_cache: dict  # per-dim base arrays for the strip passes
     s: jax.Array  # (H,) unit-height integral (bias-limiter invariant)
 
 
 def _mcgdp_base(gg: GaussGrid, centers):
-    """Shared per-dim ingredient arrays for the 2-D McGDP fast path."""
+    """Shared per-dim ingredient arrays for the McGDP fast path."""
     spec = gg.spec
     g = spec.grid
     D = spec.dim
@@ -415,9 +415,9 @@ def _mcgdp_base(gg: GaussGrid, centers):
     return x, hill_okf, per
 
 
-def dense_tables_mcgdp_2d(gg: GaussGrid, centers: jax.Array) -> McGDP2DTables:
-    """2-D deposition tables for grids with McGovern-De Pablo corrected
-    dims — the MXU fast path for non-periodic 2-D coordinate grids under
+def dense_tables_mcgdp(gg: GaussGrid, centers: jax.Array) -> McGDPTables:
+    """2-D/3-D deposition tables for grids with McGovern-De Pablo corrected
+    dims — the MXU fast path for non-periodic coordinate grids under
     heavy hill load (reference gaussian_grid.h:299-343).
 
     Split by decay structure of ``_pointwise_contrib``'s algebra (incl.
@@ -433,16 +433,18 @@ def dense_tables_mcgdp_2d(gg: GaussGrid, centers: jax.Array) -> McGDP2DTables:
       with distance, but those factors are EXACTLY ZERO outside static
       boundary strips of width BC_MAR*sigma' — they are evaluated densely
       on the strips with the reference's exact spherical mask (no
-      square-support divergence at all).
+      square-support divergence at all), chunked over hills to bound the
+      (H, G_others..., S) transient.
 
-    Returns McGDP2DTables; commit with deposit_from_mcgdp_2d (linear in
+    Returns McGDPTables; commit with deposit_from_mcgdp (linear in
     height, so the bias-limiter machinery reuses one table build)."""
     spec = gg.spec
     g = spec.grid
-    assert spec.dim == 2
+    D = spec.dim
+    assert D in (2, 3)
     dtype = gg.dtype
     x, hill_okf, per = _mcgdp_base(gg, centers)
-    nonper = [d for d in range(2) if not spec.boundary_periodic[d]]
+    nonper = [d for d in range(D) if not spec.boundary_periodic[d]]
     assert nonper, "use dense_tables_sep for fully-periodic grids"
     dstar = nonper[-1]
 
@@ -453,7 +455,7 @@ def dense_tables_mcgdp_2d(gg: GaussGrid, centers: jax.Array) -> McGDP2DTables:
         return iv**p
 
     # ---- separable (decaying) terms
-    def sepf(d, *, t5=False, dden=False, facpow=1, upto=1):
+    def sepf(d, *, t5=False, dden=False, facpow=1, upto=None):
         ent = per[d]
         f = ent["m"] * ent["e"]
         if d <= upto and facpow:
@@ -464,170 +466,289 @@ def dense_tables_mcgdp_2d(gg: GaussGrid, centers: jax.Array) -> McGDP2DTables:
             f = f * (-per[d]["dden"])[None, :]
         return f
 
-    sep_value = (
-        sepf(0, upto=1) * hill_okf[:, None],
-        sepf(1, upto=1),
-    )
+    def sep_term(*, upto, facpow=1, t5_dim=None, dden_dim=None):
+        out = []
+        for d in range(D):
+            f = sepf(
+                d, t5=(d == t5_dim), dden=(d == dden_dim),
+                facpow=facpow, upto=upto,
+            )
+            if d == 0:
+                f = f * hill_okf[:, None]
+            out.append(f)
+        return tuple(out)
+
+    sep_value = sep_term(upto=D - 1)
     sep_grads = []
-    for gd in range(2):
+    for gd in range(D):
         terms = []
         if spec.boundary_periodic[gd]:
             # dd = t5 * expo / D_tot (reference ignores correction terms in
             # periodic-dim gradients)
-            terms.append((
-                sepf(0, t5=(gd == 0), upto=1) * hill_okf[:, None],
-                sepf(1, t5=(gd == 1), upto=1),
-            ))
+            terms.append(sep_term(upto=D - 1, t5_dim=gd))
         else:
             # t5 * e / D_{<=g}
-            terms.append((
-                sepf(0, t5=(gd == 0), upto=gd) * hill_okf[:, None],
-                sepf(1, t5=(gd == 1), upto=gd),
-            ))
+            terms.append(sep_term(upto=gd, t5_dim=gd))
             # -den'_g * e / D_{<=g}^2
-            terms.append((
-                sepf(0, dden=(gd == 0), facpow=2, upto=gd) * hill_okf[:, None],
-                sepf(1, dden=(gd == 1), facpow=2, upto=gd),
-            ))
+            terms.append(sep_term(upto=gd, facpow=2, dden_dim=gd))
         sep_grads.append(tuple(terms))
-
-    # ---- strip caches (exact spherical-mask correction terms)
-    strip_cache = dict(dstar=dstar, hill_okf=hill_okf)
 
     # ---- unit integral s: separable part + value-correction strip part
     vol = np.asarray(np.prod(g.dx), dtype)
-    s = jnp.sum(sep_value[0], axis=1) * jnp.sum(sep_value[1], axis=1)
+    s = jnp.ones((x.shape[0],), dtype)
+    for f in sep_value:
+        s = s * jnp.sum(f, axis=1)
     sv = _mcgdp_strip_value(gg, per, dstar, hill_okf, heights=None)
     # sv is (H,) unit-integral of the strip correction when heights is None
     s = (s + sv) * vol
-    return McGDP2DTables(
+    return McGDPTables(
         sep_value=sep_value, sep_grads=tuple(sep_grads),
-        strip_cache=dict(per=per, **strip_cache), s=s,
+        strip_cache=dict(per=per, dstar=dstar, hill_okf=hill_okf), s=s,
     )
 
 
-def _strip_fields(gg, per, d_strip, which):
-    """Dense (H, Go, S) ingredient tensors on dim ``d_strip``'s boundary
-    strip: spherical-mask validity, expo, and the running denominators.
-    ``which``: o = the other dim.  Axis order is (hill, other-dim rows,
-    strip rows) with dim order restored by the caller."""
-    o = 1 - d_strip
-    eo = per[o]
+# hill-chunk budget for the dense strip transients (elements of the
+# (chunk, G_others..., S) block; ~16 MB f32 / 32 MB f64 per chunk)
+_STRIP_CHUNK_ELEMS = 1 << 22
+
+
+def _strip_chunk_fields(gg, per, d_strip, sl):
+    """Dense spherical-mask ingredient tensors on dim ``d_strip``'s
+    boundary strip for the hill slice ``sl``: (others, strip rows, valid,
+    e), each field of shape (h, G_others..., S).  Axis order is (hill,
+    other dims in ascending order, strip rows); the caller restores grid
+    dim order."""
+    D = len(per)
+    others = [d for d in range(D) if d != d_strip]
     es = per[d_strip]
     strip = es["strip"]
-    dp2o = eo["dp2"]  # (H, Go)
-    dp2s = es["dp2"][:, strip]  # (H, S)
-    dp2 = dp2o[:, :, None] + dp2s[:, None, :]
+    dp2s = es["dp2"][sl][:, strip]  # (h, S)
+    if D == 2:
+        dp2 = per[others[0]]["dp2"][sl][:, :, None] + dp2s[:, None, :]
+    else:
+        dp2 = (
+            per[others[0]]["dp2"][sl][:, :, None, None]
+            + per[others[1]]["dp2"][sl][:, None, :, None]
+            + dp2s[:, None, None, :]
+        )
     valid = (dp2 < GAUSS_SUPPORT + 1e-12).astype(gg.dtype)
-    # per-point boundary masks of BOTH dims
-    if "pm" in eo:
-        valid = valid * eo["pm"][None, :, None]
-    valid = valid * es["pm"][strip][None, None, :]
+    # per-point boundary masks of EVERY non-periodic dim
+    for i, o in enumerate(others):
+        if "pm" in per[o]:
+            shape = [1] * (D + 1)
+            shape[1 + i] = -1
+            valid = valid * per[o]["pm"].reshape(shape)
+    valid = valid * es["pm"][strip].reshape((1,) * D + (-1,))
     e = jnp.exp(-dp2)
-    return o, strip, valid, e, dp2
+    return others, strip, valid, e
 
 
-def _running_inv_den(per, upto, o, d_strip, strip, power=1):
-    """(Go-broadcast, S-broadcast) 1/D_{<=upto}^power split per dim."""
-    fo = 1.0
-    fs = 1.0
+def _running_inv_den(per, upto, others, d_strip, strip, power=1):
+    """Per-axis factors of 1/D_{<=upto}^power: a list aligned with
+    ``others`` (scalars or (G_o,) arrays) plus the strip-axis factor."""
+    fac_o = [1.0] * len(others)
+    fac_s = 1.0
     for k in range(upto + 1):
         iv = per[k]["inv_fac"]
-        if k == o:
-            fo = (iv if isinstance(iv, float) else iv) ** power
-        elif k == d_strip:
-            ivs = iv if isinstance(iv, float) else iv[strip]
-            fs = ivs**power
-    return fo, fs
+        if k == d_strip:
+            fac_s = (iv if isinstance(iv, float) else iv[strip]) ** power
+        elif k in others:
+            fac_o[others.index(k)] = (
+                iv if isinstance(iv, float) else iv
+            ) ** power
+    return fac_o, fac_s
+
+
+def _strip_apply_fac(field, fac_o, fac_s, D):
+    """Multiply per-axis running-denominator factors onto a
+    (h, G_others..., S) field."""
+    for i, fo in enumerate(fac_o):
+        if not isinstance(fo, float):
+            shape = [1] * (D + 1)
+            shape[1 + i] = -1
+            field = field * fo.reshape(shape)
+        elif fo != 1.0:
+            field = field * fo
+    if not isinstance(fac_s, float):
+        field = field * fac_s.reshape((1,) * D + (-1,))
+    elif fac_s != 1.0:
+        field = field * fac_s
+    return field
+
+
+def _strip_hill_chunks(per, d_strip, H):
+    """(chunk size, padded H) for the strip scan over hills."""
+    D = len(per)
+    others = [d for d in range(D) if d != d_strip]
+    block = int(len(per[d_strip]["strip"]))
+    for o in others:
+        block *= int(per[o]["dp2"].shape[1])
+    ch = max(1, min(H, _STRIP_CHUNK_ELEMS // max(1, block)))
+    return ch, -(-H // ch) * ch
+
+
+def _pad_h(a, Hp):
+    """Zero-pad a leading-hill-axis array to Hp rows."""
+    H = a.shape[0]
+    if Hp == H:
+        return a
+    return jnp.concatenate(
+        [a, jnp.zeros((Hp - H,) + a.shape[1:], a.dtype)], axis=0
+    )
 
 
 def _mcgdp_strip_value(gg, per, dstar, hill_okf, heights):
     """Value-correction field on dim dstar's strip.
 
     heights=None: return the per-hill unit integral (H,) of the strip
-    correction.  heights (H,): return the (Go, S) field summed over hills
-    (chunked over hills to bound the transient)."""
-    o, strip, valid, e, _ = _strip_fields(gg, per, dstar, "value")
+    correction.  heights (H,): return the (G_others..., S) field summed
+    over hills.  Both scan over hill chunks to bound the dense
+    transient."""
+    D = len(per)
     es = per[dstar]
-    s2 = jnp.asarray(es["s2"])[strip]
-    s4 = jnp.asarray(es["s4"])[strip]
-    fo, fs = _running_inv_den(per, dstar, o, dstar, strip, 1)
+    others = [d for d in range(D) if d != dstar]
+    strip = es["strip"]
+    H = hill_okf.shape[0]
+    s2 = jnp.asarray(es["s2"])[strip].reshape((1,) * D + (-1,))
+    s4 = jnp.asarray(es["s4"])[strip].reshape((1,) * D + (-1,))
+    fac_o, fac_s = _running_inv_den(per, dstar, others, dstar, strip, 1)
+    hsh = (-1,) + (1,) * D
 
-    corr = (
-        (es["t1"][:, None, None] - e) * s2[None, None, :]
-        + (es["t3"][:, None, None] - e) * s4[None, None, :]
-    ) * valid
-    corr = corr * hill_okf[:, None, None]
-    corr = corr * (fo if isinstance(fo, float) else fo[None, :, None])
-    corr = corr * (fs if isinstance(fs, float) else fs[None, None, :])
+    def corr_of(sl):
+        _, _, valid, e = _strip_chunk_fields(gg, per, dstar, sl)
+        t1 = es["t1"][sl].reshape(hsh)
+        t3 = es["t3"][sl].reshape(hsh)
+        corr = ((t1 - e) * s2 + (t3 - e) * s4) * valid
+        corr = corr * hill_okf[sl].reshape(hsh)
+        return _strip_apply_fac(corr, fac_o, fac_s, D)
+
+    ch, Hp = _strip_hill_chunks(per, dstar, H)
+    if Hp == H and Hp == ch:
+        corr = corr_of(slice(None))
+        if heights is None:
+            return jnp.sum(corr, axis=tuple(range(1, D + 1)))
+        return jnp.tensordot(
+            jnp.asarray(heights, gg.dtype), corr, axes=(0, 0),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    idx = jnp.arange(Hp).reshape(-1, ch)
     if heights is None:
-        return jnp.sum(corr, axis=(1, 2))
-    return jnp.einsum("hos,h->os", corr, heights,
-                      precision=jax.lax.Precision.HIGHEST)
+        def body(_, sl):
+            c = corr_of(sl)
+            return None, jnp.sum(c, axis=tuple(range(1, D + 1)))
+
+        _, sums = jax.lax.scan(lambda c, sl: body(c, sl), None, idx)
+        return sums.reshape(-1)[:H]
+
+    hts = _pad_h(jnp.asarray(heights, gg.dtype), Hp)
+
+    def body_h(acc, sl):
+        c = corr_of(sl)
+        return acc + jnp.tensordot(
+            hts[sl], c, axes=(0, 0), precision=jax.lax.Precision.HIGHEST
+        ), None
+
+    shape = tuple(int(per[o]["dp2"].shape[1]) for o in others) + (
+        len(strip),
+    )
+    acc0 = jnp.zeros(shape, gg.dtype)
+    acc, _ = jax.lax.scan(body_h, acc0, idx)
+    return acc
 
 
 def _mcgdp_strip_grad(gg, per, gdim, hill_okf, heights):
     """Gradient-correction field of McGDP dim ``gdim`` on its own strip:
     -t5 e (s2+s4)/D_{<=g} + (t1-e) t6/D + (t3-e) t7/D
     - den'_g [(t1-e)s2 + (t3-e)s4]/D^2, all under the spherical mask.
-    Returns the (Go, S) field summed over hills."""
-    o, strip, valid, e, _ = _strip_fields(gg, per, gdim, "grad")
+    Returns the (G_others..., S) field summed over hills (chunked)."""
+    D = len(per)
     es = per[gdim]
+    others = [d for d in range(D) if d != gdim]
+    strip = es["strip"]
     spec = gg.spec
     sig = spec.sigma[gdim]
-    s2 = jnp.asarray(es["s2"])[strip]
-    s4 = jnp.asarray(es["s4"])[strip]
-    t6 = jnp.asarray(es["t6"])[strip]
-    t7 = jnp.asarray(es["t7"])[strip]
-    dden = jnp.asarray(es["dden"])[strip]
-    t5 = (-2.0 * es["dp"] / sig)[:, strip]  # (H, S)
-    t1 = es["t1"][:, None, None]
-    t3 = es["t3"][:, None, None]
-    fo1, fs1 = _running_inv_den(per, gdim, o, gdim, strip, 1)
-    fo2, fs2 = _running_inv_den(per, gdim, o, gdim, strip, 2)
+    H = hill_okf.shape[0]
+    ssh = (1,) * D + (-1,)
+    s2 = jnp.asarray(es["s2"])[strip].reshape(ssh)
+    s4 = jnp.asarray(es["s4"])[strip].reshape(ssh)
+    t6 = jnp.asarray(es["t6"])[strip].reshape(ssh)
+    t7 = jnp.asarray(es["t7"])[strip].reshape(ssh)
+    dden = jnp.asarray(es["dden"])[strip].reshape(ssh)
+    fac1 = _running_inv_den(per, gdim, others, gdim, strip, 1)
+    fac2 = _running_inv_den(per, gdim, others, gdim, strip, 2)
+    hsh = (-1,) + (1,) * D
+    t5sh = (-1,) + (1,) * (D - 1) + (len(strip),)
 
-    def app(field, fo, fs):
-        field = field * (fo if isinstance(fo, float) else fo[None, :, None])
-        return field * (fs if isinstance(fs, float) else fs[None, None, :])
+    def field_of(sl):
+        _, _, valid, e = _strip_chunk_fields(gg, per, gdim, sl)
+        t1 = es["t1"][sl].reshape(hsh)
+        t3 = es["t3"][sl].reshape(hsh)
+        t5 = (-2.0 * es["dp"][sl][:, strip] / sig).reshape(t5sh)
+        f1 = -t5 * e * (s2 + s4)
+        f1 = f1 + (t1 - e) * t6 + (t3 - e) * t7
+        f1 = _strip_apply_fac(f1, *fac1, D)
+        f2 = -((t1 - e) * s2 + (t3 - e) * s4)
+        f2 = _strip_apply_fac(f2 * dden, *fac2, D)
+        return (f1 + f2) * valid * hill_okf[sl].reshape(hsh)
 
-    f1 = -t5[:, None, :] * e * (s2 + s4)[None, None, :]
-    f1 = f1 + (t1 - e) * t6[None, None, :] + (t3 - e) * t7[None, None, :]
-    f1 = app(f1, fo1, fs1)
-    f2 = -((t1 - e) * s2[None, None, :] + (t3 - e) * s4[None, None, :])
-    f2 = app(f2 * dden[None, None, :], fo2, fs2)
-    field = (f1 + f2) * valid * hill_okf[:, None, None]
-    return jnp.einsum("hos,h->os", field, heights,
-                      precision=jax.lax.Precision.HIGHEST)
+    hts = jnp.asarray(heights, gg.dtype)
+    ch, Hp = _strip_hill_chunks(per, gdim, H)
+    if Hp == H and Hp == ch:
+        return jnp.tensordot(
+            hts, field_of(slice(None)), axes=(0, 0),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    hts = _pad_h(hts, Hp)
+    idx = jnp.arange(Hp).reshape(-1, ch)
+
+    def body(acc, sl):
+        return acc + jnp.tensordot(
+            hts[sl], field_of(sl), axes=(0, 0),
+            precision=jax.lax.Precision.HIGHEST,
+        ), None
+
+    shape = tuple(int(per[o]["dp2"].shape[1]) for o in others) + (
+        len(strip),
+    )
+    acc, _ = jax.lax.scan(body, jnp.zeros(shape, gg.dtype), idx)
+    return acc
 
 
-def deposit_from_mcgdp_2d(gg: GaussGrid, tabs: McGDP2DTables, heights):
-    """Commit a 2-D McGDP deposit: separable einsum terms + strip fields,
-    then boundary-row duplication."""
+def deposit_from_mcgdp(gg: GaussGrid, tabs: McGDPTables, heights):
+    """Commit a 2-D/3-D McGDP deposit: separable einsum terms + strip
+    fields, then boundary-row duplication."""
     spec = gg.spec
+    D = spec.dim
     heights = jnp.asarray(heights, gg.dtype)
     hp = jax.lax.Precision.HIGHEST
     per = tabs.strip_cache["per"]
     dstar = tabs.strip_cache["dstar"]
     hill_okf = tabs.strip_cache["hill_okf"]
+    axes = "xyz"[:D]
+    spec_str = ",".join(f"h{a}" for a in axes) + "->" + axes
 
     def contract(fs):
-        return jnp.einsum("hx,hy->xy", heights[:, None] * fs[0], fs[1],
-                          precision=hp)
+        ops = [heights[:, None] * fs[0]] + list(fs[1:])
+        return jnp.einsum(spec_str, *ops, precision=hp)
 
     def place(field, d_strip):
-        """(Go, S) strip field -> full-grid array (dim order restored)."""
+        """(G_others..., S) strip field -> full-grid array (grid dim
+        order restored by moving the strip axis into place)."""
         strip = per[d_strip]["strip"]
         out = jnp.zeros(spec.grid.nbins, gg.dtype)
-        if d_strip == 1:
-            return out.at[:, strip].add(field)
-        return out.at[strip, :].add(field.T)
+        f = jnp.moveaxis(field, -1, d_strip)
+        idx = tuple(
+            strip if k == d_strip else slice(None) for k in range(D)
+        )
+        return out.at[idx].add(f)
 
     values = gg.grid.values + contract(tabs.sep_value)
     values = values + place(
         _mcgdp_strip_value(gg, per, dstar, hill_okf, heights), dstar
     )
     derivs = gg.grid.derivs
-    for d in range(2):
+    for d in range(D):
         dd = jnp.zeros(spec.grid.nbins, gg.dtype)
         for fs in tabs.sep_grads[d]:
             dd = dd + contract(fs)
@@ -639,6 +760,12 @@ def deposit_from_mcgdp_2d(gg: GaussGrid, tabs: McGDP2DTables, heights):
     grid = dataclasses.replace(gg.grid, values=values, derivs=derivs)
     out = dataclasses.replace(gg, grid=grid)
     return duplicate_boundary(out)
+
+
+# backward-compatible 2-D names
+McGDP2DTables = McGDPTables
+dense_tables_mcgdp_2d = dense_tables_mcgdp
+deposit_from_mcgdp_2d = deposit_from_mcgdp
 
 
 # backward-compatible 2-D wrappers
