@@ -63,7 +63,14 @@ def load_state(template, filename: str):
         )
     import jax.numpy as jnp
 
-    new_leaves = [
-        jnp.asarray(data[f"leaf_{i}"], leaves[i].dtype) for i in range(len(leaves))
-    ]
+    new_leaves = []
+    for i, t in enumerate(leaves):
+        a = jnp.asarray(data[f"leaf_{i}"], t.dtype)
+        if isinstance(t, jax.Array) and getattr(t, "committed", False):
+            # restore the template's explicit device placement/sharding
+            # (shard_coord_state / init_spatial_state leaves) so resumed
+            # sharded-host states start exactly where a live state would
+            # be; uncommitted templates stay uncommitted — jit places them
+            a = jax.device_put(a, t.sharding)
+        new_leaves.append(a)
     return jax.tree_util.tree_unflatten(treedef, new_leaves)

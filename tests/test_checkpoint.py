@@ -69,3 +69,120 @@ def test_mismatched_structure_rejected(tmp_path):
 
     with pytest.raises(EDMError):
         load_state(state, str(ckpt))  # full host state template: mismatch
+
+
+def test_sharded_host_resume_bitwise(tmp_path):
+    """Checkpoint/resume of a SHARDED host state (slab cells host on the
+    8-device mesh): load_state restores each leaf with the template's
+    sharding, and a resumed run is bitwise an uninterrupted one — the
+    production restart path the reference's grid-file resume cannot
+    provide under MPI (buffer/cum_bias/RNG lost, edm_bias.cpp:1066-1072)."""
+    from edm_tpu.models.cells import CellSpec
+    from edm_tpu.models.pair_edm_cells import init_cell_state
+    from edm_tpu.parallel import make_mesh
+    from edm_tpu.parallel.cells import make_slab_cell_step
+
+    cfg = parse_edm_text(
+        "tempering 0\nhill_prefactor 0.1\nbias_per_step 1.0\nhill_density 20\n"
+        "dimension 1\nbox_low 0\nbox_high 3.0\nbias_spacing 0.02\nbias_sigma 0.1\n"
+    )
+
+    def mk():
+        params, bias_state = B.subdivide(
+            cfg, 1.0, 1.0, [0], [3.0], [0], [3.0], [False], [0],
+            dtype=jnp.float32,
+        )
+        a = 1.26
+        pts = (
+            np.stack(
+                np.meshgrid(*[np.arange(8)] * 3, indexing="ij"), -1
+            ).reshape(-1, 3) * a + 0.5 * a
+        )
+        box = [8 * a] * 3
+        spec = CellSpec.create(box, cutoff=3.0, n_atoms=pts.shape[0])
+        core = pair_edm.init_state(
+            bias_state, jnp.asarray(pts, jnp.float32), jax.random.PRNGKey(0),
+            pair_lookup="chebyshev", cheb_deg=16, cheb_panels=4,
+        )
+        st = init_cell_state(spec, core, with_ids=False)
+        step = make_slab_cell_step(
+            params, LangevinParams(dt=0.002, friction=1.0, kT=0.8),
+            LJParams(), spec, hill_stride=2, mesh=make_mesh(8),
+            hill_capacity=512,
+        )
+        return step, st
+
+    step, st0 = mk()
+    full = st0
+    for _ in range(4):
+        full, _ = step(full)
+
+    mid = st0
+    for _ in range(2):
+        mid, _ = step(mid)
+    ckpt = tmp_path / "slab.npz"
+    save_state(mid, str(ckpt))
+
+    step2, fresh = mk()
+    resumed = load_state(fresh, str(ckpt))
+    cont = resumed
+    for _ in range(2):
+        cont, _ = step2(cont)
+
+    for a, b in zip(jax.tree_util.tree_leaves(full),
+                    jax.tree_util.tree_leaves(cont)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_spatial_sharded_resume_bitwise(tmp_path):
+    """Resume of an explicitly-sharded state (SpatialCoordState, P(dp)
+    leaves committed by init_spatial_state): load_state restores each
+    leaf onto the template's sharding (the committed-template branch)."""
+    from edm_tpu.parallel import make_mesh
+    from edm_tpu.parallel.spatial import (
+        init_spatial_state,
+        make_spatial_coord_step,
+        spatial_subdivide,
+    )
+
+    cfg = parse_edm_text(
+        "tempering 0\nhill_prefactor 1.0\nbias_per_step 100\ndimension 1\n"
+        "box_low 0\nbox_high 10\nbias_spacing 0.01\nbias_sigma 0.2\n"
+    )
+    mesh = make_mesh(8)
+    xs = np.asarray(
+        [[d * 1.25 + 0.3, 0.0, 0.0] for d in range(8)]
+        + [[d * 1.25 + 1.2, 0.0, 0.0] for d in range(8)]
+    )
+    lp = LangevinParams(dt=1e-8, friction=0.0, kT=0.0)
+
+    def mk():
+        setup, tmpl = spatial_subdivide(cfg, 1.0, 1.0, 8, 1.25,
+                                        dtype=jnp.float64)
+        st = init_spatial_state(
+            setup, tmpl, xs, jax.random.PRNGKey(3), capacity=4, mesh=mesh
+        )
+        step = make_spatial_coord_step(setup, lp, hill_stride=1, mesh=mesh)
+        return step, st
+
+    step, st0 = mk()
+    full = st0
+    for _ in range(3):
+        full, _ = step(full)
+
+    mid = st0
+    mid, _ = step(mid)
+    ckpt = tmp_path / "spatial.npz"
+    save_state(mid, str(ckpt))
+
+    step2, fresh = mk()
+    resumed = load_state(fresh, str(ckpt))
+    # the committed-template branch restored the P(dp) sharding
+    assert resumed.x.sharding == fresh.x.sharding
+    cont = resumed
+    for _ in range(2):
+        cont, _ = step2(cont)
+
+    for a, b in zip(jax.tree_util.tree_leaves(full),
+                    jax.tree_util.tree_leaves(cont)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
