@@ -12,6 +12,7 @@ from .spatial import (
     make_spatial_coord_step,
     rebin_spatial_atoms,
     spatial_subdivide,
+    stitch_spatial_grid,
 )
 
 __all__ = [
@@ -29,4 +30,5 @@ __all__ = [
     "make_spatial_coord_step",
     "rebin_spatial_atoms",
     "gather_spatial_grid",
+    "stitch_spatial_grid",
 ]

@@ -3,21 +3,27 @@ reference's MPI domain decomposition (edm_bias.cpp:98-222, hill exchange
 :614-920) for bias grids too large (or hill loads too heavy) for a
 replicated grid.
 
-Design (SPMD over a 1-D mesh, one grid shard per device):
+Design (SPMD over a 1-D mesh axis, one grid shard per device):
 
-* The CV range along dim 0 is split into ``n_dev`` EQUAL slabs; each device
-  owns ``[lo + d*slab_w, lo + (d+1)*slab_w]`` extended by ``skin`` — the
-  reference's per-rank sub-box + neighbor skin (edm_bias.cpp:142-155).
-  Equal slabs keep every device's grid the SAME static shape, which is what
-  makes the decomposition expressible as one SPMD program.
+* The CV range is split into EQUAL bricks over a per-dim device grid
+  ``parts = (p0, ..., pD-1)`` (an int n_dev means ``(n_dev, 1, ...)`` —
+  the 1-D slab decomposition); each device owns
+  ``prod_d [lo_d + i_d*w_d, lo_d + (i_d+1)*w_d]`` extended by per-dim
+  ``skin`` on the sharded dims — the reference's per-rank sub-box +
+  neighbor skin (edm_bias.cpp:142-155), whose shape under LAMMPS is
+  exactly such a 3-D brick (domain->sublo/subhi, fix_edm.cpp:100-104).
+  Equal bricks keep every device's grid the SAME static shape, which is
+  what makes the decomposition expressible as one SPMD program.
 
-* Local grids live in LOCAL coordinates (slab start = 0): the per-device
-  global offset is ``axis_index * slab_w``, applied to positions in-graph.
-  The system boundary seen by each device is the global box length centered
-  on its slab, so the GaussGrid ``remap`` (nearest-image across the system
-  boundary, gaussian_grid.h:504-541) automatically brings any gathered
-  hill to the image nearest this device's grid — periodic wraparound
-  neighbor exchange (edm_bias.cpp:764-781) with no explicit topology.
+* Local grids live in LOCAL coordinates (brick start = 0 along every
+  sharded dim): the per-device global offset is ``i_d * w_d`` per dim,
+  applied to positions in-graph (``i_d`` decoded row-major from
+  ``axis_index``).  The system boundary seen by each device is the global
+  box length centered on its brick, so the GaussGrid ``remap``
+  (nearest-image across the system boundary, gaussian_grid.h:504-541)
+  automatically brings any gathered hill to the image nearest this
+  device's grid — periodic wraparound neighbor exchange
+  (edm_bias.cpp:764-781) with no explicit topology.
 
 * Hill exchange is an ``all_gather`` of accepted (position, height) pairs
   — per-device rank-compacted to ``hill_capacity`` rows, the bounded
@@ -111,32 +117,79 @@ class SpatialSetup(NamedTuple):
     # non-periodic: the static boundary is the GLOBAL box (shifted so
     # box_low0 -> 0) and every boundary-relative computation shifts by the
     # per-device boundary_offset (McGovern-De Pablo terms included)
+    # --- N-D brick decomposition (None => legacy slab along dim 0) ---
+    parts: Optional[tuple] = None  # per-dim device counts (p0, ..., pD-1),
+    # prod = n_dev; dims with p_d > 1 are sharded (the reference's LAMMPS
+    # 3-D domain decomposition arrives as per-rank sublo/subhi bricks,
+    # fix_edm.cpp:100-104 -> edm_bias.cpp:98-222)
+    widths: Optional[tuple] = None  # per-dim brick widths L_d / p_d
+    lows: Optional[tuple] = None  # global box_low per dim
+    nonper: Optional[tuple] = None  # per-dim: sharded AND globally
+    # non-periodic (engages boundary_offset on that dim)
+    skins: Optional[tuple] = None  # per-dim skin (0 on unsharded dims)
+
+
+def _brick_geometry(setup: SpatialSetup):
+    """(parts, widths, lows, nonper) with legacy slab setups normalized
+    (pre-brick SpatialSetup pickles / positional constructions)."""
+    if setup.parts is not None:
+        return setup.parts, setup.widths, setup.lows, setup.nonper
+    D = setup.params.cfg.dim
+    glo = setup.params.cfg.box_low
+    return (
+        (setup.n_dev,) + (1,) * (D - 1),
+        (setup.slab_w,)
+        + tuple(
+            setup.params.cfg.box_high[d] - setup.params.cfg.box_low[d]
+            for d in range(1, D)
+        ),
+        (setup.box_low0,) + tuple(glo[d] for d in range(1, D)),
+        (setup.nonperiodic0,) + (False,) * (D - 1),
+    )
+
+
+def _dev_strides(parts):
+    """Row-major flat-index strides (dim 0 slowest): device d's brick
+    multi-index is i_k = (d // stride_k) % parts[k]."""
+    D = len(parts)
+    strides = [1] * D
+    for d in range(D - 2, -1, -1):
+        strides[d] = strides[d + 1] * parts[d + 1]
+    return tuple(strides)
 
 
 def spatial_subdivide(
     cfg: EDMConfig,
     temperature: float,
     boltzmann_constant: float,
-    n_dev: int,
-    skin: float,
+    n_dev,
+    skin,
     dtype=jnp.float32,
     buffer_size: int = B.BIAS_BUFFER_SIZE,
     target=None,
     initial_bias=None,
     periodic=None,
 ):
-    """Equal-slab decomposition of the CV range along dim 0.
+    """Equal-brick decomposition of the CV range over a device grid.
+
+    ``n_dev``: an int shards dim 0 into that many equal slabs (the 1-D
+    decomposition); a tuple ``(p0, ..., pD-1)`` decomposes the CV range
+    into an N-D grid of equal bricks — the shape MPI domain decomposition
+    actually takes under LAMMPS (3-D per-rank sublo/subhi bricks,
+    fix_edm.cpp:100-104 -> edm_bias.cpp:98-222).  Dims with ``p_d == 1``
+    stay unsharded (full range, global coordinates).  ``skin``: a float
+    (applied to every sharded dim) or a per-dim sequence.
 
     ``periodic``: per-dim GLOBAL boundary periodicity (default all True —
     the host's b_periodic argument, fix_edm.cpp:100-104).  A non-periodic
-    dim 0 engages the boundary_offset machinery: McGovern-De Pablo
+    sharded dim engages the boundary_offset machinery: McGovern-De Pablo
     boundary-corrected zero-force hills against the global box, evaluated
     per device via local->global shifts inside one SPMD program.
 
     Returns (SpatialSetup, per-device BiasState template).  Mirrors
-    EDMBias::subdivide for each rank with ``sublo = d*slab_w``,
-    ``subhi = (d+1)*slab_w`` in a coordinate frame where the slab starts at
-    0 — every device gets the identical static grid.
+    EDMBias::subdivide for each rank with ``sublo = i_d*w_d``,
+    ``subhi = (i_d+1)*w_d`` per sharded dim, in a coordinate frame where
+    the brick starts at 0 — every device gets the identical static grid.
 
     ``target`` / ``initial_bias``: GLOBAL-coordinate grids (loaded from
     ``cfg.target_filename`` / ``cfg.initial_bias_filename`` when not given
@@ -156,50 +209,74 @@ def spatial_subdivide(
         initial_bias = read_grid_file(
             cfg.initial_bias_filename, dim=cfg.dim, interpolate=True, dtype=dtype
         )
-    lo0, hi0 = cfg.box_low[0], cfg.box_high[0]
-    L = hi0 - lo0
-    slab_w = L / n_dev
-    mid = slab_w / 2.0
+    D = cfg.dim
+    if isinstance(n_dev, (int, np.integer)):
+        parts = (int(n_dev),) + (1,) * (D - 1)
+    else:
+        parts = tuple(int(p) for p in n_dev)
+        if len(parts) < D:
+            parts = parts + (1,) * (D - len(parts))
+        if len(parts) != D or any(p < 1 for p in parts):
+            raise ValueError(f"parts {parts} incompatible with dim {D}")
+    n_total = int(np.prod(parts))
+    if np.isscalar(skin):
+        skins_in = [float(skin)] * D
+    else:
+        skins_in = [float(s) for s in skin]
+    sharded = [p > 1 for p in parts]
+    lows = tuple(float(lo) for lo in cfg.box_low)
+    lens = tuple(
+        float(cfg.box_high[d] - cfg.box_low[d]) for d in range(D)
+    )
+    widths = tuple(lens[d] / parts[d] for d in range(D))
     # reference normalization (edm_bias.cpp:173-180): per-system density.
     # The reference divides and resets to 1 only on an exact-zero quotient
     # (a double underflow guard, edm_bias.cpp:178-179) — NOT a >=1 clamp:
     # for 0 < hill_density < n_dev the per-replica density stays fractional
     # and acceptance probabilities shrink accordingly.
     if cfg.hill_density > 0:
-        hd = cfg.hill_density / n_dev
+        hd = cfg.hill_density / n_total
         cfg = dataclasses.replace(
             cfg,
             hill_density=hd if hd != 0 else 1.0,
-            hill_prefactor=cfg.hill_prefactor / n_dev,
+            hill_prefactor=cfg.hill_prefactor / n_total,
         )
-    D = cfg.dim
     if periodic is None:
         periodic = [True] * D
     periodic = [bool(p) for p in periodic]
-    per0 = periodic[0]
-    if per0:
-        # local-coordinate cfg: dim-0 box is the global length centered on
-        # the slab so remap()'s nearest-image wrap targets this device's grid
-        cfg_loc = dataclasses.replace(
-            cfg,
-            box_low=(mid - L / 2.0,) + tuple(cfg.box_low[1:]),
-            box_high=(mid + L / 2.0,) + tuple(cfg.box_high[1:]),
-        )
-    else:
-        # non-periodic sharded dim: the STATIC boundary is the global box
-        # shifted so box_low0 -> 0; per-device boundary_offset
-        # (= axis_index * slab_w) converts local -> shifted-global in every
-        # boundary-relative computation (edm_bias.cpp:134-155 per rank,
-        # lib/gaussian_grid.h:378-435 — the McGDP tables depend only on the
-        # global boundary + sigma, so one table serves every device)
-        cfg_loc = dataclasses.replace(
-            cfg,
-            box_low=(0.0,) + tuple(cfg.box_low[1:]),
-            box_high=(L,) + tuple(cfg.box_high[1:]),
-        )
-    sublo = [0.0] + [cfg.box_low[d] for d in range(1, D)]
-    subhi = [slab_w] + [cfg.box_high[d] for d in range(1, D)]
-    skins = [skin] + [0.0] * (D - 1)
+    # local-coordinate cfg per dim:
+    #  - unsharded: the global box unchanged
+    #  - sharded periodic: the global length centered on the brick so
+    #    remap()'s nearest-image wrap targets this device's grid
+    #  - sharded non-periodic: the STATIC boundary is the global box
+    #    shifted so box_low_d -> 0; per-device boundary_offset
+    #    (= i_d * w_d) converts local -> shifted-global in every
+    #    boundary-relative computation (edm_bias.cpp:134-155 per rank,
+    #    lib/gaussian_grid.h:378-435 — the McGDP tables depend only on the
+    #    global boundary + sigma, so one table serves every device)
+    box_lo_loc, box_hi_loc = [], []
+    sublo, subhi, skins = [], [], []
+    for d in range(D):
+        if not sharded[d]:
+            box_lo_loc.append(cfg.box_low[d])
+            box_hi_loc.append(cfg.box_high[d])
+            sublo.append(cfg.box_low[d])
+            subhi.append(cfg.box_high[d])
+            skins.append(0.0)
+        else:
+            mid = widths[d] / 2.0
+            if periodic[d]:
+                box_lo_loc.append(mid - lens[d] / 2.0)
+                box_hi_loc.append(mid + lens[d] / 2.0)
+            else:
+                box_lo_loc.append(0.0)
+                box_hi_loc.append(lens[d])
+            sublo.append(0.0)
+            subhi.append(widths[d])
+            skins.append(skins_in[d])
+    cfg_loc = dataclasses.replace(
+        cfg, box_low=tuple(box_lo_loc), box_high=tuple(box_hi_loc)
+    )
     params, state = B.subdivide(
         cfg_loc,
         temperature,
@@ -212,18 +289,20 @@ def spatial_subdivide(
         skins,
         dtype=dtype,
         buffer_size=buffer_size,
-        n_replicas=n_dev,
+        n_replicas=n_total,
     )
-    if per0:
+    for d in range(D):
+        if not (sharded[d] and periodic[d]):
+            continue
         # sanity: hills must have a unique nearest image w.r.t. each local
         # grid (non-periodic boundaries never wrap, so no constraint there)
-        support = max(
-            4.0 * np.sqrt(2.0) * s for s in cfg.bias_sigma[:1]
-        )  # sqrt(2*GAUSS_SUPPORT)*sigma*sqrt(2)
-        if slab_w + 2 * skin + 2 * support >= L:
+        support = 4.0 * np.sqrt(2.0) * cfg.bias_sigma[d]
+        # sqrt(2*GAUSS_SUPPORT)*sigma*sqrt(2)
+        if widths[d] + 2 * skins[d] + 2 * support >= lens[d]:
             raise ValueError(
-                "slabs too wide for unique nearest-image hill delivery: "
-                f"slab {slab_w} + 2*skin {skin} + 2*support {support} >= L {L}"
+                f"dim {d} bricks too wide for unique nearest-image hill "
+                f"delivery: width {widths[d]} + 2*skin {skins[d]} + "
+                f"2*support {support} >= L {lens[d]}"
             )
 
     if target is not None:
@@ -237,38 +316,74 @@ def spatial_subdivide(
             expected_target=jnp.asarray(target.expected_bias(), dtype),
         )
 
+    strides = _dev_strides(parts)
     initial_stack = None
     if initial_bias is not None:
         from ..grid import grid_points
 
         pts = grid_points(state.bias.grid.spec, dtype)  # local coordinates
         vals, ders = [], []
-        for d in range(n_dev):
-            ptsd = pts.at[..., 0].add(lo0 + d * slab_w)
+        for dev in range(n_total):
+            ptsd = pts
+            for d in range(D):
+                if sharded[d]:
+                    i_d = (dev // strides[d]) % parts[d]
+                    ptsd = ptsd.at[..., d].add(lows[d] + i_d * widths[d])
             v, dv = initial_bias.get_value_deriv(ptsd)
             vals.append(v)
             ders.append(dv)
         initial_stack = (jnp.stack(vals), jnp.stack(ders))
 
+    nonper = tuple(sharded[d] and not periodic[d] for d in range(D))
     setup = SpatialSetup(
-        params, n_dev, float(slab_w), float(skin), float(lo0),
-        initial_stack=initial_stack, nonperiodic0=not per0,
+        params, n_total, float(widths[0]), float(skins[0] or skins_in[0]),
+        float(lows[0]),
+        initial_stack=initial_stack, nonperiodic0=nonper[0],
+        parts=parts, widths=widths, lows=lows, nonper=nonper,
+        skins=tuple(skins),
     )
     return setup, state
+
+
+def _bin_devices(setup: SpatialSetup, x: np.ndarray) -> np.ndarray:
+    """Host-side brick assignment: flat device index per atom (row-major
+    multi-index over the sharded dims; periodic dims wrap, non-periodic
+    clip — the atom then belongs to the edge brick)."""
+    parts, widths, lows, nonper = _brick_geometry(setup)
+    strides = _dev_strides(parts)
+    dev_of = np.zeros(x.shape[0], int)
+    for d in range(len(parts)):
+        if parts[d] == 1:
+            continue
+        L = widths[d] * parts[d]
+        if nonper[d]:
+            wrapped = np.clip(x[:, d], lows[d], lows[d] + L)
+        else:
+            wrapped = lows[d] + np.mod(x[:, d] - lows[d], L)
+        i_d = np.clip((wrapped - lows[d]) // widths[d], 0, parts[d] - 1)
+        dev_of += i_d.astype(int) * strides[d]
+    return dev_of
+
+
+def _park_empty(setup: SpatialSetup, xs: np.ndarray, dev: int, start: int):
+    """Park invalid slots at the brick center along every sharded dim (so
+    masked lookups stay in range); other columns keep their zeros."""
+    parts, widths, lows, _ = _brick_geometry(setup)
+    strides = _dev_strides(parts)
+    for d in range(len(parts)):
+        if parts[d] == 1:
+            continue
+        i_d = (dev // strides[d]) % parts[d]
+        xs[dev, start:, d] = lows[d] + i_d * widths[d] + widths[d] / 2
 
 
 def init_spatial_state(
     setup: SpatialSetup, state_template: B.BiasState, x0, key, capacity: int, mesh
 ) -> SpatialCoordState:
-    """Bin atoms into slabs (host-side) and build the sharded state."""
-    n_dev, slab_w, lo0 = setup.n_dev, setup.slab_w, setup.box_low0
-    L = slab_w * n_dev
+    """Bin atoms into bricks (host-side) and build the sharded state."""
+    n_dev = setup.n_dev
     x0 = np.asarray(x0, float)
-    if setup.nonperiodic0:
-        wrapped0 = np.clip(x0[:, 0], lo0, lo0 + L)  # no wrap across the box
-    else:
-        wrapped0 = lo0 + np.mod(x0[:, 0] - lo0, L)
-    dev_of = np.clip((wrapped0 - lo0) // slab_w, 0, n_dev - 1).astype(int)
+    dev_of = _bin_devices(setup, x0)
     dtype = state_template.bias.dtype
     xs = np.zeros((n_dev, capacity, x0.shape[1]))
     valid = np.zeros((n_dev, capacity), bool)
@@ -277,7 +392,7 @@ def init_spatial_state(
         if len(mine) > capacity:
             raise ValueError(f"device {d}: {len(mine)} atoms > capacity {capacity}")
         xs[d, : len(mine)] = x0[mine]
-        xs[d, len(mine):, 0] = lo0 + d * slab_w + slab_w / 2  # park empties mid-slab
+        _park_empty(setup, xs, d, len(mine))
         valid[d, : len(mine)] = True
     keys = jax.random.split(key, n_dev)
     bias_stacked = jax.tree.map(
@@ -311,20 +426,15 @@ def init_spatial_state(
 
 def rebin_spatial_atoms(setup: SpatialSetup, state: SpatialCoordState, mesh):
     """Host-side atom migration (the LAMMPS domain re-decomposition analog):
-    gather all atoms, re-bin by current slab, redistribute.  Call at
+    gather all atoms, re-bin by current brick, redistribute.  Call at
     write-segment boundaries; between calls atoms may drift up to ``skin``."""
     xs = np.asarray(state.x).reshape(-1, state.x.shape[-1])
     vs = np.asarray(state.v).reshape(-1, state.v.shape[-1])
     fs = np.asarray(state.f).reshape(-1, state.f.shape[-1])
     ok = np.asarray(state.valid).reshape(-1)
-    n_dev, slab_w, lo0 = setup.n_dev, setup.slab_w, setup.box_low0
-    L = slab_w * n_dev
+    n_dev = setup.n_dev
     cap = state.x.shape[1]
-    if setup.nonperiodic0:
-        wrapped0 = np.clip(xs[:, 0], lo0, lo0 + L)
-    else:
-        wrapped0 = lo0 + np.mod(xs[:, 0] - lo0, L)
-    dev_of = np.clip((wrapped0 - lo0) // slab_w, 0, n_dev - 1).astype(int)
+    dev_of = _bin_devices(setup, xs)
     nx = np.array(np.asarray(state.x))
     nv = np.zeros_like(np.asarray(state.v))
     nf = np.zeros_like(np.asarray(state.f))
@@ -334,7 +444,7 @@ def rebin_spatial_atoms(setup: SpatialSetup, state: SpatialCoordState, mesh):
         if len(mine) > cap:
             raise ValueError(f"device {d}: {len(mine)} atoms > capacity {cap}")
         nx[d, : len(mine)] = xs[mine]
-        nx[d, len(mine):, 0] = lo0 + d * slab_w + slab_w / 2
+        _park_empty(setup, nx, d, len(mine))
         nv[d, : len(mine)] = vs[mine]
         nf[d, : len(mine)] = fs[mine]
         nvalid[d, : len(mine)] = True
@@ -349,79 +459,129 @@ def rebin_spatial_atoms(setup: SpatialSetup, state: SpatialCoordState, mesh):
     )
 
 
-def gather_spatial_grid(setup: SpatialSetup, state: SpatialCoordState):
-    """Stitch the global dim-0 bias grid from per-device owned regions
-    (each device contributes its slab's rows; the skin rows are the halo).
-    Returns (global_xs (n,), values (n, ...rest)) in GLOBAL coordinates.
-    The reference's multi_write instead elects the max-rank owner per point
-    (grid.h:616-647) — same rows, different tie-winner inside the skin."""
+def _global_spec(setup: SpatialSetup, spec):
+    """GLOBAL GridSpec assembled from the per-device local spec: sharded
+    dims recover the full CV range; unsharded dims pass through (deflating
+    the local spec's non-periodic max inflation for GridSpec.create)."""
+    from ..grid import GridSpec
+
+    parts, widths, lows, nonper = _brick_geometry(setup)
+    D = spec.dim
+    lo, hi, per = [], [], []
+    for d in range(D):
+        if parts[d] > 1:
+            lo.append(lows[d])
+            hi.append(lows[d] + widths[d] * parts[d])
+            per.append(not nonper[d])
+        else:
+            lo.append(spec.min[d])
+            hi.append(spec.max[d] - (0 if spec.periodic[d] else spec.dx[d]))
+            per.append(bool(spec.periodic[d]))
+    return GridSpec.create(lo, hi, list(spec.dx), per)
+
+
+def _stitch_arrays(setup: SpatialSetup, spec, arrs):
+    """Assemble global arrays from per-device owned brick regions.
+
+    ``arrs``: list of (n_dev, *local_grid_shape, *trailing) numpy arrays
+    (trailing axes, e.g. the derivs' component axis, are carried through).
+    Each device contributes the rows whose local coordinate along every
+    sharded dim lies in [0, w_d) — plus the global-max point on the last
+    brick of a non-periodic dim.  The reference's multi_write instead
+    elects the max-rank owner per point (grid.h:616-647) — same rows,
+    different tie-winner inside the skin.  Returns (global arrays, gspec).
+    """
+    parts, widths, lows, nonper = _brick_geometry(setup)
+    strides = _dev_strides(parts)
+    gspec = _global_spec(setup, spec)
+    D = spec.dim
+    n_dev = int(np.prod(parts))
+    # per-dim ownership in INTEGER index space (float comparisons on
+    # f32-derived spec values put grid nodes on knife edges): the local
+    # index of local coordinate 0 is k0 = round(-min/dx); each device owns
+    # the next round(w/dx) points — plus the global-max point on the last
+    # brick of a non-periodic dim
+    loc_idx = [[None, None] for _ in range(D)]  # [not-last, last]
+    n_own = [0] * D
+    for d in range(D):
+        n_d = int(spec.nbins[d])
+        if parts[d] == 1:
+            idx = np.arange(n_d)
+            loc_idx[d] = [idx, idx]
+            continue
+        k0 = int(round(-float(spec.min[d]) / float(spec.dx[d])))
+        n_own[d] = int(round(widths[d] / float(spec.dx[d])))
+        idx = np.arange(k0, k0 + n_own[d])
+        idx_last = (
+            np.arange(k0, k0 + n_own[d] + 1) if nonper[d] else idx
+        )
+        if k0 < 0 or idx_last[-1] >= n_d:
+            raise ValueError(
+                f"dim {d}: owned rows [{k0}, {idx_last[-1]}] exceed the "
+                f"local grid ({n_d} points)"
+            )
+        loc_idx[d] = [idx, idx_last]
+    outs = [
+        np.zeros(tuple(int(b) for b in gspec.nbins) + a.shape[1 + D:], a.dtype)
+        for a in arrs
+    ]
+    for dev in range(n_dev):
+        lsel, gsel = [], []
+        for d in range(D):
+            i_d = (dev // strides[d]) % parts[d]
+            li = loc_idx[d][1 if i_d == parts[d] - 1 else 0]
+            lsel.append(li)
+            if parts[d] == 1:
+                gsel.append(li)
+            else:
+                gsel.append(li - li[0] + i_d * n_own[d])
+        for a, out in zip(arrs, outs):
+            out[np.ix_(*gsel)] = a[dev][np.ix_(*lsel)]
+    return outs, gspec
+
+
+def stitch_spatial_grid(setup: SpatialSetup, state: SpatialCoordState):
+    """Assemble the GLOBAL bias grid from the per-device brick shards.
+    Returns a Grid in global coordinates (values + derivs)."""
+    from ..grid import Grid
+
     spec = state.bias.bias.spec.grid
-    vals = np.asarray(state.bias.bias.grid.values)  # (n_dev, n0, ...)
-    n_dev, slab_w, lo0 = setup.n_dev, setup.slab_w, setup.box_low0
-    dx = spec.dx[0]
-    xs_local = spec.min[0] + dx * np.arange(spec.nbins[0])
-    own = (xs_local >= 0.0) & (xs_local < slab_w)
-    # a non-periodic global dim has one extra point AT the global max,
-    # owned by the last device
-    own_last = (
-        (xs_local >= 0.0) & (xs_local <= slab_w)
-        if setup.nonperiodic0
-        else own
+    vals = np.asarray(state.bias.bias.grid.values)
+    ders = state.bias.bias.grid.derivs
+    arrs = [vals] + ([] if ders is None else [np.asarray(ders)])
+    outs, gspec = _stitch_arrays(setup, spec, arrs)
+    return Grid(
+        values=jnp.asarray(outs[0]),
+        derivs=None if ders is None else jnp.asarray(outs[1]),
+        spec=gspec,
+        interpolate=bool(state.bias.bias.grid.interpolate),
     )
-    rows = []
-    xg = []
-    for d in range(n_dev):
-        o = own_last if d == n_dev - 1 else own
-        rows.append(vals[d][o])
-        xg.append(xs_local[o] + lo0 + d * slab_w)
-    return np.concatenate(xg), np.concatenate(rows)
+
+
+def gather_spatial_grid(setup: SpatialSetup, state: SpatialCoordState):
+    """Stitch the global bias grid and return (global dim-0 coordinates,
+    values) — the 1-D-decomposition view (rows ordered by dim 0).  For
+    N-D brick decompositions prefer ``stitch_spatial_grid`` (full Grid)."""
+    g = stitch_spatial_grid(setup, state)
+    xg = g.spec.min[0] + g.spec.dx[0] * np.arange(int(g.spec.nbins[0]))
+    return xg, np.asarray(g.values)
 
 
 def write_spatial_grid(setup: SpatialSetup, state: SpatialCoordState, filename: str):
-    """Stitch the global bias grid from the owned slab rows and write it as
+    """Stitch the global bias grid from the owned brick rows and write it as
     one Plumed-1 file — the reference's multi_write (grid.h:509-674) without
     the per-point Allreduce+Barrier election (gather-to-host + one write,
     SURVEY §3.5)."""
-    from ..grid import Grid, GridSpec
+    from ..grid import Grid
     from ..utils.gridio import write_grid
 
     spec = state.bias.bias.spec.grid
     vals = np.asarray(state.bias.bias.grid.values)
     ders = np.asarray(state.bias.bias.grid.derivs)
-    n_dev, slab_w, lo0 = setup.n_dev, setup.slab_w, setup.box_low0
-    dx = spec.dx[0]
-    xs_local = spec.min[0] + dx * np.arange(spec.nbins[0])
-    own = (xs_local >= 0.0) & (xs_local < slab_w)
-    own_last = (
-        (xs_local >= 0.0) & (xs_local <= slab_w)
-        if setup.nonperiodic0
-        else own
-    )
-
-    def _rows(a):
-        return np.concatenate(
-            [a[d][own_last if d == n_dev - 1 else own] for d in range(n_dev)],
-            axis=0,
-        )
-
-    gvals = _rows(vals)
-    gders = _rows(ders)
-    D = spec.dim
-    gspec = GridSpec.create(
-        [lo0] + [spec.min[d] for d in range(1, D)],
-        [lo0 + slab_w * n_dev]
-        + [
-            spec.max[d] - (0 if spec.periodic[d] else spec.dx[d])
-            for d in range(1, D)
-        ],
-        list(spec.dx),
-        [not setup.nonperiodic0] + [spec.periodic[d] for d in range(1, D)],
-    )
-    import jax.numpy as _jnp
-
+    (gvals, gders), gspec = _stitch_arrays(setup, spec, [vals, ders])
     g = Grid(
-        values=_jnp.asarray(gvals),
-        derivs=_jnp.asarray(gders),
+        values=jnp.asarray(gvals),
+        derivs=jnp.asarray(gders),
         spec=gspec,
         interpolate=True,
     )
@@ -460,9 +620,10 @@ def make_spatial_coord_step(
     params = setup.params
     D = params.cfg.dim
     axis = DATA_AXIS
-    slab_w = setup.slab_w
-    lo0 = setup.box_low0
-    nonper0 = setup.nonperiodic0
+    parts, widths, lows, nonper = _brick_geometry(setup)
+    strides = _dev_strides(parts)
+    sharded_dims = [d for d in range(D) if parts[d] > 1]
+    any_nonper = any(nonper)
     n_dev = mesh.devices.size
     # cfg.hill_density is already the per-replica (divided) density
     # (spatial_subdivide <-> edm_bias.cpp:173-180): the expected GLOBAL
@@ -477,22 +638,32 @@ def make_spatial_coord_step(
             )
         )
 
+    def brick_index(d):
+        # this device's brick coordinate along dim d (row-major flat index)
+        idx = jax.lax.axis_index(axis)
+        return (idx // strides[d]) % parts[d]
+
     def to_local(x):
-        # global -> this device's local coordinates (dim 0 shifted); remap
-        # inside the bias grid handles the periodic nearest-image choice
-        off = lo0 + jax.lax.axis_index(axis).astype(x.dtype) * slab_w
-        return x.at[..., 0].add(-off)
+        # global -> this device's local coordinates (sharded dims shifted);
+        # remap inside the bias grid handles the periodic nearest-image
+        # choice per dim
+        for d in sharded_dims:
+            off = lows[d] + brick_index(d).astype(x.dtype) * widths[d]
+            x = x.at[..., d].add(-off)
+        return x
 
     def boundary_off(dtype):
         # local -> shifted-global conversion for the non-periodic sharded
-        # dim (the static boundary is the global box with box_low0 at 0)
-        if not nonper0:
+        # dims (the static boundary is the global box with box_low_d at 0)
+        if not any_nonper:
             return None
-        return (
-            jnp.zeros((D,), dtype)
-            .at[0]
-            .set(jax.lax.axis_index(axis).astype(dtype) * slab_w)
-        )
+        off = jnp.zeros((D,), dtype)
+        for d in range(D):
+            if nonper[d]:
+                off = off.at[d].set(
+                    brick_index(d).astype(dtype) * widths[d]
+                )
+        return off
 
     def step_local(state):
         # shard_map view: strip the leading device axis

@@ -484,3 +484,183 @@ def test_write_spatial_grid_roundtrip(tmp_path):
         np.asarray(back.values), np.asarray(g.values), atol=1e-8
     )
     assert back.spec.nbins[0] == 1000  # 8 slabs x 125 owned rows
+
+
+# ---------------------------------------------------------------------------
+# N-D brick decomposition (parts=(p0, ..., pD-1)) — the shape the reference's
+# MPI domain decomposition actually takes under LAMMPS (3-D per-rank
+# sublo/subhi bricks, fix_edm.cpp:100-104 -> edm_bias.cpp:98-222)
+# ---------------------------------------------------------------------------
+
+EDM2D = (
+    "tempering 0\nhill_prefactor 1.0\nbias_per_step 100\ndimension 2\n"
+    "box_low 0 0\nbox_high 10 10\nbias_spacing 0.05 0.05\n"
+    "bias_sigma 0.2 0.2\n"
+)
+
+
+def _brick_atoms(parts, widths):
+    """Two frozen atoms per brick: one near the low corner, one near the
+    high corner (deposits spill into neighbor bricks / across the wrap)."""
+    xs = []
+    for i in range(parts[0]):
+        for j in range(parts[1]):
+            lo = (i * widths[0], j * widths[1])
+            xs.append([lo[0] + 0.4, lo[1] + 0.3, 0.0])
+            xs.append([lo[0] + widths[0] - 0.3, lo[1] + widths[1] - 0.2, 0.0])
+    return np.asarray(xs)
+
+
+def _run_brick(cfg, parts, periodic, n_rounds=2):
+    setup, template = spatial_subdivide(
+        cfg, 1.0, 1.0, parts, SKIN, dtype=jnp.float64, periodic=periodic
+    )
+    mesh = make_mesh(int(np.prod(parts)))
+    x0 = _brick_atoms(parts, setup.widths)
+    lp = LangevinParams(dt=1e-8, friction=0.0, kT=0.0)
+    state = init_spatial_state(
+        setup, template, x0, jax.random.PRNGKey(0), capacity=4, mesh=mesh
+    )
+    step = make_spatial_coord_step(setup, lp, hill_stride=1, mesh=mesh)
+    for _ in range(n_rounds):
+        state, e = step(state)
+    assert bool(jnp.isfinite(e))
+    return setup, state, x0
+
+
+@pytest.mark.slow
+def test_spatial_brick_2d_matches_serial():
+    """(2, 4) brick decomposition of a periodic 2-D CV grid: per-brick
+    local coordinates in BOTH dims, hills exchanged once and replayed
+    everywhere, stitched global grid equal to a serial windowed run."""
+    from edm_tpu import GaussGrid
+    from edm_tpu.parallel.spatial import stitch_spatial_grid
+
+    cfg = parse_edm_text(EDM2D)
+    setup, state, x0 = _run_brick(cfg, (2, 4), [True, True])
+    assert setup.parts == (2, 4) and setup.widths == (5.0, 2.5)
+
+    # serial oracle via direct windowed deposits (same circular-support
+    # path the sharded local grids use; see test_spatial_2d_coordinate_grid)
+    g_f = GaussGrid.create(
+        [0, 0], [10, 10], [0.05, 0.05], [True, True], [0.2, 0.2],
+        dtype=jnp.float64,
+    )
+    h = np.full((x0.shape[0],), cfg.hill_prefactor / 2.0)
+    for _ in range(2):
+        g_f, _ = g_f.add_value(
+            jnp.asarray(x0[:, :2], jnp.float64), jnp.asarray(h, jnp.float64)
+        )
+
+    g = stitch_spatial_grid(setup, state)
+    assert tuple(int(b) for b in g.spec.nbins) == (200, 200)
+    np.testing.assert_allclose(
+        np.asarray(g.values), np.asarray(g_f.grid.values), atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(g.derivs), np.asarray(g_f.grid.derivs), atol=1e-9
+    )
+    # every brick deposited; cum_bias identical on all devices; volume sums
+    # per-device BOUNDARY volumes (the global box area, as each rank's
+    # boundary spans the system box — edm_bias.cpp:206-220)
+    per_dev = np.asarray(state.bias.bias.grid.values).sum(axis=(1, 2))
+    assert (per_dev > 0).all()
+    cums = np.asarray(state.bias.cum_bias)
+    assert np.allclose(cums, cums[0])
+    assert abs(setup.params.total_volume - 8 * 100.0) < 1e-9
+
+
+@pytest.mark.slow
+def test_spatial_brick_2d_nonperiodic_mcgdp():
+    """(2, 4) bricks over a fully NON-periodic 2-D box: McGovern-De Pablo
+    boundary-corrected zero-force hills near the global walls and corners,
+    evaluated per device through per-dim boundary_offsets, stitch to the
+    serial engine's windowed deposits."""
+    from edm_tpu.parallel.spatial import stitch_spatial_grid
+
+    cfg = parse_edm_text(EDM2D)
+    setup, state, x0 = _run_brick(cfg, (2, 4), [False, False])
+    assert setup.nonper == (True, True)
+
+    # serial full-range non-periodic oracle: the engine's GaussGrid (with
+    # the box boundary + BC tables from subdivide), deposited via the
+    # windowed path directly — B.add_hills_round would dispatch the
+    # strip-split McGDP fast path, which uses square support
+    params_f, state_f = B.subdivide(
+        cfg, 1.0, 1.0, [0, 0], [10, 10], [0, 0], [10, 10], [False, False],
+        [0, 0], dtype=jnp.float64,
+    )
+    g_f = state_f.bias
+    h = np.full((x0.shape[0],), cfg.hill_prefactor / 2.0)
+    for _ in range(2):
+        g_f, _ = g_f.add_value(
+            jnp.asarray(x0[:, :2], jnp.float64), jnp.asarray(h, jnp.float64)
+        )
+
+    g = stitch_spatial_grid(setup, state)
+    assert tuple(int(b) for b in g.spec.nbins) == (201, 201)
+    np.testing.assert_allclose(
+        np.asarray(g.values), np.asarray(g_f.grid.values), atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(g.derivs), np.asarray(g_f.grid.derivs), atol=1e-9
+    )
+    # the corner hill (0.4, 0.3) is inside both walls' correction zones:
+    # boundary-reflected mass makes the corner value exceed the plain
+    # Gaussian tail there, and the wall derivative is exactly zero
+    assert float(g.values[0, 0]) > 0.0
+    np.testing.assert_allclose(np.asarray(g.derivs[0, :, 0]), 0.0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(g.derivs[:, 0, 1]), 0.0, atol=1e-12)
+
+
+def test_spatial_brick_rebin_and_binning():
+    """Brick atom binning (row-major multi-index) and host-side rebin:
+    atoms drifted across a dim-1 brick face migrate to the right device."""
+    import dataclasses as dc
+
+    cfg = parse_edm_text(EDM2D)
+    setup, template = spatial_subdivide(
+        cfg, 1.0, 1.0, (2, 4), SKIN, dtype=jnp.float64
+    )
+    mesh = make_mesh(8)
+    x0 = _brick_atoms((2, 4), setup.widths)
+    state = init_spatial_state(
+        setup, template, x0, jax.random.PRNGKey(0), capacity=4, mesh=mesh
+    )
+    # row-major: device = i0 * 4 + i1; atom (0.4, 0.3) -> dev 0,
+    # (5.4, 7.8) would be dev 1*4+3 = 7
+    assert bool(state.valid[0].sum() == 2)
+    # drift one device-0 atom across the dim-1 face into brick (0, 1) and
+    # one across the periodic dim-0 wrap into brick (1, 0)
+    xs = np.array(np.asarray(state.x))
+    xs[0, 0] = [0.4, 2.6, 0.0]   # -> dev 1
+    xs[0, 1] = [-0.2, 0.3, 0.0]  # wraps to 9.8 -> dev 4 (i0=1, i1=0)
+    state = dc.replace(state, x=jnp.asarray(xs, state.x.dtype))
+    state = rebin_spatial_atoms(setup, state, mesh)
+    valid = np.asarray(state.valid)
+    assert valid[0].sum() == 0
+    assert valid[1].sum() == 3
+    assert valid[4].sum() == 3
+    # parked slots sit at their brick centers in the sharded dims
+    parked = np.asarray(state.x)[0][~valid[0]]
+    assert np.allclose(parked[:, 0], 2.5) and np.allclose(parked[:, 1], 1.25)
+
+
+def test_spatial_brick_write_roundtrip(tmp_path):
+    """Stitched global 2-D brick grid writes as one Plumed-1 file and
+    reads back (multi_write analog, grid.h:509-674)."""
+    from edm_tpu.parallel.spatial import stitch_spatial_grid, write_spatial_grid
+    from edm_tpu.utils.gridio import read_grid_file
+
+    cfg = parse_edm_text(EDM2D)
+    setup, state, _ = _run_brick(cfg, (2, 4), [True, True], n_rounds=1)
+    out = tmp_path / "GBIAS2D"
+    g = write_spatial_grid(setup, state, str(out))
+    back = read_grid_file(str(out), dim=2, interpolate=True, dtype=jnp.float64)
+    np.testing.assert_allclose(
+        np.asarray(back.values), np.asarray(g.values), atol=1e-8
+    )
+    st = stitch_spatial_grid(setup, state)
+    np.testing.assert_allclose(
+        np.asarray(st.values), np.asarray(g.values), atol=0
+    )
