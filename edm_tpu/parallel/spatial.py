@@ -597,6 +597,7 @@ def make_spatial_coord_step(
     external_force: Optional[Callable] = None,
     collect_records: bool = False,
     hill_capacity: Optional[int] = None,
+    overlap_capacity: Optional[int] = None,
 ):
     """Jit-compiled sharded step.  ``external_force(x_global) -> (e, f)``.
 
@@ -616,7 +617,27 @@ def make_spatial_coord_step(
     replayed round scales with the capacity, not slot_capacity x n_dev.
     Default: ~8x the expected global acceptance count rounded to 512;
     overflow (a dropped tail) is flagged in ``state.hills_truncated``.
-    Pass 0 to exchange the full candidate batch."""
+    Pass 0 to exchange the full candidate batch.
+
+    ``overlap_capacity``: per-device OVERLAP FILTER on the gathered batch —
+    the reference delivers hills only to ranks whose grids overlap the
+    hill within Gaussian support (infer_neighbors, edm_bias.cpp:708-789;
+    non-overlapping ranks never see the hill, so it can neither deposit
+    nor occupy their overflow buffers).  Here each device drops gathered
+    hills whose nearest-image local position lies beyond the local grid
+    plus one support window along any sharded dim (deposits there are
+    exactly zero), then rank-compacts the keepers so the per-device replay
+    cost scales with the hills that can REACH this device (~1/n_dev of the
+    round for uniform hills) instead of the global round.  Deposit order
+    is the global order restricted to the kept subset — dropped hills
+    contribute exact zeros, so the local grid agrees to reduction roundoff
+    (the dense deposit matvec regroups when the batch length changes; 1-2
+    ULP), and under bias_per_step capping the local prefix is unchanged
+    (dropped hills have s == 0) while the overflow buffer stops collecting
+    unreachable hills, matching the reference.  None (default):
+    auto-enable when the expected covered fraction makes the compacted
+    batch at least 2x smaller; 0: disable; int: forced capacity.  Overflow
+    of the capacity sets the sticky ``state.hills_truncated`` flag."""
     params = setup.params
     D = params.cfg.dim
     axis = DATA_AXIS
@@ -637,6 +658,36 @@ def make_spatial_coord_step(
                 512, int(-(-8.0 * max(n_dev * density, 64.0) // 512)) * 512
             )
         )
+
+    def _round_shapes(cap):
+        """Static per-round batch shapes for a given slot capacity:
+        (compact-exchange?, gathered-round size, overlap-filter capacity,
+        replayed-batch size).  The filter capacity is ~4x the expected
+        covered share of the round (the fraction of uniform hill positions
+        within one support window + skin of this device's grid), rounded
+        to 256; auto mode only engages when that at least halves the
+        replayed batch."""
+        compact = 0 < hill_capacity < cap * n_dev and density >= 0
+        n_round = hill_capacity if compact else cap * n_dev
+        if overlap_capacity == 0 or not sharded_dims:
+            return compact, n_round, 0, n_round
+        if overlap_capacity:
+            k2 = min(int(overlap_capacity), n_round)
+            return compact, n_round, k2, k2
+        cov = 1.0
+        sk = setup.skins or ((setup.skin,) + (0.0,) * (D - 1))
+        for d in sharded_dims:
+            sup = 4.0 * np.sqrt(2.0) * params.cfg.bias_sigma[d] + (
+                params.cfg.bias_dx[d]
+            )
+            cov *= min(
+                1.0,
+                (widths[d] + 2 * sk[d] + 2 * sup) / (widths[d] * parts[d]),
+            )
+        k2 = max(256, int(-(-4.0 * cov * n_round // 256)) * 256)
+        if k2 * 2 > n_round:
+            return compact, n_round, 0, n_round
+        return compact, n_round, k2, k2
 
     def brick_index(d):
         # this device's brick coordinate along dim d (row-major flat index)
@@ -693,8 +744,7 @@ def make_spatial_coord_step(
         do_hills = (s.step % hill_stride) == 0
         cap = x.shape[0]
         Hc = hill_capacity
-        compact = 0 < Hc < cap * n_dev and density >= 0
-        n_log = Hc if compact else cap * n_dev
+        compact, n_round, K2, n_log = _round_shapes(cap)
 
         def with_hills(bs):
             hkey = jax.random.fold_in(key, 17)
@@ -751,6 +801,34 @@ def make_spatial_coord_step(
                 h_g = jax.lax.all_gather(h, axis, tiled=True)
                 act_g = jax.lax.all_gather(accept, axis, tiled=True)
                 trunc = jnp.zeros((), bool)
+            if K2:
+                # per-device overlap filter (infer_neighbors per hill,
+                # edm_bias.cpp:708-789): keep hills whose nearest-image
+                # LOCAL position lies within one support window of the
+                # local grid along every sharded dim — anything farther
+                # deposits exactly zero here.  Rank compaction preserves
+                # the global deposit order on the kept subset.
+                gg = bs.bias
+                gs = gg.spec
+                rmapped = gg.remap(to_local(pos_g))
+                keep = act_g
+                for d in sharded_dims:
+                    hw = (gs.minisize[d] + 1) * gs.grid.dx[d]
+                    keep = keep & (
+                        (rmapped[..., d] >= gs.grid.min[d] - hw)
+                        & (rmapped[..., d] <= gs.grid.max[d] + hw)
+                    )
+                kranks = jnp.cumsum(keep.astype(jnp.int32)) - 1
+                ktgt = jnp.where(keep & (kranks < K2), kranks, K2)
+                kcnt = jnp.sum(keep.astype(jnp.int32))
+                pos_g = jnp.zeros((K2, D), x.dtype).at[ktgt].set(
+                    pos_g, mode="drop"
+                )
+                h_g = jnp.zeros((K2,), x.dtype).at[ktgt].set(
+                    h_g, mode="drop"
+                )
+                act_g = jnp.arange(K2) < kcnt
+                trunc = trunc | (kcnt > K2)
             pos_g_loc = to_local(pos_g)
             new_bs, rec = B.add_hills_round(
                 params,
@@ -801,12 +879,7 @@ def make_spatial_coord_step(
         specs = jax.tree.map(lambda _: P(DATA_AXIS), state)
         if collect_records:
             # probe the log pytree structure (no axis ops) for out_specs
-            cap_ = state.x.shape[1]
-            n_log = (
-                hill_capacity
-                if (0 < hill_capacity < cap_ * n_dev and density >= 0)
-                else cap_ * n_dev
-            )
+            _, _, _, n_log = _round_shapes(state.x.shape[1])
             bias_one = jax.tree.map(
                 lambda a: jax.ShapeDtypeStruct(a.shape[1:], a.dtype), state.bias
             )

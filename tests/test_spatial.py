@@ -664,3 +664,78 @@ def test_spatial_brick_write_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(st.values), np.asarray(g.values), atol=0
     )
+
+
+def test_spatial_overlap_filter_matches_full():
+    """Per-device overlap filter (the reference's infer_neighbors delivery,
+    edm_bias.cpp:708-789): dropping gathered hills that cannot reach this
+    device's grid leaves every local grid unchanged to reduction roundoff
+    (their deposits are exact zeros; the dense deposit matvec regroups when
+    the batch length changes) and the capped prefix ignores s == 0 hills."""
+    cfg, setup, mesh, x0, lp, state0, _ = _setup(kT=0.5)
+    step_full = make_spatial_coord_step(
+        setup, lp, hill_stride=1, mesh=mesh, overlap_capacity=0
+    )
+    # slab + skin + support covers ~3.8 of L=10: 16 rows hold every
+    # reachable hill of the 16-hill round
+    step_filt = make_spatial_coord_step(
+        setup, lp, hill_stride=1, mesh=mesh, overlap_capacity=16
+    )
+    sf = sg = state0
+    for _ in range(3):
+        sf, _ = step_filt(sf)
+        sg, _ = step_full(sg)
+    np.testing.assert_allclose(
+        np.asarray(sf.bias.bias.grid.values),
+        np.asarray(sg.bias.bias.grid.values), rtol=1e-14, atol=1e-13,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sf.x), np.asarray(sg.x), rtol=0, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(sf.bias.cum_bias), np.asarray(sg.bias.cum_bias),
+        rtol=1e-13, atol=0,
+    )
+    assert not np.asarray(sf.hills_truncated).any()
+    # a too-small capacity truncates reachable hills and sets the sticky flag
+    step_tiny = make_spatial_coord_step(
+        setup, lp, hill_stride=1, mesh=mesh, overlap_capacity=2
+    )
+    st, _ = step_tiny(state0)
+    assert np.asarray(st.hills_truncated).any()
+
+
+@pytest.mark.slow
+def test_spatial_brick_overlap_filter_matches_full():
+    """Overlap filter under the (2, 4) brick decomposition: per-dim window
+    tests along BOTH sharded dims, grids equal to the unfiltered run to
+    reduction roundoff."""
+    cfg = parse_edm_text(EDM2D)
+    setup, template = spatial_subdivide(
+        cfg, 1.0, 1.0, (2, 4), SKIN, dtype=jnp.float64
+    )
+    mesh = make_mesh(8)
+    x0 = _brick_atoms((2, 4), setup.widths)
+    lp = LangevinParams(dt=1e-8, friction=0.0, kT=0.0)
+    state0 = init_spatial_state(
+        setup, template, x0, jax.random.PRNGKey(0), capacity=4, mesh=mesh
+    )
+    step_full = make_spatial_coord_step(
+        setup, lp, hill_stride=1, mesh=mesh, overlap_capacity=0
+    )
+    step_filt = make_spatial_coord_step(
+        setup, lp, hill_stride=1, mesh=mesh, overlap_capacity=16
+    )
+    sf = sg = state0
+    for _ in range(2):
+        sf, _ = step_filt(sf)
+        sg, _ = step_full(sg)
+    np.testing.assert_allclose(
+        np.asarray(sf.bias.bias.grid.values),
+        np.asarray(sg.bias.bias.grid.values), rtol=1e-14, atol=1e-13,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sf.bias.bias.grid.derivs),
+        np.asarray(sg.bias.bias.grid.derivs), rtol=1e-14, atol=1e-13,
+    )
+    assert not np.asarray(sf.hills_truncated).any()
