@@ -898,7 +898,12 @@ def make_spatial_coord_step(
         )
         return fn(state)
 
-    return jax.jit(one_step)
+    stepped = jax.jit(one_step)
+    # introspection for tests/benches: the static per-round batch shapes
+    # (compact-exchange?, gathered size, overlap-filter capacity, replay
+    # size) this step would use at a given slot capacity
+    stepped.round_shapes = _round_shapes
+    return stepped
 
 
 def log_spatial_round(hills_logs, logs, round_counter: int, cum_before: float):

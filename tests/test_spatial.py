@@ -739,3 +739,73 @@ def test_spatial_brick_overlap_filter_matches_full():
         np.asarray(sg.bias.bias.grid.derivs), rtol=1e-14, atol=1e-13,
     )
     assert not np.asarray(sf.hills_truncated).any()
+
+
+_AUTO16 = r"""
+import os
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=16"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import numpy as np, jax.numpy as jnp
+from edm_tpu.models.langevin import LangevinParams
+from edm_tpu.parallel import make_mesh
+from edm_tpu.parallel.spatial import (
+    spatial_subdivide, init_spatial_state, make_spatial_coord_step,
+    gather_spatial_grid,
+)
+from edm_tpu.utils.config import parse_edm_text
+
+EDM = ("tempering 0\nhill_prefactor 1.0\nbias_per_step 100\ndimension 1\n"
+       "box_low 0\nbox_high 32\nbias_spacing 0.02\nbias_sigma 0.05\n")
+cfg = parse_edm_text(EDM)
+setup, template = spatial_subdivide(cfg, 1.0, 1.0, 16, 0.3, dtype=jnp.float64)
+mesh = make_mesh(16)
+rng = np.random.default_rng(7)
+x0 = np.zeros((64, 3))
+x0[:, 0] = np.concatenate(
+    [np.sort(rng.uniform(2.0 * d + 0.1, 2.0 * (d + 1) - 0.1, 4))
+     for d in range(16)])
+lp = LangevinParams(dt=1e-4, friction=1.0, kT=0.5)
+st0 = init_spatial_state(setup, template, x0, jax.random.PRNGKey(1),
+                         capacity=32, mesh=mesh)
+step_auto = make_spatial_coord_step(setup, lp, hill_stride=1, mesh=mesh)
+step_off = make_spatial_coord_step(setup, lp, hill_stride=1, mesh=mesh,
+                                   overlap_capacity=0)
+# the auto filter must ENGAGE at 16 devices (covered fraction ~0.1 of the
+# 512-slot gathered round -> 256-slot replay)
+compact, n_round, k2, n_log = step_auto.round_shapes(32)
+assert k2 == 256 and n_log == 256 and n_round == 512, (compact, n_round, k2, n_log)
+sa = so = st0
+for _ in range(2):
+    sa, _ = step_auto(sa)
+    so, _ = step_off(so)
+ga = gather_spatial_grid(setup, sa)[1]
+go = gather_spatial_grid(setup, so)[1]
+np.testing.assert_allclose(ga, go, rtol=1e-12, atol=1e-13)
+np.testing.assert_allclose(np.asarray(sa.x), np.asarray(so.x), atol=1e-12)
+assert not np.asarray(sa.hills_truncated).any()
+assert abs(go).max() > 0.1
+print("AUTO16-OK")
+"""
+
+
+@pytest.mark.slow
+def test_spatial_overlap_auto_engages_at_16_devices():
+    """Auto mode is sized for production meshes: the covered fraction is at
+    least 1/n_dev, so the 4x-safety capacity only halves the replay batch
+    past 8 devices.  On a 16-device mesh (subprocess; conftest pins this
+    process to 8) the default step must engage the filter and still match
+    the unfiltered exchange."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "-c", _AUTO16],
+        capture_output=True, text=True, timeout=800,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0 and "AUTO16-OK" in proc.stdout, (
+        proc.stdout + proc.stderr
+    )
