@@ -43,6 +43,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 CELLS_PER_PROGRAM = 8
 
+# The Hermite fetch's 151-row select-accumulate chain (x 8 unrolled cells,
+# x 5 live vectors with the energy epilogue) needs ~29 MB of scheduler
+# stack on v5e — over Mosaic's 16 MB default scoped-vmem budget but well
+# inside the 128 MB core VMEM (the kernels' block buffers are <1 MB).
+# Measured: energy=True Hermite compiles OOM at the default, runs at 64 MB.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
 # Half stencil: the 13 lexicographically-positive cell offsets.  Every
 # unordered cross-cell pair (c, c+d) appears exactly once (for ncells >= 3
 # per dim, d1 != d2 (mod ncells) for distinct half offsets); the reverse
@@ -652,6 +659,7 @@ def cell_forces_pallas_newton_rescredit(
         kernel,
         grid=(n_prog,),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
         in_specs=[
             row_spec(3 * cap),
             row_spec(3 * ncand),
@@ -711,6 +719,7 @@ def cell_forces_pallas_newton_planar(
         kernel,
         grid=(n_prog,),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
         in_specs=[
             row_spec(3 * cap),
             row_spec(3 * ncand),
@@ -777,6 +786,7 @@ def cell_forces_pallas(
         kernel,
         grid=(n_prog,),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
         in_specs=[
             row_spec(3 * cap),
             row_spec(3 * ncand),
