@@ -151,6 +151,7 @@ def bench_coord2d(n_atoms=10000, steps=300, hill_stride=10, dtype=None,
 
     from edm_tpu import bias as B
     from edm_tpu.models import coord_edm
+    from edm_tpu.models.driver import strided_segment
     from edm_tpu.models.langevin import LangevinParams
     from edm_tpu.utils.config import parse_edm_text
 
@@ -168,9 +169,17 @@ def bench_coord2d(n_atoms=10000, steps=300, hill_stride=10, dtype=None,
     rng = np.random.default_rng(77)
     x0 = jnp.asarray(rng.uniform(0, 10, (n_atoms, 2)), dtype)
     lp = LangevinParams(dt=0.002, friction=1.0, kT=1.0)
-    step = coord_edm.make_step(params, lp, hill_stride=hill_stride)
+    # static hill-phase steps + strided runner: a per-step lax.cond would
+    # copy the carried 48 MB corner table + bias grids through its
+    # pass-through branch on every non-hill step (driver.strided_segment)
+    step_h = coord_edm.make_step(
+        params, lp, hill_stride=hill_stride, static_do_hills=True
+    )
+    step_p = coord_edm.make_step(
+        params, lp, hill_stride=hill_stride, static_do_hills=False
+    )
     state = coord_edm.init_state(params, bias_state, x0, jax.random.PRNGKey(0), lp)
-    seg = jax.jit(lambda s: jax.lax.scan(step, s, None, length=steps, unroll=2))
+    seg = jax.jit(strided_segment(step_h, step_p, hill_stride, steps))
     state, _ = seg(state)
     _ = float(jnp.sum(state.x))
     dt_s = None

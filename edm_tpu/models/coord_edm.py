@@ -52,6 +52,7 @@ def make_step(
     group_mask=None,
     collect_records: bool = False,
     hill_capacity: Optional[int] = None,
+    static_do_hills: Optional[bool] = None,
 ):
     """Build the jitted single-step transition.
 
@@ -73,6 +74,19 @@ def make_step(
     drops the tail of a round — is flagged in ``state.hills_truncated``.
     Pass 0 to disable compaction (replicates the full-batch round
     bit-for-bit including its records shape).
+
+    ``static_do_hills``: resolve the hill-round branch at TRACE time
+    instead of with a per-step ``lax.cond``.  The cond's pass-through
+    branch must materialize a fresh copy of every carried array it
+    returns unchanged — at bench scale that is the 48 MB fused corner
+    table plus ~13 MB of bias grids copied on every NON-hill step
+    (measured ~0.15 ms/step of the 0.33 ms 2-D step).  A host that knows
+    the stride phase statically builds one step with
+    ``static_do_hills=True`` (always runs the round; the caller must keep
+    ``state.step % hill_stride == 0`` alignment) and one with ``False``
+    (never runs it; the acceptance uniforms are still drawn so the key
+    stream is bitwise identical to the dynamic step), and drives them
+    with ``driver.strided_segment``.  ``None`` keeps the dynamic cond.
     """
     D = params.cfg.dim
     gmask = None if group_mask is None else jnp.asarray(group_mask, bool)
@@ -168,9 +182,14 @@ def make_step(
             )
             return bs, state.ptab, log, jnp.zeros((), bool)
 
-        bias_state, ptab, log, trunc = jax.lax.cond(
-            do_hills, with_hills, without_hills, state.bias
-        )
+        if static_do_hills is None:
+            bias_state, ptab, log, trunc = jax.lax.cond(
+                do_hills, with_hills, without_hills, state.bias
+            )
+        elif static_do_hills:
+            bias_state, ptab, log, trunc = with_hills(state.bias)
+        else:
+            bias_state, ptab, log, trunc = without_hills(state.bias)
         # states built before the flag existed carry None — keep the pytree
         # structure stable under lax.scan (init_state always sets it)
         new_trunc = (

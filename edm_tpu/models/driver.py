@@ -16,6 +16,54 @@ import jax
 from ..utils.gridio import write_grid, write_lammps_table
 
 
+def strided_segment(step_hill, step_plain, hill_stride: int, length: int,
+                    unroll: int = 2):
+    """Build a compiled-segment runner from STATIC hill-phase step variants.
+
+    A dynamic per-step ``lax.cond`` on the hill stride makes XLA copy every
+    carried array the pass-through branch returns unchanged (fused lookup
+    tables, bias grids — tens of MB per step at bench scale).  Hosts that
+    expose ``static_do_hills`` build ``step_hill`` (always deposits) and
+    ``step_plain`` (never does, same RNG stream) and this runner scans them
+    in the stride pattern instead: per round one hill step then
+    ``hill_stride - 1`` plain steps, under an outer scan over rounds.
+    Pass-through state then flows through plain scan carries, which XLA
+    aliases in place.
+
+    Requires ``state.step % hill_stride == 0`` on entry (hosts start at 0)
+    and ``length % hill_stride == 0``.  The returned ``seg(state)`` gives
+    ``(final_state, ys)`` with ``ys`` per-step in order, bitwise identical
+    to stepping the dynamic-cond step one jit call at a time (the flat
+    ``lax.scan`` of the cond step itself drifts ~1 ulp from that under
+    XLA loop-body fusion; see tests/test_strided.py).
+    """
+    rounds, rem = divmod(length, hill_stride)
+    if rem:
+        raise ValueError(
+            f"segment length {length} not a multiple of hill_stride {hill_stride}"
+        )
+    tm = jax.tree_util.tree_map
+
+    def seg(state):
+        import jax.numpy as jnp
+
+        def round_body(st, _):
+            st, y0 = step_hill(st, None)
+            if hill_stride > 1:
+                st, yn = jax.lax.scan(
+                    step_plain, st, None, length=hill_stride - 1, unroll=unroll
+                )
+                ys = tm(lambda a, b: jnp.concatenate([a[None], b], 0), y0, yn)
+            else:
+                ys = tm(lambda a: a[None], y0)
+            return st, ys
+
+        st, ys = jax.lax.scan(round_body, state, None, length=rounds)
+        return st, tm(lambda a: a.reshape((length,) + a.shape[2:]), ys)
+
+    return seg
+
+
 def run_simulation(
     step_fn: Callable,
     state,
@@ -28,6 +76,8 @@ def run_simulation(
     box_high=None,
     progress: Optional[Callable] = None,
     hills_log=None,
+    step_hill: Optional[Callable] = None,
+    hill_stride: Optional[int] = None,
 ):
     """Drive ``step_fn`` (a (state, None) -> (state, energy) transition from
     any host model) for ``n_steps``, writing outputs every ``write_stride``
@@ -42,6 +92,11 @@ def run_simulation(
     HillRoundLog records are replayed host-side into the reference-format
     HILLS event stream (output_hill, edm_bias.cpp:586-599) after the segment
     completes — one device fetch per write stride, zero per-step traffic.
+
+    ``step_hill`` + ``hill_stride``: static hill-phase fast path.  When
+    given (and ``write_stride`` divides into whole hill rounds), segments
+    run via ``strided_segment(step_hill, step_fn, ...)`` — ``step_fn`` must
+    then be the ``static_do_hills=False`` variant; see ``strided_segment``.
     """
 
     def bias_of(s):
@@ -55,9 +110,12 @@ def run_simulation(
             )
         return dataclasses.replace(s, bias=new_bias)
 
-    seg = jax.jit(
-        lambda s: jax.lax.scan(step_fn, s, None, length=write_stride, unroll=2)
-    )
+    if step_hill is not None and hill_stride and write_stride % hill_stride == 0:
+        seg = jax.jit(strided_segment(step_hill, step_fn, hill_stride, write_stride))
+    else:
+        seg = jax.jit(
+            lambda s: jax.lax.scan(step_fn, s, None, length=write_stride, unroll=2)
+        )
 
     if hills_log is not None:
         # the hills counter/step column counts hill rounds (edm_bias.cpp:582)
