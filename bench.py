@@ -92,18 +92,37 @@ def bench_pairwise(n_atoms=10000, block=500, steps=300, hill_stride=10, dtype=No
     )
     spec = CellSpec.create(box, cutoff=3.05, n_atoms=n_atoms)
     if min(spec.ncells) >= 3:
+        from edm_tpu.models.driver import pattern_segment
+
         state = init_cell_state(spec, core, with_ids=False)
         # deg 16 x 4 panels / chunk 81 tuned on-chip (see docs/algorithms.md
         # for the accuracy budget; profile in git history); the exact-interp
         # path runs the same Newton kernel with the in-kernel HermiteTable
         # fetch (ops/cellforce_pallas._hermite_val_der).
         # energy_stride=10: the bias energy (observability only, like LAMMPS
-        # thermo) is evaluated on hill-round steps; forces are identical
-        step = make_cell_step(
-            params, lp, lj, spec, hill_stride=hill_stride,
-            rebuild_stride=10, hill_capacity=2048,
-            cell_chunk=81, use_pallas=True,
-            energy_stride=10,
+        # thermo) is evaluated on hill-round steps; forces are identical.
+        # Static stride-cycle phases (hills+energy at 0, plain 1..8,
+        # rebuild at 9) driven by pattern_segment: the dynamic conds'
+        # pass-through branches would copy the slot planes every step
+        kw = dict(
+            hill_stride=hill_stride, rebuild_stride=10, hill_capacity=2048,
+            cell_chunk=81, use_pallas=True, energy_stride=10,
+        )
+        assert hill_stride == 10 and steps % 10 == 0
+        step0 = make_cell_step(
+            params, lp, lj, spec, static_do_hills=True,
+            static_do_energy=True, static_do_rebuild=False, **kw
+        )
+        stepm = make_cell_step(
+            params, lp, lj, spec, static_do_hills=False,
+            static_do_energy=False, static_do_rebuild=False, **kw
+        )
+        step9 = make_cell_step(
+            params, lp, lj, spec, static_do_hills=False,
+            static_do_energy=False, static_do_rebuild=True, **kw
+        )
+        seg = jax.jit(
+            pattern_segment([(step0, 1), (stepm, 8), (step9, 1)], steps)
         )
     else:
         state = core
@@ -111,9 +130,10 @@ def bench_pairwise(n_atoms=10000, block=500, steps=300, hill_stride=10, dtype=No
             params, lp, lj, box, hill_stride=hill_stride,
             hill_capacity=2048, block_size=block,
         )
-
-    # unroll=2 merges adjacent steps' op schedules (~3% on the relay)
-    seg = jax.jit(lambda s: jax.lax.scan(step, s, None, length=steps, unroll=2))
+        # unroll=2 merges adjacent steps' op schedules (~3% on the relay)
+        seg = jax.jit(
+            lambda s: jax.lax.scan(step, s, None, length=steps, unroll=2)
+        )
     # warmup/compile; NB on this stack block_until_ready does not reliably
     # block through the remote relay — force a host scalar fetch to time
     def atoms_of(s):

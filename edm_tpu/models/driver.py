@@ -16,52 +16,71 @@ import jax
 from ..utils.gridio import write_grid, write_lammps_table
 
 
-def strided_segment(step_hill, step_plain, hill_stride: int, length: int,
-                    unroll: int = 2):
-    """Build a compiled-segment runner from STATIC hill-phase step variants.
+def pattern_segment(pattern, length: int, unroll: int = 2):
+    """Build a compiled-segment runner from STATIC stride-phase step variants.
 
-    A dynamic per-step ``lax.cond`` on the hill stride makes XLA copy every
-    carried array the pass-through branch returns unchanged (fused lookup
-    tables, bias grids — tens of MB per step at bench scale).  Hosts that
-    expose ``static_do_hills`` build ``step_hill`` (always deposits) and
-    ``step_plain`` (never does, same RNG stream) and this runner scans them
-    in the stride pattern instead: per round one hill step then
-    ``hill_stride - 1`` plain steps, under an outer scan over rounds.
-    Pass-through state then flows through plain scan carries, which XLA
-    aliases in place.
+    A dynamic per-step ``lax.cond`` on a stride (hills, rebuild, energy)
+    makes XLA copy every carried array the pass-through branch returns
+    unchanged (fused lookup tables, bias grids, slot planes — tens of MB
+    per step at bench scale).  Hosts that expose ``static_do_*`` knobs
+    build one step variant per phase of the stride cycle, and this runner
+    scans them in the cycle pattern instead: ``pattern`` is a list of
+    ``(step_fn, count)`` entries traced in order inside an outer scan over
+    rounds.  Pass-through state then flows through plain scan carries,
+    which XLA aliases in place.
 
-    Requires ``state.step % hill_stride == 0`` on entry (hosts start at 0)
-    and ``length % hill_stride == 0``.  The returned ``seg(state)`` gives
-    ``(final_state, ys)`` with ``ys`` per-step in order, bitwise identical
-    to stepping the dynamic-cond step one jit call at a time (the flat
-    ``lax.scan`` of the cond step itself drifts ~1 ulp from that under
-    XLA loop-body fusion; see tests/test_strided.py).
+    Requires the state's step counter to sit at the start of the cycle on
+    entry (hosts start at 0) and ``length`` to be a whole number of
+    cycles.  The returned ``seg(state)`` gives ``(final_state, ys)`` with
+    ``ys`` per-step in order.  Float leaves agree with the dynamic-cond
+    step to XLA loop-fusion rounding (~1 ulp — the flat ``lax.scan`` of
+    the cond step differs from per-jit-call stepping by the same class);
+    integer/bool leaves (keys, counters, flags) are exact.  See
+    tests/test_strided.py.
     """
-    rounds, rem = divmod(length, hill_stride)
+    round_len = sum(c for _, c in pattern)
+    rounds, rem = divmod(length, round_len)
     if rem:
         raise ValueError(
-            f"segment length {length} not a multiple of hill_stride {hill_stride}"
+            f"segment length {length} not a multiple of the {round_len}-step cycle"
         )
+    if any(c < 1 for _, c in pattern):
+        raise ValueError("pattern counts must be >= 1")
     tm = jax.tree_util.tree_map
 
     def seg(state):
         import jax.numpy as jnp
 
         def round_body(st, _):
-            st, y0 = step_hill(st, None)
-            if hill_stride > 1:
-                st, yn = jax.lax.scan(
-                    step_plain, st, None, length=hill_stride - 1, unroll=unroll
-                )
-                ys = tm(lambda a, b: jnp.concatenate([a[None], b], 0), y0, yn)
-            else:
-                ys = tm(lambda a: a[None], y0)
-            return st, ys
+            ys = []
+            for fn, cnt in pattern:
+                if cnt == 1:
+                    st, y = fn(st, None)
+                    ys.append(tm(lambda a: a[None], y))
+                else:
+                    st, y = jax.lax.scan(
+                        fn, st, None, length=cnt, unroll=unroll
+                    )
+                    ys.append(y)
+            if len(ys) == 1:
+                return st, ys[0]
+            return st, tm(lambda *a: jnp.concatenate(a, 0), *ys)
 
         st, ys = jax.lax.scan(round_body, state, None, length=rounds)
         return st, tm(lambda a: a.reshape((length,) + a.shape[2:]), ys)
 
     return seg
+
+
+def strided_segment(step_hill, step_plain, hill_stride: int, length: int,
+                    unroll: int = 2):
+    """``pattern_segment`` for the common hills-only cycle: one
+    ``static_do_hills=True`` step then ``hill_stride - 1`` plain steps."""
+    if hill_stride > 1:
+        pattern = [(step_hill, 1), (step_plain, hill_stride - 1)]
+    else:
+        pattern = [(step_hill, 1)]
+    return pattern_segment(pattern, length, unroll=unroll)
 
 
 def run_simulation(

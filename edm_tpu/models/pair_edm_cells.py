@@ -304,6 +304,9 @@ def newton_lattice_force(
 
     if do_energy is None:
         fx, fy, fz, fnx, fny, fnz, eb = call(True)
+    elif isinstance(do_energy, bool):
+        # static stride phase (pattern_segment): branch resolved at trace time
+        fx, fy, fz, fnx, fny, fnz, eb = call(do_energy)
     else:
         # energy_stride > 1: the value Clenshaw chain (~40% of the kernel
         # FLOPs) runs only on energy steps; forces are identical either way
@@ -424,6 +427,9 @@ def make_cell_step(
     brick_ndev: Tuple[int, ...] = (1, 1),
     shard_floor: bool = True,
     row_cap_local: Optional[int] = None,
+    static_do_hills: Optional[bool] = None,
+    static_do_energy: Optional[bool] = None,
+    static_do_rebuild: Optional[bool] = None,
 ):
     """``slab_axis``/``slab_ndev``: run the force pass slab-sharded under
     ``shard_map`` over that mesh axis — each device evaluates the Newton
@@ -465,7 +471,20 @@ def make_cell_step(
     values the replicated draw produces — and ALL cells hosts (sharded
     or not) use this noise stream, so sharded trajectories match the
     single-device host bit-for-bit at any kT.  Deposition and rebuilds
-    remain the replicated floor (see docs/perf.md)."""
+    remain the replicated floor (see docs/perf.md).
+
+    ``static_do_hills`` / ``static_do_energy`` / ``static_do_rebuild``:
+    resolve the corresponding stride branch at TRACE time — the dynamic
+    ``lax.cond``'s pass-through branch copies every carried array it
+    returns unchanged (the rebuild cond's ``keep`` alone passes ~25 MB of
+    slot planes per step at 100k atoms).  Hosts with aligned strides build
+    one step per phase of the stride cycle (e.g. hills+energy at index 0,
+    plain at 1..8, rebuild at 9 for strides of 10) and drive them with
+    ``driver.pattern_segment``; the caller owns phase alignment (a
+    ``static_do_hills=True`` step deposits regardless of ``state.step``).
+    ``None`` keeps the dynamic cond; the static and dynamic paths match
+    to XLA loop-fusion rounding (integer leaves exactly — same RNG
+    stream; see tests/test_strided.py)."""
     if brick_axes is not None and slab_axis is not None:
         raise ValueError("brick_axes and slab_axis are mutually exclusive")
     if brick_axes is not None and not use_pallas:
@@ -942,6 +961,8 @@ def make_cell_step(
 
             if do_energy is None:
                 fx, fy, fz, eb = call(True)
+            elif isinstance(do_energy, bool):
+                fx, fy, fz, eb = call(do_energy)
             else:
                 fx, fy, fz, eb = jax.lax.cond(
                     do_energy, lambda _: call(True), lambda _: call(False), None
@@ -1569,9 +1590,12 @@ def make_cell_step(
 
     def step(state: CellPairState, _) -> Tuple[CellPairState, jax.Array]:
         core = state.core
-        do_energy = (
-            None if energy_stride == 1 else (core.step % energy_stride) == 0
-        )
+        if energy_stride == 1:
+            do_energy = None
+        elif static_do_energy is not None:
+            do_energy = bool(static_do_energy)
+        else:
+            do_energy = (core.step % energy_stride) == 0
         from ..ops.hashrng import seeds_from_key
 
         key, sub_noise = jax.random.split(core.key)
@@ -1581,7 +1605,10 @@ def make_cell_step(
         vs = (
             vh + jnp.asarray(0.5 * lp.dt / lp.mass, xs.dtype) * fs
         ) * state.mc[..., None]
-        if do_energy is not None:
+        if isinstance(do_energy, bool):
+            # static phase: carry resolved at trace time
+            e_bias = e_bias if do_energy else core.energy
+        elif do_energy is not None:
             # carry the last computed bias energy through skipped steps
             e_bias = jnp.where(do_energy, e_bias, core.energy)
 
@@ -1628,9 +1655,19 @@ def make_cell_step(
             )
             return bs, key, last_calls, jnp.zeros((), bool), core.cheb, log
 
-        bias_state, key, last_calls, truncated, cheb, log = jax.lax.cond(
-            do_hills, with_hills, without_hills, (core.bias, key, core.last_calls)
-        )
+        if static_do_hills is None:
+            bias_state, key, last_calls, truncated, cheb, log = jax.lax.cond(
+                do_hills, with_hills, without_hills,
+                (core.bias, key, core.last_calls),
+            )
+        elif static_do_hills:
+            bias_state, key, last_calls, truncated, cheb, log = with_hills(
+                (core.bias, key, core.last_calls)
+            )
+        else:
+            bias_state, key, last_calls, truncated, cheb, log = without_hills(
+                (core.bias, key, core.last_calls)
+            )
 
         step_no = core.step + 1
         do_rebuild = (step_no % rebuild_stride) == 0
@@ -1706,10 +1743,16 @@ def make_cell_step(
                 state.table_overflow, core.x, core.v, core.f,
             )
 
+        if static_do_rebuild is None:
+            outs = jax.lax.cond(do_rebuild, rebuild, keep, None)
+        elif static_do_rebuild:
+            outs = rebuild(None)
+        else:
+            outs = keep(None)
         (
             aid_g, nxs, nvs, nfs, mc, mn, sid, nid, ts, mnf, tnf, overflow,
             x_at, v_at, f_at,
-        ) = jax.lax.cond(do_rebuild, rebuild, keep, None)
+        ) = outs
 
         new_core = PairEDMState(
             x=x_at, v=v_at, f=f_at, key=key, bias=bias_state,

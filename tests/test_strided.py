@@ -120,6 +120,101 @@ def test_run_simulation_strided_fast_path(tmp_path):
     assert (tmp_path / "BIAS").exists()
 
 
+def test_cells_pattern_segment_matches_dynamic():
+    """Cells host: the static stride-cycle phases (hills+energy at index 0,
+    plain mid-steps, rebuild at the cycle end) driven by pattern_segment
+    reproduce the dynamic-cond step — integer leaves (keys, counters,
+    slot assignments, flags) exactly, floats to scan-fusion rounding.
+
+    Ground truth is the DYNAMIC step advanced one jit call at a time
+    (bitwise identical per step to the static variants, verified
+    leaf-by-leaf during development).  The flat ``lax.scan`` of the
+    dynamic step is NOT a usable reference: its deposit reduction
+    rounds differently (f32 ulp on grid derivs), which the spectral
+    derivative refit amplifies ~1000x into the force table (measured
+    5e-4 on forces, and at kT>0 LJ chaos takes any composition pair to
+    ~0.25 within 10 steps).  kT=0 keeps this comparison non-chaotic;
+    the acceptance uniforms are key-derived, so hill rounds still
+    exercise the full pipeline."""
+    from edm_tpu.models import pair_edm
+    from edm_tpu.models.cells import CellSpec
+    from edm_tpu.models.driver import pattern_segment
+    from edm_tpu.models.lj import LJParams
+    from edm_tpu.models.pair_edm_cells import init_cell_state, make_cell_step
+
+    cfg = parse_edm_text(
+        "tempering 0\nhill_prefactor 0.1\nbias_per_step 1.0\nhill_density 20\n"
+        "dimension 1\nbox_low 0\nbox_high 3.0\nbias_spacing 0.02\nbias_sigma 0.1\n"
+    )
+    params, bias_state = B.subdivide(
+        cfg, 1.0, 1.0, [0], [3.0], [0], [3.0], [False], [0], dtype=jnp.float32
+    )
+    side, a = 8, 1.26
+    pts = (
+        np.stack(
+            np.meshgrid(*[np.arange(side)] * 3, indexing="ij"), -1
+        ).reshape(-1, 3)
+        * a
+        + 0.5 * a
+    )
+    box = [side * a] * 3
+    lp = LangevinParams(dt=0.002, friction=1.0, kT=0.0)
+    lj = LJParams()
+    core = pair_edm.init_state(
+        bias_state, jnp.asarray(pts, jnp.float32), jax.random.PRNGKey(3),
+        pair_lookup="chebyshev",
+    )
+    spec = CellSpec.create(box, cutoff=3.0, n_atoms=len(pts))
+    state = init_cell_state(spec, core)
+
+    stride, cycles = 5, 2
+    n = stride * cycles
+    kw = dict(
+        hill_stride=stride, rebuild_stride=stride, energy_stride=stride,
+        hill_capacity=256,
+    )
+    step_d = make_cell_step(params, lp, lj, spec, **kw)
+    # cycle phases: hills+energy fire at step % 5 == 0; the rebuild at
+    # (step + 1) % 5 == 0, i.e. cycle index 4
+    step_0 = make_cell_step(
+        params, lp, lj, spec, static_do_hills=True, static_do_energy=True,
+        static_do_rebuild=False, **kw
+    )
+    step_m = make_cell_step(
+        params, lp, lj, spec, static_do_hills=False, static_do_energy=False,
+        static_do_rebuild=False, **kw
+    )
+    step_9 = make_cell_step(
+        params, lp, lj, spec, static_do_hills=False, static_do_energy=False,
+        static_do_rebuild=True, **kw
+    )
+
+    # per-jit-call ground truth with the DYNAMIC step
+    st, ys_t = state, []
+    step_j = jax.jit(step_d)
+    for _ in range(n):
+        st, y = step_j(st, None)
+        ys_t.append(y)
+    ys_t = jnp.stack(ys_t)
+
+    ss, ys = jax.jit(
+        pattern_segment([(step_0, 1), (step_m, stride - 2), (step_9, 1)], n)
+    )(state)
+
+    for a_, b_ in zip(
+        jax.tree_util.tree_leaves(st), jax.tree_util.tree_leaves(ss)
+    ):
+        a_, b_ = np.asarray(a_), np.asarray(b_)
+        if np.issubdtype(a_.dtype, np.floating):
+            np.testing.assert_allclose(a_, b_, rtol=2e-5, atol=1e-5)
+        else:
+            np.testing.assert_array_equal(a_, b_)
+    np.testing.assert_allclose(
+        np.asarray(ys_t), np.asarray(ys), rtol=2e-5, atol=1e-5
+    )
+    assert float(ss.core.bias.cum_bias) > 0  # hills actually landed
+
+
 def test_strided_segment_rejects_ragged_length():
     params, bias_state, x0, lp = _setup(1)
     step = coord_edm.make_step(params, lp, hill_stride=4)
