@@ -64,6 +64,7 @@ def make_step(
     types=None,
     type_pair: Optional[Tuple[int, int]] = None,
     collect_records: bool = False,
+    static_do_hills: Optional[bool] = None,
 ):
     """Build the jitted pairwise-EDM MD step.
 
@@ -181,9 +182,19 @@ def make_step(
             )
             return bs, key, last_calls, jnp.zeros((), bool), state.cheb, log
 
-        bias_state, key, last_calls, truncated, cheb, log = jax.lax.cond(
-            do_hills, with_hills, without_hills, (bias_state, key, state.last_calls)
-        )
+        if static_do_hills is None:
+            bias_state, key, last_calls, truncated, cheb, log = jax.lax.cond(
+                do_hills, with_hills, without_hills,
+                (bias_state, key, state.last_calls),
+            )
+        elif static_do_hills:
+            bias_state, key, last_calls, truncated, cheb, log = with_hills(
+                (bias_state, key, state.last_calls)
+            )
+        else:
+            bias_state, key, last_calls, truncated, cheb, log = without_hills(
+                (bias_state, key, state.last_calls)
+            )
 
         new_state = PairEDMState(
             x=x,

@@ -39,6 +39,7 @@ def make_step_blocked(
     axis_name: Optional[str] = None,
     cheb_deg: int = 64,
     collect_records: bool = False,
+    static_do_hills: Optional[bool] = None,
 ):
     box_arr = jnp.asarray(box)
 
@@ -245,9 +246,19 @@ def make_step_blocked(
             )
             return bs, key, last_calls, jnp.zeros((), bool), state.cheb, log
 
-        bias_state, key, last_calls, truncated, cheb, log = jax.lax.cond(
-            do_hills, with_hills, without_hills, (bias_state, key, state.last_calls)
-        )
+        if static_do_hills is None:
+            bias_state, key, last_calls, truncated, cheb, log = jax.lax.cond(
+                do_hills, with_hills, without_hills,
+                (bias_state, key, state.last_calls),
+            )
+        elif static_do_hills:
+            bias_state, key, last_calls, truncated, cheb, log = with_hills(
+                (bias_state, key, state.last_calls)
+            )
+        else:
+            bias_state, key, last_calls, truncated, cheb, log = without_hills(
+                (bias_state, key, state.last_calls)
+            )
 
         new_state = PairEDMState(
             x=x, v=v, f=f, key=key, bias=bias_state,

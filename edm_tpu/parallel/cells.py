@@ -66,6 +66,8 @@ def make_sharded_cell_step(
     m_per_row: int = 16,
     cheb_deg: int = 64,
     collect_records: bool = False,
+    static_do_hills: "Optional[bool]" = None,
+    static_do_rebuild: "Optional[bool]" = None,
 ):
     """Replicated-state sharded step: every leaf of CellPairState is
     replicated; the *work* (cell chunks) is split across the mesh and the
@@ -289,9 +291,19 @@ def make_sharded_cell_step(
             )
             return bs, last_calls, jnp.zeros((), bool), core.cheb, log
 
-        bias_state, last_calls, truncated, cheb, log = jax.lax.cond(
-            do_hills, with_hills, without_hills, (core.bias, core.last_calls)
-        )
+        if static_do_hills is None:
+            bias_state, last_calls, truncated, cheb, log = jax.lax.cond(
+                do_hills, with_hills, without_hills,
+                (core.bias, core.last_calls),
+            )
+        elif static_do_hills:
+            bias_state, last_calls, truncated, cheb, log = with_hills(
+                (core.bias, core.last_calls)
+            )
+        else:
+            bias_state, last_calls, truncated, cheb, log = without_hills(
+                (core.bias, core.last_calls)
+            )
 
         new_core = PairEDMState(
             x=x, v=v, f=f, key=key, bias=bias_state,
@@ -301,14 +313,16 @@ def make_sharded_cell_step(
         )
 
         do_rebuild = (new_core.step % rebuild_stride) == 0
-        aid, overflow = jax.lax.cond(
-            do_rebuild,
-            lambda _: (lambda t: (t.aid, state.table_overflow | t.overflow))(
-                build_table(spec, x)
-            ),
-            lambda _: (state.aid, state.table_overflow),
-            None,
-        )
+        rebuild_f = lambda _: (
+            lambda t: (t.aid, state.table_overflow | t.overflow)
+        )(build_table(spec, x))
+        keep_f = lambda _: (state.aid, state.table_overflow)
+        if static_do_rebuild is None:
+            aid, overflow = jax.lax.cond(do_rebuild, rebuild_f, keep_f, None)
+        elif static_do_rebuild:
+            aid, overflow = rebuild_f(None)
+        else:
+            aid, overflow = keep_f(None)
         new_state = ShardedCellPairState(
             core=new_core, aid=aid, table_overflow=overflow
         )

@@ -61,6 +61,7 @@ def make_sharded_coord_step(
     mesh,
     hill_capacity: Optional[int] = None,
     external_force: Optional[Callable] = None,
+    static_do_hills: Optional[bool] = None,
 ):
     """Jit-compiled sharded coordinate-EDM step (atoms data-parallel).
 
@@ -78,6 +79,12 @@ def make_sharded_coord_step(
     per-round overflow is flagged in ``state.hills_truncated``.  Pass 0 to
     gather the full candidate batch (every local atom a candidate, as in
     the reference fix).
+
+    ``static_do_hills``: trace-time hill-round branch — the dynamic cond's
+    pass-through copies the replicated bias grids every non-hill step
+    (multi-MB for bulk coordinate grids; see models.driver.
+    pattern_segment).  Callers own the stride phase; the key stream is
+    identical either way (the round key is fold_in-derived).
     """
     D = params.cfg.dim
     axis = DATA_AXIS
@@ -166,10 +173,15 @@ def make_sharded_coord_step(
                 )
             return new_bs, trunc
 
-        bias_state, trunc = jax.lax.cond(
-            do_hills, with_hills,
-            lambda bs: (bs, jnp.zeros((), bool)), state.bias,
-        )
+        without_hills = lambda bs: (bs, jnp.zeros((), bool))
+        if static_do_hills is None:
+            bias_state, trunc = jax.lax.cond(
+                do_hills, with_hills, without_hills, state.bias
+            )
+        elif static_do_hills:
+            bias_state, trunc = with_hills(state.bias)
+        else:
+            bias_state, trunc = without_hills(state.bias)
         new_trunc = (
             None
             if state.hills_truncated is None

@@ -74,12 +74,17 @@ def make_sharded_pair_step(
     hill_capacity: int = 2048,
     cheb_deg: int = 64,
     collect_records: bool = False,
+    static_do_hills: "Optional[bool]" = None,
 ):
     """Jit-compiled sharded MD step over ``mesh``; drives PairEDMState whose
     atom arrays are sharded on axis 0.
 
     ``hill_capacity`` is the *per-device* accepted-hill capacity; the global
     round handles n_dev * hill_capacity hills.
+
+    ``static_do_hills``: trace-time hill branch (no pass-through copies of
+    the replicated bias/cheb state; see models.driver.pattern_segment).
+    Callers own the stride phase.
     """
     axis = DATA_AXIS
     box_arr = jnp.asarray(box)
@@ -202,9 +207,19 @@ def make_sharded_pair_step(
             )
             return bs, last_calls, jnp.zeros((), bool), state.cheb, log
 
-        bias_state, last_calls, truncated, cheb, log = jax.lax.cond(
-            do_hills, with_hills, without_hills, (bias_state, state.last_calls)
-        )
+        if static_do_hills is None:
+            bias_state, last_calls, truncated, cheb, log = jax.lax.cond(
+                do_hills, with_hills, without_hills,
+                (bias_state, state.last_calls),
+            )
+        elif static_do_hills:
+            bias_state, last_calls, truncated, cheb, log = with_hills(
+                (bias_state, state.last_calls)
+            )
+        else:
+            bias_state, last_calls, truncated, cheb, log = without_hills(
+                (bias_state, state.last_calls)
+            )
 
         new_state = PairEDMState(
             x=x, v=v, f=f, key=key, bias=bias_state,

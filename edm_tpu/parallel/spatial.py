@@ -598,6 +598,7 @@ def make_spatial_coord_step(
     collect_records: bool = False,
     hill_capacity: Optional[int] = None,
     overlap_capacity: Optional[int] = None,
+    static_do_hills: Optional[bool] = None,
 ):
     """Jit-compiled sharded step.  ``external_force(x_global) -> (e, f)``.
 
@@ -637,7 +638,15 @@ def make_spatial_coord_step(
     unreachable hills, matching the reference.  None (default):
     auto-enable when the expected covered fraction makes the compacted
     batch at least 2x smaller; 0: disable; int: forced capacity.  Overflow
-    of the capacity sets the sticky ``state.hills_truncated`` flag."""
+    of the capacity sets the sticky ``state.hills_truncated`` flag.
+
+    ``static_do_hills``: resolve the hill-round branch at trace time (the
+    dynamic cond's pass-through branch copies the whole per-device local
+    grid + overflow buffers on every non-hill step — the largest carried
+    state in this host; see models.driver.pattern_segment).  True always
+    runs the round (callers own ``step % hill_stride == 0`` phase
+    alignment), False never does; the key stream is identical either way
+    (the round key is fold_in-derived, not split)."""
     params = setup.params
     D = params.cfg.dim
     axis = DATA_AXIS
@@ -856,9 +865,14 @@ def make_spatial_coord_step(
             )
             return bs, log, jnp.zeros((), bool)
 
-        bias_state, log, trunc = jax.lax.cond(
-            do_hills, with_hills, without_hills, s.bias
-        )
+        if static_do_hills is None:
+            bias_state, log, trunc = jax.lax.cond(
+                do_hills, with_hills, without_hills, s.bias
+            )
+        elif static_do_hills:
+            bias_state, log, trunc = with_hills(s.bias)
+        else:
+            bias_state, log, trunc = without_hills(s.bias)
         new_trunc = (
             None
             if s.hills_truncated is None

@@ -215,6 +215,59 @@ def test_cells_pattern_segment_matches_dynamic():
     assert float(ss.core.bias.cum_bias) > 0  # hills actually landed
 
 
+def test_spatial_static_do_hills_matches_dynamic():
+    """Sharded spatial host: static_do_hills phase variants reproduce the
+    dynamic-cond step on the 8-device CPU mesh (per-call jit on both sides,
+    so the comparison is composition-free)."""
+    from edm_tpu.parallel import make_mesh
+    from edm_tpu.parallel.spatial import (
+        init_spatial_state,
+        make_spatial_coord_step,
+        spatial_subdivide,
+    )
+
+    cfg = parse_edm_text(
+        "tempering 0\nhill_prefactor 1.0\nbias_per_step 100\ndimension 1\n"
+        "box_low 0\nbox_high 10\nbias_spacing 0.01\nbias_sigma 0.2\n"
+    )
+    n_dev = 8
+    setup, template = spatial_subdivide(
+        cfg, 1.0, 1.0, n_dev, 1.25, dtype=jnp.float64
+    )
+    mesh = make_mesh(n_dev)
+    xs = []
+    for d in range(n_dev):
+        xs.append([d * 1.25 + 0.3, 0.0, 0.0])
+        xs.append([d * 1.25 + 1.2, 0.0, 0.0])
+    x0 = np.asarray(xs)
+    lp = LangevinParams(dt=0.002, friction=1.0, kT=0.5)
+    state0 = init_spatial_state(
+        setup, template, x0, jax.random.PRNGKey(0), capacity=4, mesh=mesh
+    )
+    stride = 2
+    step_d = make_spatial_coord_step(setup, lp, hill_stride=stride, mesh=mesh)
+    step_h = make_spatial_coord_step(
+        setup, lp, hill_stride=stride, mesh=mesh, static_do_hills=True
+    )
+    step_p = make_spatial_coord_step(
+        setup, lp, hill_stride=stride, mesh=mesh, static_do_hills=False
+    )
+
+    sd = ss = state0
+    for i in range(4):
+        sd, _ = step_d(sd)
+        ss, _ = (step_h if i % stride == 0 else step_p)(ss)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(sd), jax.tree_util.tree_leaves(ss)
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        if np.issubdtype(a.dtype, np.floating):
+            np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-13)
+        else:
+            np.testing.assert_array_equal(a, b)
+    assert float(jnp.sum(ss.bias.cum_bias)) > 0
+
+
 def test_strided_segment_rejects_ragged_length():
     params, bias_state, x0, lp = _setup(1)
     step = coord_edm.make_step(params, lp, hill_stride=4)
