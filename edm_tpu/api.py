@@ -43,7 +43,10 @@ class EDMBias:
         dtype=jnp.float64,
         rank: int = 0,
         log_hills: bool = True,
+        exact_deposit: bool = False,
     ):
+        # exact_deposit: force the reference-exact windowed deposit even
+        # where a separable fast path exists (bias.BiasParams.exact_deposit)
         self.cfg: EDMConfig = parse_edm_file(input_filename)
         self.dim = self.cfg.dim
         self.temperature = -1.0
@@ -52,6 +55,7 @@ class EDMBias:
         self.rank = rank
         self.dtype = dtype
         self._log_hills = log_hills
+        self._exact_deposit = bool(exact_deposit)
 
         self.target: Optional[Grid] = None
         if self.cfg.target_filename:
@@ -104,6 +108,7 @@ class EDMBias:
             target=self.target,
             initial_bias=self.initial_bias,
             dtype=self.dtype,
+            exact_deposit=self._exact_deposit,
         )
         if self._log_hills:
             name = f"{self.cfg.hills_filename}_{self.rank}"

@@ -91,6 +91,11 @@ class BiasParams:
     temperature: float = dataclasses.field(metadata=dict(static=True))
     total_volume: float = dataclasses.field(metadata=dict(static=True))
     b_outofbounds: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    # Force the reference-exact windowed deposit in engine rounds even where
+    # a separable fast path exists (multi-dim grids: the MXU paths carry the
+    # square-support corner class, ~e^-8 of the hill integral — README
+    # "Parity with the reference").  For bit-level reference pins.
+    exact_deposit: bool = dataclasses.field(metadata=dict(static=True), default=False)
 
 
 def subdivide(
@@ -108,6 +113,7 @@ def subdivide(
     dtype=jnp.float32,
     buffer_size: int = BIAS_BUFFER_SIZE,
     n_replicas: int = 1,
+    exact_deposit: bool = False,
 ) -> Tuple[BiasParams, BiasState]:
     """Build the local bias grid for this domain (edm_bias.cpp:98-222).
 
@@ -173,6 +179,7 @@ def subdivide(
         temperature=float(temperature),
         total_volume=float(total_volume),
         b_outofbounds=bool(bounds_flag),
+        exact_deposit=bool(exact_deposit),
     )
     state = BiasState(
         bias=bias,
@@ -421,6 +428,7 @@ def add_hills_round(
     # 1e6-point grids under heavy hill load
     use_dense2 = (
         D in (2, 3)
+        and not params.exact_deposit
         and all(gspec1.grid.periodic)
         and all(gspec1.boundary_periodic)
         and all(w < n for w, n in zip(gspec1.window_shape, gspec1.grid.nbins))
@@ -431,6 +439,7 @@ def add_hills_round(
     # dense_tables_mcgdp, chunked over hills)
     use_dense2m = (
         D in (2, 3)
+        and not params.exact_deposit
         and any(not p for p in gspec1.boundary_periodic)
         and boundary_offset is None
         and all(w < n for w, n in zip(gspec1.window_shape, gspec1.grid.nbins))

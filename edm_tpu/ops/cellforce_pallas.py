@@ -325,12 +325,14 @@ def _kernel(
         fmag_r = 4.0 * eps * (12.0 * sr6 * sr6 - 6.0 * sr6) * inv_r2 * lj_on
 
         # spectral bias: clenshaw val+der on clamped r
-        val, der, cv_on = _cheb_val_der(
+        # der/val come back pre-masked by the table's cv_on (0/1), so the
+        # force combine needs no second mask multiply
+        val, der, _ = _cheb_val_der(
             cv_ref, cd_ref, r, ok, deg=deg, npanels=npanels,
             cv_lo=cv_lo, cv_hi=cv_hi, energy=True,
         )
 
-        f_over_r = fmag_r - der * inv_r * cv_on
+        f_over_r = fmag_r - der * inv_r
 
         fx_ref[b, :] = jnp.sum(f_over_r * dx, axis=1)
         fy_ref[b, :] = jnp.sum(f_over_r * dy, axis=1)
@@ -416,12 +418,14 @@ def _kernel_newton(
         ok_cv = _cv_type_mask(
             tc_ref, tn_ref, b, ok, cap=cap, tpair=tpair, self_block=True
         )
-        val, der, cv_on = _table_val_der(
+        # der/val come back pre-masked by the table's cv_on (0/1), so the
+        # force combine needs no second mask multiply
+        val, der, _ = _table_val_der(
             cv_ref, cd_ref, r, ok_cv, table=table, energy=energy,
             preload=preload,
         )
 
-        f_over_r = fmag_r - der * inv_r * cv_on
+        f_over_r = fmag_r - der * inv_r
         gx = f_over_r * dx
         gy = f_over_r * dy
         gz = f_over_r * dz
@@ -570,12 +574,14 @@ def _kernel_newton_rc(
         ok_cv = _cv_type_mask(
             tc_ref, tn_ref, b, ok, cap=cap, tpair=tpair, self_block=True
         )
-        val, der, cv_on = _table_val_der(
+        # der/val come back pre-masked by the table's cv_on (0/1), so the
+        # force combine needs no second mask multiply
+        val, der, _ = _table_val_der(
             cv_ref, cd_ref, r, ok_cv, table=table, energy=energy,
             preload=preload,
         )
 
-        f_over_r = fmag_r - der * inv_r * cv_on
+        f_over_r = fmag_r - der * inv_r
         gx = f_over_r * dx
         gy = f_over_r * dy
         gz = f_over_r * dz

@@ -47,6 +47,50 @@ class HillWindows(NamedTuple):
     valid: jax.Array  # (H, W) bool
 
 
+def _bc_index(xxd, bmin, span):
+    """McGDP boundary-table index (gaussian_grid.h:308): TRUNCATION of the
+    IEEE quotient (BC_TABLE_SIZE-1)*(xx-bmin)/span.
+
+    XLA rewrites the division (reciprocal multiply / fused reassociation),
+    which can land the quotient on the far side of an integer from the
+    reference's correctly-rounded C division and shift the lookup one table
+    entry.  Near-integer quotients are COMMON, not adversarial: any grid
+    whose point lattice is rationally aligned with the 65,536-entry table
+    lattice produces them on a fixed subset of points every deposit (e.g.
+    spacing 0.0197 on [0,3]: every 9th grid point).  One entry off shifts
+    the denominator ~1e-5 relative — measured as a 4e-7 per-hill bias_added
+    divergence vs the reference binary (tests/test_oracle_sweep.py,
+    captgt1d).
+
+    Worse, XLA:CPU/TPU CONTRACT multiply chains (measured: jitted
+    65535*(dx*i) single-rounds to 11565.0 where per-op IEEE gives
+    11564.999999999998), so no in-graph float expression can reproduce the
+    reference's two-step rounding reliably.  Deposit points always lie on
+    the grid lattice, so the exact fix lives in _bc_point_index_np
+    (host-side numpy per grid point, gathered by integer grid index); this
+    in-graph form remains only for lattice points shifted by a TRACED
+    boundary_offset (the spatially-sharded hosts), where the reference's
+    own per-rank local-coordinate arithmetic is rank-dependent anyway."""
+    t = (BC_TABLE_SIZE - 1) * (xxd - bmin) / span
+    return jnp.clip(t.astype(jnp.int32), 0, BC_TABLE_SIZE - 1)
+
+
+def _bc_point_index_np(spec, d: int) -> np.ndarray:
+    """Per-grid-point McGDP table index along dim d, computed HOST-SIDE in
+    float64 numpy — elementwise IEEE ops, no fusion — replicating the
+    reference's exact arithmetic (xx = min + dx*i, gaussian_grid.h:269;
+    bc_index = (int)((BC_TABLE_SIZE-1)*(xx-bmin)/span), :308) bit-for-bit,
+    including its double-rounding at lattice-aligned quotients.  Embedded
+    as a trace-time constant and gathered by integer grid index."""
+    g = spec.grid
+    G = int(g.nbins[d])
+    xx = np.float64(g.min[d]) + np.float64(g.dx[d]) * np.arange(G, dtype=np.float64)
+    bmin = np.float64(spec.boundary_min[d])
+    span = np.float64(spec.boundary_max[d]) - bmin
+    t = (BC_TABLE_SIZE - 1) * (xx - bmin) / span
+    return np.clip(t.astype(np.int32), 0, BC_TABLE_SIZE - 1)
+
+
 def hill_windows(gg: GaussGrid, centers: jax.Array,
                  boundary_offset=None) -> HillWindows:
     """Unit-height window contributions for a batch of hill centers (H, D).
@@ -127,12 +171,14 @@ def hill_windows(gg: GaussGrid, centers: jax.Array,
     # a hair above and would drop them, shifting per-hill integrals by ~1e-5.
     valid = valid & (dp2 < GAUSS_SUPPORT + 1e-12)
     value_w, deriv_w = _pointwise_contrib(
-        gg, xx, x[:, None, :], dp, dp2, valid, boundary_offset=boundary_offset
+        gg, xx, x[:, None, :], dp, dp2, valid, boundary_offset=boundary_offset,
+        grid_idx=idx,
     )
     return HillWindows(idx=idx, value_w=value_w, deriv_w=deriv_w, valid=valid)
 
 
-def _pointwise_contrib(gg: GaussGrid, xx, x, dp, dp2, valid, boundary_offset=None):
+def _pointwise_contrib(gg: GaussGrid, xx, x, dp, dp2, valid, boundary_offset=None,
+                       grid_idx=None):
     """Unit-height (value, gradient) contribution of a hill centered at x to
     a grid point xx, given sigma-scaled dp and dp2 — the Gaussian +
     McGovern–De Pablo correction block of gaussian_grid.h:299-355, shared by
@@ -143,6 +189,10 @@ def _pointwise_contrib(gg: GaussGrid, xx, x, dp, dp2, valid, boundary_offset=Non
     every boundary-relative term (grids in local coordinates with a GLOBAL
     static boundary — the sharded host's non-periodic dims); distances (dp)
     are shift-invariant.
+    ``grid_idx`` (..., D) int: the grid lattice indices behind xx.  When
+    given (and no traced boundary_offset), the McGDP table index is the
+    host-precomputed per-point constant (_bc_point_index_np) — bit-exact
+    reference truncation, immune to XLA float rewrites.
     """
     spec = gg.spec
     D = spec.dim
@@ -165,11 +215,10 @@ def _pointwise_contrib(gg: GaussGrid, xx, x, dp, dp2, valid, boundary_offset=Non
             xcd = x[..., d] + off_d
             sig = sigma[d]
             span = bmax[d] - bmin[d]
-            bc_idx = jnp.clip(
-                ((BC_TABLE_SIZE - 1) * (xxd - bmin[d]) / span).astype(jnp.int32),
-                0,
-                BC_TABLE_SIZE - 1,
-            )
+            if grid_idx is not None and boundary_offset is None:
+                bc_idx = jnp.asarray(_bc_point_index_np(spec, d))[grid_idx[..., d]]
+            else:
+                bc_idx = _bc_index(xxd, bmin[d], span)
             temp1 = jnp.exp(-((xcd - bmin[d]) ** 2) / sig**2)
             temp2 = sigmoid((xxd - bmin[d]) / (sig * BC_MAR))
             temp3 = jnp.exp(-((xcd - bmax[d]) ** 2) / sig**2)
@@ -256,6 +305,7 @@ def dense_tables_1d(gg: GaussGrid, centers: jax.Array, boundary_offset=None):
     Mval, Mder = _pointwise_contrib(
         gg, xx[:, None, :], x[None, :, :], dp, dp2, valid,
         boundary_offset=boundary_offset,
+        grid_idx=jnp.arange(G, dtype=jnp.int32)[:, None, None],
     )
     s = jnp.sum(Mval, axis=0) * np.asarray(g.dx[0], dtype)
     return Mval, Mder[..., 0], s
@@ -391,10 +441,7 @@ def _mcgdp_base(gg: GaussGrid, centers):
             pm = ((gxs >= bmin) & (gxs <= bmax)).astype(dtype)
             ent["m"] = m * pm[None, :]
             ent["pm"] = pm
-            bc_idx = jnp.clip(
-                ((BC_TABLE_SIZE - 1) * (gxs - bmin) / span).astype(jnp.int32),
-                0, BC_TABLE_SIZE - 1,
-            )
+            bc_idx = jnp.asarray(_bc_point_index_np(spec, d))
             ent["den"] = gg.bc_denom[d][bc_idx]  # (G,)
             ent["dden"] = gg.bc_denom_deriv[d][bc_idx]
             ent["inv_fac"] = 1.0 / ent["den"]
