@@ -26,7 +26,7 @@ REF_STEPS_100K = 11.42  # same synthetic workload, 100k atoms (2M pairs/step)
 REF_STEPS_2D = 231.6  # 2-D coord EDM, 10k atoms, 1e6-pt grid (ref_bench2d.cpp)
 
 
-def bench_pairwise(n_atoms=10000, block=500, steps=300, hill_stride=10, dtype=None,
+def bench_pairwise(n_atoms=10000, block=500, steps=900, hill_stride=10, dtype=None,
                    pair_lookup="chebyshev"):
     import jax
     import jax.numpy as jnp
@@ -157,7 +157,7 @@ def bench_pairwise(n_atoms=10000, block=500, steps=300, hill_stride=10, dtype=No
     return steps / dt_s
 
 
-def bench_coord2d(n_atoms=10000, steps=300, hill_stride=10, dtype=None,
+def bench_coord2d(n_atoms=10000, steps=3000, hill_stride=10, dtype=None,
                   mcgdp=False):
     """2-D coordinate EDM under heavy hill load: 1e6-point grid (1000x1000),
     bias_per_step capping, hill_density 250 — SURVEY config 4 / the
@@ -227,9 +227,9 @@ def bench_deposition(grid_points=1_000_000, hills=200, dtype=None):
     centers = jnp.asarray(rng.uniform(0, 10, (hills, 1)), dtype)
     heights = jnp.full((hills,), 0.1, dtype)
 
-    # 64 in-graph reps: the 200-hill batch deposits in ~3 ms; at 8 reps the
-    # ~30 ms relay dispatch dominated the measurement
-    REPS = 64
+    # 256 in-graph reps: the 200-hill batch deposits in ~3 ms; the ~30 ms
+    # relay dispatch must be <3% of the segment (at 8 reps it dominated)
+    REPS = 256
 
     @jax.jit
     def dep_n(gg, c, h):
@@ -275,7 +275,7 @@ def main():
         "vs_baseline": round(hps / REF_HILLS_PER_SEC, 2),
     }), flush=True)
 
-    sps_exact = bench_pairwise(steps=200, pair_lookup="interp")
+    sps_exact = bench_pairwise(steps=600, pair_lookup="interp")
     print(json.dumps({
         "metric": "MD steps/sec, 10000-atom pairwise EDM (exact cubic-interp lookup)",
         "value": round(sps_exact, 2),
@@ -304,7 +304,7 @@ def main():
     # ~60% on the sub-ms 2-D steps); the metric is the steady-state step
     # rate, not dispatch latency — segment lengths are sized so dispatch
     # is <~3% of each segment
-    sps_100k = bench_pairwise(n_atoms=100000, steps=180)
+    sps_100k = bench_pairwise(n_atoms=100000, steps=360)
     print(json.dumps({
         "metric": "MD steps/sec, 100000-atom pairwise EDM (full LJ+bias MD step)",
         "value": round(sps_100k, 2),
