@@ -165,7 +165,14 @@ def bench_coord2d(n_atoms=10000, steps=3000, hill_stride=10, dtype=None,
     strided add_hills).  Uses the separable MXU deposition path;
     ``mcgdp=True`` makes the box non-periodic (McGovern-De Pablo
     boundary-corrected zero-force hills) exercising the strip-split fast
-    path (ops/deposit.dense_tables_mcgdp_2d)."""
+    path (ops/deposit.dense_tables_mcgdp_2d).
+
+    Cumulative-round budget: this workload is UNtempered (tempering 0),
+    so the f32 bias grid grows without bound across the 4x``steps``
+    timed segments (compile + 3 timed reps).  At the current 3000-step
+    segments the peak bias stays well inside f32 range and the
+    finite/overflow asserts below guard it; if segments grow again,
+    either re-init state between timed reps or enable tempering."""
     import jax
     import jax.numpy as jnp
 
