@@ -24,8 +24,8 @@ Inputs are prepared by XLA (lattice rolls concatenated straight into the
 xyz-major kernel layout).  The Newton kernels evaluate the bias table in
 one of two forms: a (panelized) Chebyshev series (ChebTable) or the exact
 cubic-Hermite grid table (HermiteTable — the ``pair_lookup='interp'``
-path, an unrolled select-accumulate fetch over the VMEM-resident (G, 4)
-table), and optionally restrict the CV to an rdf type pair via per-slot
+path, a per-lane dynamic-gather fetch from the VMEM-resident row-major
+(4, G) table), and optionally restrict the CV to an rdf type pair via per-slot
 type planes (fix_edm_pair.cpp:39-44,177-202).  The legacy 27-stencil
 ``_kernel`` remains Chebyshev-only/untyped.
 """
@@ -109,18 +109,22 @@ class HermiteTable(NamedTuple):
     """Exact cubic-Hermite pair table — the in-kernel form of the XLA
     interpolation path (ops/interp.py ↔ reference lib/grid.h:95-137).
 
-    ``tab`` (G, 4): per grid interval the HORNER coefficients
-    (a, b1, c1, d1) of the interval cubic — the same interpolant
-    ops/interp._interp1d_matvec evaluates from (value, qq, next-value,
-    next-qq) corner pairs (grid.h:95-137), refactored to monomial form
-    at table-build time so the in-kernel fetch accumulates 3 columns on
-    force-only steps (derivative dV/dr = b1 + c1*t + d1*t^2) and 4 when
-    the energy is needed (V = a + dx*(b1*t + c1*t^2/2 + d1*t^3/3)).
-    Identical polynomial, different evaluation order: agreement with the
-    XLA path is to f32 rounding, not bitwise.  ``geom`` is the static
-    lookup geometry ("hermite", G, grid_lo, dx, grid_hi_exclusive,
-    boundary_lo, boundary_hi) with the range floats computed in grid dtype
-    so the in-kernel masks reproduce the XLA path's edge behavior."""
+    ``tab`` (4, GP) ROW-MAJOR, GP = G padded up to a 128-lane multiple:
+    per grid interval the HORNER coefficients (a, b1, c1, d1) of the
+    interval cubic — the same interpolant ops/interp._interp1d_matvec
+    evaluates from (value, qq, next-value, next-qq) corner pairs
+    (grid.h:95-137), refactored to monomial form at table-build time so
+    the in-kernel fetch gathers 3 rows on force-only steps (derivative
+    dV/dr = b1 + c1*t + d1*t^2) and 4 when the energy is needed
+    (V = a + dx*(b1*t + c1*t^2/2 + d1*t^3/3)).  The row-major layout is
+    a Mosaic constraint: the per-lane dynamic gather needs each
+    coefficient's G values contiguous along lanes (column slices of a
+    (G, 4) table do not lower).  Identical polynomial, different
+    evaluation order vs the XLA path: agreement is to f32 rounding, not
+    bitwise.  ``geom`` is the static lookup geometry ("hermite", G,
+    grid_lo, dx, grid_hi_exclusive, boundary_lo, boundary_hi) with the
+    range floats computed in grid dtype so the in-kernel masks reproduce
+    the XLA path's edge behavior."""
 
     tab: jax.Array
     geom: tuple
@@ -175,37 +179,48 @@ def hermite_pair_table(gg) -> HermiteTable:
     gq1 = gdx * qn
     ccoef = v * (gq0 + gq0 - 3.0) + vn * (gq1 + 3.0)
     dcoef = v * (2.0 - gq0) - vn * (gq1 + 2.0)
-    tab = jnp.stack(
-        [v, -qq * v, (ccoef + ccoef) / gdx, (dcoef * 3.0) / gdx], axis=-1
-    )
+    # row-major (4, GP): one contiguous 128-lane-aligned row per Horner
+    # coefficient so the in-kernel per-lane gather can slice 128-entry
+    # segments (see HermiteTable docstring); zero padding is never
+    # addressed (idx clipped to G-1)
+    tab = jnp.stack([v, -qq * v, (ccoef + ccoef) / gdx, (dcoef * 3.0) / gdx])
     G = int(g.spec.nbins[0])
+    GP = -(-G // 128) * 128
+    tab = jnp.pad(tab, ((0, 0), (0, GP - G)))
     return HermiteTable(tab=tab, geom=("hermite", G, glo, gdx, ghi_eff, blo, bhi))
 
 
 def _table_preload(t1_ref, table):
-    """Hoist the hermite table's G x 4 scalar loads out of the per-cell
-    loop: loaded once per program, reused by all CELLS_PER_PROGRAM cells
-    (the loads sit between vector ops otherwise and cost ~15% of the
-    fetch).  Returns None for the Chebyshev form."""
+    """Hoist the hermite table's 128-lane segment slices out of the
+    per-cell loop: sliced once per program, reused by all
+    CELLS_PER_PROGRAM cells.  preload[col][s] is the (1, 128) row slice
+    holding coefficient ``col``'s values for grid intervals
+    [128*s, 128*(s+1)).  Returns None for the Chebyshev form."""
     if table[0] != "hermite":
         return None
     G = table[1]
+    S = -(-G // 128)
     return [
-        (t1_ref[g, 0], t1_ref[g, 1], t1_ref[g, 2], t1_ref[g, 3])
-        for g in range(G)
+        [t1_ref[c, 128 * s : 128 * (s + 1)].reshape(1, 128) for s in range(S)]
+        for c in range(4)
     ]
 
 
 def _hermite_val_der(r, ok, *, geom, energy, preload):
     """In-kernel exact cubic-Hermite value+derivative lookup.
 
-    Coefficient fetch is an unrolled select-accumulate over the G table
-    rows of Horner coefficients — one compare + three scalar-FMA tile ops
-    per row on force-only steps (four with energy), ~4*G VPU ops per
-    pair, then a 2-FMA Horner chain.  Same interpolant as
+    Coefficient fetch is a per-lane dynamic gather (Mosaic lowers
+    ``jnp.take_along_axis`` along the 128 lanes of a vreg): the candidate
+    axis is processed in 128-lane chunks; per chunk each coefficient row
+    costs one gather per 128-interval table segment plus a segment-select
+    chain — for the standard G=151 grid, 2 gathers + 1 select per
+    coefficient, ~20 VPU ops per pair total vs ~4*G for the replaced
+    unrolled select-accumulate fetch.  Same interpolant as
     ops/interp._interp1d_matvec (hermite_pair_table refactors the corner
     form to monomial coefficients), agreeing to f32 rounding — covered by
-    the force tolerance of test_pallas_interp_exact_matches_xla."""
+    the force tolerance of test_pallas_interp_exact_matches_xla; the
+    gathered coefficients are bitwise the select-accumulate ones
+    (test_hermite_gather_fetch_bitwise)."""
     _, G, glo, gdx, ghi_eff, blo, bhi = geom
     # GaussGrid.in_bounds ([blo, bhi] inclusive) x grid.in_grid ([glo,
     # max-dx) half-open) — the same two masks the XLA lookup applies
@@ -213,19 +228,43 @@ def _hermite_val_der(r, ok, *, geom, energy, preload):
     cv_on = jnp.where(okr, ok, 0.0)
     idxf = jnp.clip(jnp.floor((r - glo) / gdx), 0.0, float(G - 1))
     t = (r - glo - idxf * gdx) / gdx
-    a0 = jnp.zeros_like(r)
-    b0 = jnp.zeros_like(r)
-    c0 = jnp.zeros_like(r)
-    d0 = jnp.zeros_like(r)
-    for g, (ta, tb, tc, td) in enumerate(preload):
-        m = jnp.where(idxf == float(g), 1.0, 0.0)
-        if energy:
-            a0 = a0 + m * ta
-        b0 = b0 + m * tb
-        c0 = c0 + m * tc
-        d0 = d0 + m * td
+    cap, W = r.shape
+    S = -(-G // 128)
+    cols = (0, 1, 2, 3) if energy else (1, 2, 3)
+    # broadcast each (1, 128) table segment across the cap sublanes once
+    # per cell (the gather source and index must share sublane count)
+    segs = {
+        c: [jnp.broadcast_to(preload[c][s], (cap, 128)) for s in range(S)]
+        for c in cols
+    }
+    idx = idxf.astype(jnp.int32)
+    fetched = {c: [] for c in cols}
+    for j0 in range(0, W, 128):
+        w = min(128, W - j0)
+        ij = idx[:, j0 : j0 + w]
+        if w < 128:
+            # Mosaic's dynamic gather needs same-shape (cap, 128) source
+            # and index tiles: pad the remainder chunk's indices and slice
+            # the fetched values back down
+            ij = jnp.concatenate(
+                [ij, jnp.zeros((cap, 128 - w), jnp.int32)], axis=1
+            )
+        for c in cols:
+            v = None
+            for s in range(S):
+                iseg = jnp.clip(ij - 128 * s, 0, 127)
+                vs = jnp.take_along_axis(segs[c][s], iseg, axis=1)
+                v = vs if s == 0 else jnp.where(ij >= 128 * s, vs, v)
+            fetched[c].append(v if w == 128 else v[:, :w])
+    cat = (lambda xs: xs[0]) if len(fetched[cols[0]]) == 1 else (
+        lambda xs: jnp.concatenate(xs, axis=1)
+    )
+    b0 = cat(fetched[1])
+    c0 = cat(fetched[2])
+    d0 = cat(fetched[3])
     der = (b0 + t * (c0 + t * d0)) * cv_on
     if energy:
+        a0 = cat(fetched[0])
         # V = a + dx*(b1*t + c1*t^2/2 + d1*t^3/3)
         val = (
             a0 + (t * gdx) * (b0 + t * (0.5 * c0 + (1.0 / 3.0) * (t * d0)))

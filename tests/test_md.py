@@ -761,3 +761,61 @@ def test_half_tile_hill_collection_census():
     hv = np.sort(hills[hills > 0])
     np.testing.assert_allclose(hv, np.sort(np.concatenate([bf, bf])), rtol=1e-6)
     assert not bool(st2.core.hills_truncated)
+
+
+def test_hermite_gather_fetch_bitwise():
+    """The per-lane-gather Hermite coefficient fetch is BITWISE the
+    replaced unrolled select-accumulate fetch: a gather returns the table
+    entry itself, and the accumulate summed exactly one m=1 term over
+    zeros.  Covers multi-segment G (151 -> 2 gather segments + select),
+    single-segment G, full-width 128 chunks plus the 64-lane remainder of
+    the production width 14*cap, and both energy modes."""
+    from edm_tpu.ops import cellforce_pallas as M
+
+    def old_fetch(tab, r, ok, geom, energy):
+        _, G, glo, gdx, ghi_eff, blo, bhi = geom
+        okr = (r >= blo) & (r <= bhi) & (r >= glo) & (r < ghi_eff)
+        cv_on = jnp.where(okr, ok, 0.0)
+        idxf = jnp.clip(jnp.floor((r - glo) / gdx), 0.0, float(G - 1))
+        t = (r - glo - idxf * gdx) / gdx
+        a0 = jnp.zeros_like(r); b0 = jnp.zeros_like(r)
+        c0 = jnp.zeros_like(r); d0 = jnp.zeros_like(r)
+        for g in range(G):
+            m = jnp.where(idxf == float(g), 1.0, 0.0)
+            if energy:
+                a0 = a0 + m * tab[0, g]
+            b0 = b0 + m * tab[1, g]
+            c0 = c0 + m * tab[2, g]
+            d0 = d0 + m * tab[3, g]
+        der = (b0 + t * (c0 + t * d0)) * cv_on
+        val = (
+            a0 + (t * gdx) * (b0 + t * (0.5 * c0 + (1.0 / 3.0) * (t * d0)))
+        ) * cv_on if energy else None
+        return val, der
+
+    rng = np.random.default_rng(0)
+    for G, cap, W in [(151, 32, 448), (100, 8, 112), (256, 16, 256)]:
+        GP = -(-G // 128) * 128
+        tab = np.zeros((4, GP), np.float32)
+        tab[:, :G] = rng.standard_normal((4, G)).astype(np.float32)
+        glo, gdx = 0.0, 0.02
+        ghi_eff = np.float32(gdx * G) - np.float32(gdx)
+        geom = ("hermite", G, glo, gdx, float(ghi_eff), 0.0, float(gdx * G))
+        r = rng.uniform(-0.1, gdx * G + 0.1, (cap, W)).astype(np.float32)
+        ok = (rng.uniform(size=(cap, W)) > 0.2).astype(np.float32)
+        tabj = jnp.asarray(tab)
+        S = GP // 128
+        preload = [
+            [tabj[c, 128 * s : 128 * (s + 1)].reshape(1, 128) for s in range(S)]
+            for c in range(4)
+        ]
+        for energy in (True, False):
+            val_n, der_n, _ = M._hermite_val_der(
+                jnp.asarray(r), jnp.asarray(ok), geom=geom, energy=energy,
+                preload=preload,
+            )
+            val_o, der_o = old_fetch(tabj, jnp.asarray(r), jnp.asarray(ok),
+                                     geom, energy)
+            np.testing.assert_array_equal(np.asarray(der_n), np.asarray(der_o))
+            if energy:
+                np.testing.assert_array_equal(np.asarray(val_n), np.asarray(val_o))
