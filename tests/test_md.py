@@ -819,3 +819,121 @@ def test_hermite_gather_fetch_bitwise():
             np.testing.assert_array_equal(np.asarray(der_n), np.asarray(der_o))
             if energy:
                 np.testing.assert_array_equal(np.asarray(val_n), np.asarray(val_o))
+
+
+def test_newton_kernel_tail_slot_holes(monkeypatch):
+    """Incremental rebins fill the LOWEST holes first, so a cell's
+    occupied slots need not be prefix-contiguous (models/cells.
+    plan_incremental_rebin): an atom can sit in a tail slot past the
+    cell's atom count.  The occupancy-gated row chunks must gate on the
+    highest occupied slot + 1 — a count-based gate silently zeroes the
+    tail atom's row force while partner cells still see it as a
+    candidate, a one-sided force that pumps energy until the state goes
+    non-finite (observed on the 100k TPU bench).  Pins both Newton
+    kernels: packed layout vs the same atoms with one tail-slot hole per
+    cell must give identical per-atom forces."""
+    import jax.experimental.pallas as pl
+    import edm_tpu.ops.cellforce_pallas as M
+    from edm_tpu.models.lj import LJParams
+    from edm_tpu.models.pair_edm_cells import (
+        _half_concat,
+        _planar_coord_views,
+        newton_lattice_force,
+    )
+
+    orig = pl.pallas_call
+
+    def interp_call(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(M.pl, "pallas_call", interp_call)
+
+    rng = np.random.default_rng(11)
+    ncells = (4, 4, 4)
+    cap = 16
+    C = 64
+    edge = 1.3
+    box = (4 * edge, 4 * edge, 4 * edge)
+    lj = LJParams(epsilon=1.0, sigma=0.9, rcut=1.25)
+
+    # synthetic exact-interp table over the full r range
+    G = 140
+    GP = -(-G // 128) * 128
+    gdx = 0.02
+    tab = np.zeros((4, GP), np.float32)
+    tab[:, :G] = 0.1 * rng.standard_normal((4, G)).astype(np.float32)
+    ghi_eff = float(np.float32(gdx * G) - np.float32(gdx))
+    table = M.HermiteTable(
+        tab=jnp.asarray(tab),
+        geom=("hermite", G, 0.0, gdx, ghi_eff, 0.0, float(gdx * G)),
+    )
+
+    # packed layout: occ atoms in slots 0..occ-1, jittered sub-grid per
+    # cell (keeps min separation away from the r2 clamp)
+    occs = rng.integers(2, 10, C)
+    xs_p = np.zeros((C, cap, 3), np.float32)
+    mc_p = np.zeros((C, cap), np.float32)
+    sub = np.stack(np.meshgrid(*[np.arange(3)] * 3, indexing="ij"), -1)
+    sub = sub.reshape(-1, 3) * (edge / 3.0) + edge / 6.0  # 27 sites
+    for c in range(C):
+        ci, cj, ck = c // 16, (c // 4) % 4, c % 4
+        corner = np.array([ci, cj, ck], np.float32) * edge
+        sites = rng.permutation(27)[: occs[c]]
+        pts = sub[sites] + rng.uniform(-0.05, 0.05, (occs[c], 3))
+        xs_p[c, : occs[c]] = corner + pts
+        mc_p[c, : occs[c]] = 1.0
+
+    # hole layout: the last atom of every cell moves to slot cap-1
+    xs_h = xs_p.copy()
+    mc_h = mc_p.copy()
+    for c in range(C):
+        o = int(occs[c])
+        xs_h[c, cap - 1] = xs_h[c, o - 1]
+        xs_h[c, o - 1] = 0.0
+        mc_h[c, cap - 1] = 1.0
+        mc_h[c, o - 1] = 0.0
+
+    def atom_forces(f, mc):
+        # (C, cap, 3) slot forces -> per-atom list in (cell, slot) order
+        out = []
+        for c in range(C):
+            for s in range(cap):
+                if mc[c, s] > 0:
+                    out.append(np.asarray(f)[c, s])
+        return np.stack(out)
+
+    # planar kernel (slab/brick hosts' path)
+    e_p, f_p = newton_lattice_force(
+        jnp.asarray(xs_p), jnp.asarray(mc_p), jnp.asarray(mc_p),
+        ncells, cap, box, lj, table,
+    )
+    e_h, f_h = newton_lattice_force(
+        jnp.asarray(xs_h), jnp.asarray(mc_h), jnp.asarray(mc_h),
+        ncells, cap, box, lj, table,
+    )
+    a_p, a_h = atom_forces(f_p, mc_p), atom_forces(f_h, mc_h)
+    # the tail atom is the LAST occupied slot of its cell in both
+    # layouts, so (cell, slot)-order atom lists correspond 1:1
+    scale = max(1.0, np.abs(a_p).max())
+    np.testing.assert_allclose(a_h, a_p, atol=2e-4 * scale)
+    assert abs(float(e_h) - float(e_p)) < 1e-3 * max(1.0, abs(float(e_p)))
+
+    # rescredit kernel (single-device host's path)
+    def rc(xs, mc):
+        xc_f, xn_f = _planar_coord_views(jnp.asarray(xs), ncells, cap, C)
+        mn_f = _half_concat(jnp.asarray(mc), ncells, cap, C)
+        fx, fy, fz, eb = M.cell_forces_pallas_newton_rescredit(
+            xc_f, xn_f, jnp.asarray(mc), mn_f, table,
+            cap=cap, ncells=ncells, box=box,
+            lj_eps=lj.epsilon, lj_sig=lj.sigma, lj_rcut=lj.rcut,
+        )
+        return jnp.sum(eb), jnp.stack([fx, fy, fz], axis=-1)
+
+    re_p, rf_p = rc(xs_p, mc_p)
+    re_h, rf_h = rc(xs_h, mc_h)
+    ra_p, ra_h = atom_forces(rf_p, mc_p), atom_forces(rf_h, mc_h)
+    np.testing.assert_allclose(ra_h, ra_p, atol=2e-4 * scale)
+    # cross-kernel: rescredit matches planar on the packed layout
+    np.testing.assert_allclose(ra_p, a_p, atol=2e-4 * scale)
+    assert abs(float(re_h) - float(re_p)) < 1e-3 * max(1.0, abs(float(re_p)))
