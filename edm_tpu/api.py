@@ -44,9 +44,15 @@ class EDMBias:
         rank: int = 0,
         log_hills: bool = True,
         exact_deposit: bool = False,
+        hill_passes=1,
     ):
         # exact_deposit: force the reference-exact windowed deposit even
         # where a separable fast path exists (bias.BiasParams.exact_deposit)
+        # hill_passes: split each hill round into this many sequential
+        # sub-batches (bias.add_hills_round n_passes).  "live" = one hill
+        # per pass, which reproduces the reference's hill-by-hill live-grid
+        # well-tempering (edm_bias.cpp:547-550) exactly; integers must
+        # divide the padded batch (any power of two does)
         self.cfg: EDMConfig = parse_edm_file(input_filename)
         self.dim = self.cfg.dim
         self.temperature = -1.0
@@ -56,6 +62,14 @@ class EDMBias:
         self.dtype = dtype
         self._log_hills = log_hills
         self._exact_deposit = bool(exact_deposit)
+        if hill_passes != "live":
+            hill_passes = int(hill_passes)
+            if hill_passes < 1 or (hill_passes & (hill_passes - 1)):
+                edm_error(
+                    "hill_passes must be a power of two (to divide the "
+                    "padded batch) or 'live'", "api.py",
+                )
+        self._hill_passes = hill_passes
 
         self.target: Optional[Grid] = None
         if self.cfg.target_filename:
@@ -189,29 +203,42 @@ class EDMBias:
         self._pending_runiform = []
 
     def add_hills(self, positions, runiform, apply_mask: Optional[int] = None) -> None:
-        """Batch interface (edm_bias.cpp:397-411)."""
+        """Batch interface (edm_bias.cpp:397-411).  Padded to a power of two
+        like post_add_hill: bounds retraces across batch sizes and keeps any
+        integer ``hill_passes`` dividing the batch."""
         self._require_state()
         positions = np.asarray(positions, dtype=float)
         n = positions.shape[0]
         active = np.ones((n,), bool)
         if apply_mask is not None and self.mask is not None:
             active = (self.mask[:n] & apply_mask) != 0
+        padded = max(1, 1 << (n - 1).bit_length()) if n else 1
+        pos = np.zeros((padded, self.dim))
+        uni = np.ones((padded,))
+        act = np.zeros((padded,), bool)
+        pos[:n] = positions[:, : self.dim]
+        uni[:n] = np.asarray(runiform, dtype=float)
+        act[:n] = active
         self._run_round(
-            jnp.asarray(positions[:, : self.dim], self.dtype),
-            jnp.asarray(np.asarray(runiform, dtype=float), self.dtype),
+            jnp.asarray(pos, self.dtype),
+            jnp.asarray(uni, self.dtype),
             n,
-            jnp.asarray(active),
+            jnp.asarray(act),
         )
 
     def _run_round(self, positions, runiform, est_hill_count, active) -> None:
         key = positions.shape[0]
+        n_passes = key if self._hill_passes == "live" else min(self._hill_passes, key)
         if key not in self._round_jit:
-            self._round_jit[key] = jax.jit(_bias.add_hills_round)
+            self._round_jit[key] = jax.jit(
+                _bias.add_hills_round, static_argnames=("n_passes",)
+            )
         cum_before = float(self.state.cum_bias)
         step = int(self.state.steps)
         self.state, rec = self._round_jit[key](
             self.params, self.state, positions, runiform,
             jnp.asarray(est_hill_count, self.dtype), active,
+            n_passes=n_passes,
         )
         _bias.check_state(self.state)
         # stall detection: a single hill whose integral exceeds bias_per_step

@@ -359,6 +359,7 @@ def add_hills_round(
     axis_name: Optional[str] = None,
     override_heights=None,
     boundary_offset=None,
+    n_passes: int = 1,
 ) -> Tuple[BiasState, RoundRecords]:
     """One full pre_add_hill / add_hill* / post_add_hill cycle.
 
@@ -371,6 +372,22 @@ def add_hills_round(
     local-coordinate grids with a GLOBAL static boundary (McGovern-De Pablo
     terms, boundary masks and boundary-row duplication all evaluate at
     ``x + offset``; see parallel/spatial.py).
+
+    ``n_passes``: the new-hill phase runs as ``n_passes`` sequential
+    sub-batches of H/n_passes hills (H must divide evenly).  This is the
+    static-shape analog of the reference's never-drop guarantee: when its
+    mid-round send buffer fills it flushes and CONTINUES depositing
+    (edm_bias.cpp:459-462) — hosts that compact accepted hills to a fixed
+    capacity can size the batch at K*capacity and let rare spikes spill
+    into later passes instead of dropping the tail.  Passes past the first
+    are lax.cond-gated on having any called hill, so rounds that fit in
+    one pass pay only a pass-through copy of the carried grid/buffer.
+    Each pass evaluates well-tempered heights against the grid INCLUDING
+    earlier passes' deposits — closer to the reference's hill-by-hill live
+    grid (edm_bias.cpp:547-550) than the single-batch round-start
+    approximation; with n_passes=1 the behavior (and compiled graph) is
+    unchanged.  The cap/defer semantics chain exactly across passes
+    (cap_scan continuation via ``cum0``; ops/prefix_cap.py).
     """
     cfg = params.cfg
     D = cfg.dim
@@ -445,6 +462,39 @@ def add_hills_round(
         and all(w < n for w, n in zip(gspec1.window_shape, gspec1.grid.nbins))
     )
 
+    # deposit-table dispatch shared by the drain and every hill pass:
+    # (tables, s) built from a grid's GEOMETRY (unit tables, independent of
+    # the stored values), then a linear commit of effective heights
+    def _tables(bias_g, pos):
+        if use_dense:
+            bMval, bMder, s = dense_tables_1d(
+                bias_g, pos, boundary_offset=boundary_offset
+            )
+            return (bMval, bMder), s
+        if use_dense2:
+            tabs, s = dense_tables_sep(bias_g, pos)
+            return (tabs,), s
+        if use_dense2m:
+            tabs_m = dense_tables_mcgdp_2d(bias_g, pos)
+            return (tabs_m,), tabs_m.s
+        hw = hill_windows(bias_g, pos, boundary_offset=boundary_offset)
+        return (hw,), jnp.sum(hw.value_w, axis=-1) * vol
+
+    def _deposit(bias_g, tabs, dep_h):
+        if use_dense:
+            return deposit_from_tables(
+                bias_g, tabs[0], tabs[1], dep_h,
+                boundary_offset=boundary_offset,
+            )
+        if use_dense2:
+            return deposit_from_tables_sep(bias_g, tabs[0], dep_h)
+        if use_dense2m:
+            return deposit_from_mcgdp_2d(bias_g, tabs[0], dep_h)
+        b2, _ = deposit_precomputed(
+            bias_g, tabs[0], dep_h, boundary_offset=boundary_offset
+        )
+        return b2
+
     # ---- 2. drain the deferred buffer (edm_bias.cpp:432, 313-380)
     # Only a bounded window of the buffer (256 slots from buf_left) is
     # evaluated per round: bias_per_step rarely lets more than a handful of
@@ -460,35 +510,9 @@ def add_hills_round(
     n_buf = state.buf_right - state.buf_left
     wslots = jnp.arange(DRAIN, dtype=jnp.int32)
     win_active = wslots < n_buf
-    if use_dense:
-        bMval, bMder, s_buf = dense_tables_1d(
-            state.bias, win_pos, boundary_offset=boundary_offset
-        )
-    elif use_dense2:
-        btabs, s_buf = dense_tables_sep(state.bias, win_pos)
-    elif use_dense2m:
-        btabs_m = dense_tables_mcgdp_2d(state.bias, win_pos)
-        s_buf = btabs_m.s
-    else:
-        buf_hw = hill_windows(
-            state.bias, win_pos, boundary_offset=boundary_offset
-        )
-        s_buf = jnp.sum(buf_hw.value_w, axis=-1) * vol
+    btabs, s_buf = _tables(state.bias, win_pos)
     dr = drain_scan(win_h, s_buf, win_active, cap_bias)
-    if use_dense:
-        bias1 = deposit_from_tables(
-            state.bias, bMval, bMder, dr.dep_heights,
-            boundary_offset=boundary_offset,
-        )
-    elif use_dense2:
-        bias1 = deposit_from_tables_sep(state.bias, btabs, dr.dep_heights)
-    elif use_dense2m:
-        bias1 = deposit_from_mcgdp_2d(state.bias, btabs_m, dr.dep_heights)
-    else:
-        bias1, _ = deposit_precomputed(
-            state.bias, buf_hw, dr.dep_heights,
-            boundary_offset=boundary_offset,
-        )
+    bias1 = _deposit(state.bias, btabs, dr.dep_heights)
     # write the window's post-drain heights back into the full buffer
     full_buf_h = jax.lax.dynamic_update_slice(
         state.buf_h, dr.new_heights, (state.buf_left,)
@@ -506,55 +530,23 @@ def add_hills_round(
     right1 = jnp.where(any_rem, state.buf_right, 0)
     skip = any_rem  # b_skip_hill_add_ (edm_bias.cpp:436-439)
 
-    # ---- 3. per-hill heights (edm_bias.cpp:528-563)
+    # ---- 3. acceptance (edm_bias.cpp:528-543), batch-wide
     if override_heights is not None:
         # replay mode (do_add_hill with communicate=0, edm_bias.cpp:444):
         # acceptance and tempering/clamping happened on the originating
         # replica; the exchanged (position, height) pairs are used as-is
         accept = active
-        h = jnp.asarray(override_heights, dtype)
+        override_h = jnp.asarray(override_heights, dtype)
     else:
+        override_h = None
         if cfg.hill_density < 0:
             accept = active
         else:
             accept = active & (runiform < cfg.hill_density / est_hill_count)
-        # Well-tempering evaluates against the post-drain grid (the reference
-        # reads the live grid hill-by-hill; within a batch this is the same
-        # grid).
-        h = _hill_heights(params, bias1, positions, est_hill_count, pref,
-                          boundary_offset=boundary_offset)
+    called_all = accept & ~skip
 
-    # ---- 4. sequential cap + one deposit commit
-    if use_dense:
-        hMval, hMder, s_h = dense_tables_1d(
-            bias1, positions, boundary_offset=boundary_offset
-        )
-    elif use_dense2:
-        htabs, s_h = dense_tables_sep(bias1, positions)
-    elif use_dense2m:
-        htabs_m = dense_tables_mcgdp_2d(bias1, positions)
-        s_h = htabs_m.s
-    else:
-        hills_hw = hill_windows(bias1, positions, boundary_offset=boundary_offset)
-        s_h = jnp.sum(hills_hw.value_w, axis=-1) * vol
-    called = accept & ~skip
-    cr = cap_scan(h, s_h, called, cap_bias, dr.bias_added)
-    if use_dense:
-        bias2 = deposit_from_tables(
-            bias1, hMval, hMder, cr.dep_heights, boundary_offset=boundary_offset
-        )
-    elif use_dense2:
-        bias2 = deposit_from_tables_sep(bias1, htabs, cr.dep_heights)
-    elif use_dense2m:
-        bias2 = deposit_from_mcgdp_2d(bias1, htabs_m, cr.dep_heights)
-    else:
-        bias2, _ = deposit_precomputed(
-            bias1, hills_hw, cr.dep_heights, boundary_offset=boundary_offset
-        )
-
-    # ---- 5. overflow append (FIFO, compacted; fixes reference Q3)
-    to_defer = called & (cr.defer_heights > 0)
-    n_def = jnp.sum(to_defer.astype(jnp.int32))
+    # drained-buffer compaction: surviving slots left1..right1 shift to 0
+    # (step 5's FIFO base; fixes reference Q3)
     slots = jnp.arange(CAP, dtype=jnp.int32)
     src = slots + left1
     valid_src = src < right1
@@ -562,21 +554,78 @@ def add_hills_round(
     buf_pos2 = jnp.where(valid_src[:, None], state.buf_pos[src_c], 0)
     buf_h2 = jnp.where(valid_src, full_buf_h[src_c], 0)
     size2 = right1 - left1
-    rank = jnp.cumsum(to_defer.astype(jnp.int32)) - 1
-    tgt = jnp.where(to_defer, size2 + rank, CAP)  # CAP -> dropped
-    buf_pos3 = buf_pos2.at[tgt].set(positions, mode="drop")
-    buf_h3 = buf_h2.at[tgt].set(cr.defer_heights, mode="drop")
-    overflow = (size2 + n_def) > CAP
 
-    # ---- 6. histogram (output_hill bookkeeping, edm_bias.cpp:601-610)
-    hist = state.cv_hist
+    # histogram (output_hill bookkeeping, edm_bias.cpp:601-610): drain part
+    hist0 = state.cv_hist
     drain_delta = dr.processed.astype(dtype) - dr.straddled.astype(dtype)
-    hist, _ = hist.add_value(win_pos, drain_delta)
-    hill_delta = called.astype(dtype) - cr.straddled.astype(dtype)
-    hist, _ = hist.add_value(positions, hill_delta)
+    hist0, _ = hist0.add_value(win_pos, drain_delta)
+
+    # ---- 4/5. hill passes: heights (edm_bias.cpp:543-563, live grid per
+    # pass) + sequential cap + deposit commit + FIFO overflow append
+    if H % n_passes:
+        raise ValueError("n_passes must divide the hill batch size")
+    Hc = H // n_passes
+
+    def one_pass(p, carry):
+        bias_c, hist_c, bufp_c, bufh_c, size_c, cum_c = carry
+        sl = slice(p * Hc, (p + 1) * Hc)
+        pos_p = positions[sl]
+        called_p = called_all[sl]
+        if override_h is not None:
+            h_p = override_h[sl]
+        else:
+            # Well-tempering evaluates against the grid including earlier
+            # passes' deposits (the reference reads the live grid
+            # hill-by-hill; within one pass this is the same grid).
+            h_p = _hill_heights(params, bias_c, pos_p, est_hill_count, pref,
+                                boundary_offset=boundary_offset)
+        tabs_p, s_p = _tables(bias_c, pos_p)
+        cr = cap_scan(h_p, s_p, called_p, cap_bias, cum_c)
+        bias_n = _deposit(bias_c, tabs_p, cr.dep_heights)
+        to_defer = called_p & (cr.defer_heights > 0)
+        rank = jnp.cumsum(to_defer.astype(jnp.int32)) - 1
+        tgt = jnp.where(to_defer, size_c + rank, CAP)  # CAP -> dropped
+        bufp_n = bufp_c.at[tgt].set(pos_p, mode="drop")
+        bufh_n = bufh_c.at[tgt].set(cr.defer_heights, mode="drop")
+        size_n = size_c + jnp.sum(to_defer.astype(jnp.int32))
+        hill_delta = called_p.astype(dtype) - cr.straddled.astype(dtype)
+        hist_n, _ = hist_c.add_value(pos_p, hill_delta)
+        rec_p = (h_p, cr.dep_heights, cr.defer_heights, s_p, called_p,
+                 cr.deposited, cr.straddled)
+        return (bias_n, hist_n, bufp_n, bufh_n, size_n, cr.cum), rec_p
+
+    carry = (bias1, hist0, buf_pos2, buf_h2, size2, dr.bias_added)
+    recs = []
+    for p in range(n_passes):
+        if p == 0:
+            carry, rec_p = one_pass(0, carry)
+        else:
+            # gated: rounds that fit earlier passes pay only the cond's
+            # pass-through copy of the carried grid/buffer/histogram
+            def _skip_pass(c):
+                z = jnp.zeros
+                rec0 = (z((Hc,), dtype), z((Hc,), dtype), z((Hc,), dtype),
+                        z((Hc,), dtype), z((Hc,), bool), z((Hc,), bool),
+                        z((Hc,), bool))
+                return c, rec0
+
+            carry, rec_p = jax.lax.cond(
+                jnp.any(called_all[p * Hc : (p + 1) * Hc]),
+                lambda c, p=p: one_pass(p, c),
+                _skip_pass,
+                carry,
+            )
+        recs.append(rec_p)
+    bias2, hist, buf_pos3, buf_h3, size_f, cum_f = carry
+    overflow = size_f > CAP
+
+    def _cat(i):
+        if n_passes == 1:
+            return recs[0][i]
+        return jnp.concatenate([r[i] for r in recs])
 
     # ---- 7. cum_bias (update_height, edm_bias.cpp:922-931)
-    round_bias = cr.cum
+    round_bias = cum_f
     if axis_name is not None:
         round_bias = jax.lax.psum(round_bias, axis_name)
 
@@ -587,7 +636,7 @@ def add_hills_round(
         buf_pos=buf_pos3,
         buf_h=buf_h3,
         buf_left=jnp.zeros((), jnp.int32),
-        buf_right=jnp.minimum(size2 + n_def, CAP).astype(jnp.int32),
+        buf_right=jnp.minimum(size_f, CAP).astype(jnp.int32),
         overflow_error=state.overflow_error | overflow,
         steps=state.steps + 1,
     )
@@ -598,15 +647,15 @@ def add_hills_round(
         drain_s=s_buf,
         drain_processed=dr.processed,
         drain_straddled=dr.straddled,
-        hill_h=h,
-        hill_dep_h=cr.dep_heights,
-        hill_defer_h=cr.defer_heights,
-        hill_s=s_h,
-        hill_called=called,
-        hill_deposited=cr.deposited,
-        hill_straddled=cr.straddled,
+        hill_h=_cat(0),
+        hill_dep_h=_cat(1),
+        hill_defer_h=_cat(2),
+        hill_s=_cat(3),
+        hill_called=_cat(4),
+        hill_deposited=_cat(5),
+        hill_straddled=_cat(6),
         skipped=skip,
-        round_bias=cr.cum,
+        round_bias=cum_f,
         prefactor=pref,
     )
     return new_state, rec

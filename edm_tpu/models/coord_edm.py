@@ -53,6 +53,7 @@ def make_step(
     collect_records: bool = False,
     hill_capacity: Optional[int] = None,
     static_do_hills: Optional[bool] = None,
+    hill_passes: int = 1,
 ):
     """Build the jitted single-step transition.
 
@@ -74,6 +75,16 @@ def make_step(
     drops the tail of a round — is flagged in ``state.hills_truncated``.
     Pass 0 to disable compaction (replicates the full-batch round
     bit-for-bit including its records shape).
+
+    ``hill_passes``: never-drop headroom for the compacted round — the
+    compaction buffer grows to ``hill_passes * hill_capacity`` rows and the
+    round runs as ``hill_passes`` cond-gated sub-batches
+    (``bias.add_hills_round(n_passes=...)``), the static-shape analog of
+    the reference's mid-round flush-and-continue (edm_bias.cpp:459-462).
+    Rounds that fit in ``hill_capacity`` pay only pass-through copies for
+    the gated extra passes; an acceptance spike spills into later passes
+    instead of being dropped, and ``hills_truncated`` fires only past
+    ``hill_passes * hill_capacity``.
 
     ``static_do_hills``: resolve the hill-round branch at TRACE time
     instead of with a per-step ``lax.cond``.  The cond's pass-through
@@ -125,7 +136,7 @@ def make_step(
         N = x.shape[0]
         runiform = jax.random.uniform(sub, (N,), x.dtype)
         compact = 0 < hill_capacity < N and density >= 0
-        Hc = hill_capacity if compact else N
+        Hc = hill_passes * hill_capacity if compact else N
 
         def with_hills(bs):
             if compact:
@@ -151,6 +162,7 @@ def make_step(
                 new_bs, rec = B.add_hills_round(
                     params, bs, pos_c, run_c, N,
                     active=active_c, axis_name=axis_name,
+                    n_passes=hill_passes,
                 )
                 log_pos = pos_c
             else:

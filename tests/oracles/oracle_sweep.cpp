@@ -142,6 +142,24 @@ int main(int argc, char** argv) {
   { Cfg c = {"wtcap1d", 1, 0.91, 1.0, 1, 8.0, -1.0, 6.0, 0.005, 0.0,
              {0.15, 0}, {0.0209, 0}, {0.0, 0}, {2.8, 0}, {1, 0},
              0, {0.0, 0}, {2.8, 0}, 7, 100, 808, 1, 300}; cfgs.push_back(c); }
+  // 9. 1-D well-tempered BATCH rounds (seq=0, strong tempering): the
+  //    reference tempers each hill of a multi-hill round against the LIVE
+  //    grid including same-round deposits (edm_bias.cpp:547-550).  Pins the
+  //    engine's n_passes="live" (one-hill-per-pass) mode exactly; the
+  //    batched round-start approximation's divergence is measured against
+  //    this fixture and bounded (test_oracle_sweep.py).
+  { Cfg c = {"wtbatch1d", 1, 1.19, 1.0, 1, 6.0, -1.0, 8.0, 500.0, 0.0,
+             {0.14, 0}, {0.0211, 0}, {0.0, 0}, {3.0, 0}, {1, 0},
+             0, {-0.3, 0}, {3.3, 0}, 6, 24, 909, 0, 120}; cfgs.push_back(c); }
+  // 10. 2-D mixed-periodicity well-tempered batch rounds (no capping:
+  //     any deferral makes the reference's next drain read uninitialized
+  //     overflow-buffer slot 0 — the Q3 pre-incremented cursor,
+  //     edm_bias.cpp:513-517 — giving garbage-dependent fixtures; the
+  //     cap-chain-across-passes machinery is pinned instead by replaying
+  //     the deterministic captgt1d fixture in live mode)
+  { Cfg c = {"wtbatch2d", 2, 1.07, 1.0, 1, 5.0, -1.0, 4.0, 300.0, 0.0,
+             {0.22, 0.25}, {0.064, 0.079}, {0.0, -0.8}, {2.8, 1.7}, {1, 0},
+             0, {-0.2, -0.9}, {3.0, 1.8}, 5, 16, 1010, 0, 100}; cfgs.push_back(c); }
 
   for (size_t ci = 0; ci < cfgs.size(); ci++) {
     const Cfg& c = cfgs[ci];

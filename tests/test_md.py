@@ -642,6 +642,57 @@ def test_coord_hill_compaction_matches_full_batch():
     assert float(sc.bias.cum_bias) > 0
 
 
+def test_coord_hill_passes_spill_instead_of_truncate():
+    """Never-drop rounds (VERDICT r3 item 4): a hill_capacity smaller than
+    the acceptance load truncates single-pass rounds (drops hills, sets the
+    sticky flag — biased sampling, the failure mode the reference's
+    mid-round flush avoids, edm_bias.cpp:459-462); with
+    hill_passes=K the same capacity spills into gated extra passes and the
+    trajectory/grid match the uncompacted full-batch host."""
+    from edm_tpu.utils.config import parse_edm_text
+
+    cfg = parse_edm_text(
+        "tempering 0\nhill_prefactor 0.2\nbias_per_step 5.0\nhill_density 40\n"
+        "dimension 1\nbox_low 0\nbox_high 6\nbias_spacing 0.05\nbias_sigma 0.2\n"
+    )
+    params, state = B.subdivide(
+        cfg, 1.0, 1.0, [0], [6], [0], [6], [True], [0], dtype=jnp.float32
+    )
+    lp = LangevinParams(dt=0.01, friction=2.0, kT=1.0)
+    x0 = jnp.asarray(
+        np.random.default_rng(9).uniform(0, 6, (700, 1)), jnp.float32
+    )
+    st0 = coord_edm.init_state(params, state, x0, jax.random.PRNGKey(7), lp)
+    # ~40 accepted/round vs capacity 16: single-pass truncates...
+    step_t = coord_edm.make_step(params, lp, hill_stride=3, hill_capacity=16)
+    # ...8 passes give 128 rows of headroom: no drop
+    step_p = coord_edm.make_step(
+        params, lp, hill_stride=3, hill_capacity=16, hill_passes=8
+    )
+    step_f = coord_edm.make_step(params, lp, hill_stride=3, hill_capacity=0)
+    st_t, _ = jax.jit(lambda s: coord_edm.run_segment(step_t, s, 10))(st0)
+    st_p, _ = jax.jit(lambda s: coord_edm.run_segment(step_p, s, 10))(st0)
+    st_f, _ = jax.jit(lambda s: coord_edm.run_segment(step_f, s, 10))(st0)
+    assert bool(st_t.hills_truncated)  # the failure mode being closed
+    assert not bool(st_p.hills_truncated)
+    np.testing.assert_allclose(
+        np.asarray(st_p.x), np.asarray(st_f.x), rtol=1e-5, atol=1e-5
+    )
+    gv_p = np.asarray(st_p.bias.bias.grid.values)
+    gv_f = np.asarray(st_f.bias.bias.grid.values)
+    np.testing.assert_allclose(
+        gv_p, gv_f, atol=1e-6 * max(1.0, np.abs(gv_f).max()), rtol=1e-5
+    )
+    assert np.array_equal(
+        np.asarray(st_p.bias.cv_hist.values),
+        np.asarray(st_f.bias.cv_hist.values),
+    )
+    assert abs(float(st_p.bias.cum_bias) - float(st_f.bias.cum_bias)) < 1e-5
+    assert float(st_p.bias.cum_bias) > 0
+    # the truncating run really dropped bias: cum strictly below full-batch
+    assert float(st_t.bias.cum_bias) < float(st_f.bias.cum_bias)
+
+
 @pytest.mark.slow
 def test_run_simulation_driver(tmp_path):
     """fix-style host loop: strided bias/histogram/table writes, histogram
