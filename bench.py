@@ -27,7 +27,13 @@ REF_STEPS_2D = 231.6  # 2-D coord EDM, 10k atoms, 1e6-pt grid (ref_bench2d.cpp)
 
 
 def bench_pairwise(n_atoms=10000, block=500, steps=900, hill_stride=10, dtype=None,
-                   pair_lookup="chebyshev"):
+                   pair_lookup="interp"):
+    # pair_lookup="interp" (the default since round 4) is the REFERENCE's
+    # exact production semantics (INTERPOLATE=1, edm_bias.h:18) — and since
+    # the per-lane dynamic-gather Hermite fetch (ops/cellforce_pallas) it is
+    # also the FASTER path (10k: 1162 vs 1063; 100k: 143.2 vs 127.9 on one
+    # v5e chip, same session).  "chebyshev" keeps the spectral approximate
+    # path measurable (reported as a secondary metric).
     import jax
     import jax.numpy as jnp
 
@@ -282,12 +288,17 @@ def main():
         "vs_baseline": round(hps / REF_HILLS_PER_SEC, 2),
     }), flush=True)
 
-    sps_exact = bench_pairwise(steps=600, pair_lookup="interp")
+    # NOTE r04 protocol change: the default pairwise path flipped from
+    # "chebyshev" to "interp" (the reference's exact lookup semantics, now
+    # also the faster path) — the headline 10k/100k metrics are therefore
+    # EXACT-lookup numbers from r04 on; this line keeps the spectral
+    # approximate path measurable for cross-round comparison
+    sps_cheb = bench_pairwise(steps=600, pair_lookup="chebyshev")
     print(json.dumps({
-        "metric": "MD steps/sec, 10000-atom pairwise EDM (exact cubic-interp lookup)",
-        "value": round(sps_exact, 2),
+        "metric": "MD steps/sec, 10000-atom pairwise EDM (approx. Chebyshev lookup)",
+        "value": round(sps_cheb, 2),
         "unit": "steps/s",
-        "vs_baseline": round(sps_exact / REF_STEPS_PER_SEC, 2),
+        "vs_baseline": round(sps_cheb / REF_STEPS_PER_SEC, 2),
     }), flush=True)
 
     sps_2d = bench_coord2d()
@@ -313,7 +324,7 @@ def main():
     # is <~3% of each segment
     sps_100k = bench_pairwise(n_atoms=100000, steps=360)
     print(json.dumps({
-        "metric": "MD steps/sec, 100000-atom pairwise EDM (full LJ+bias MD step)",
+        "metric": "MD steps/sec, 100000-atom pairwise EDM (full LJ+bias MD step, exact cubic-interp lookup)",
         "value": round(sps_100k, 2),
         "unit": "steps/s",
         "vs_baseline": round(sps_100k / REF_STEPS_100K, 2),
@@ -321,7 +332,7 @@ def main():
 
     sps = bench_pairwise()
     print(json.dumps({
-        "metric": "MD steps/sec, 10000-atom pairwise EDM (full LJ+bias MD step)",
+        "metric": "MD steps/sec, 10000-atom pairwise EDM (full LJ+bias MD step, exact cubic-interp lookup)",
         "value": round(sps, 2),
         "unit": "steps/s",
         "vs_baseline": round(sps / REF_STEPS_PER_SEC, 2),
