@@ -20,6 +20,7 @@
 //       -o /tmp/refbuild/oracle_boundary_sweep
 //   /tmp/refbuild/oracle_boundary_sweep tests/oracles/boundary_sweep.txt
 #include "edm_bias.h"
+#include <cmath>
 #include <cstdio>
 #include <string>
 
@@ -53,10 +54,11 @@ int main(int argc, char** argv) {
     bias.post_add_hill();
     fprintf(out, "HILL %.17g\nCUM %.15g\nPROBES %d\n", x, bias.cum_bias_, NP);
     for (int k = 0; k < NP; k++) {
-      // denser near the edges: map a cubic-stretched lattice onto [2, 8]
+      // denser near the edges: monotone sine-stretched lattice on [2, 8]
+      // (ds/dt = 1 - 0.8 cos(2 pi t) >= 0.2, s(0)=0, s(1)=1)
       double t = (double)k / (NP - 1);               // 0..1
-      double s = t + 0.7 * (t - 0.5) * (1 - 4 * (t - 0.5) * (t - 0.5));
-      double q = 2.0 + 6.0 * (s < 0 ? 0 : (s > 1 ? 1 : s));
+      double s = t - 0.8 * sin(2 * M_PI * t) / (2 * M_PI);
+      double q = 2.0 + 6.0 * s;
       double der[3] = {0, 0, 0};
       double v = bias.bias_->get_value_deriv(&q, der);
       fprintf(out, "P %.17g %.15g %.15g\n", q, v, der[0]);
