@@ -215,6 +215,120 @@ def test_cells_pattern_segment_matches_dynamic():
     assert float(ss.core.bias.cum_bias) > 0  # hills actually landed
 
 
+@pytest.mark.slow
+def test_cells_pattern_segment_bench_config_kt08_statistics():
+    """kT>0 guard on the EXACT pipeline bench.py ships (VERDICT r3 item 7):
+    the RDF-targeted well-tempered pairwise workload at kT=0.8 with the
+    static stride-cycle phases (hills+energy at 0, plain 1..8, rebuild
+    at 9) driven by pattern_segment, against the dynamic-cond step
+    advanced one jit call at a time.  Asserts cum_bias trace, energy
+    statistics, bias grid and CV histogram agree — catching any
+    hill-phase/mask bug that only fires under thermal motion.
+
+    Calibration (jax 0.8.x CPU, 400 steps): the two compositions are
+    BITWISE identical on the interp-lookup path — unlike the Chebyshev
+    path, there is no spectral refit to amplify composition rounding
+    (test_cells_pattern_segment_matches_dynamic docstring), and the
+    remaining f32 deposit-order rounding did not reach the forces.  The
+    bounds below are deliberately DISTRIBUTIONAL (not bitwise) so a
+    future XLA fusion change that rounds differently — which kT=0.8 LJ
+    chaos would amplify into decorrelated trajectories with the SAME
+    statistics — does not false-alarm; a phase/mask bug shifts the
+    statistics far beyond them (e.g. a dropped hill round moves cum_bias
+    by ~1/40 per round ~ 2.5%)."""
+    from edm_tpu.models import pair_edm
+    from edm_tpu.models.cells import CellSpec
+    from edm_tpu.models.driver import pattern_segment
+    from edm_tpu.models.lj import LJParams
+    from edm_tpu.models.pair_edm_cells import init_cell_state, make_cell_step
+    from edm_tpu.grid import Grid, GridSpec
+
+    # bench.py's workload, scaled 10k -> 1000 atoms (10^3 lattice; the
+    # per-jit ground-truth loop dominates the runtime — ~10 min at 1728
+    # atoms x 200 steps under the 8-device conftest mesh, ~5 at this size)
+    cfg = parse_edm_text(
+        "tempering 1\nbias_factor 10\nhill_prefactor 0.1\nbias_per_step 1.0\n"
+        "hill_density 250\ndimension 1\nbox_low 0\nbox_high 3.0\n"
+        "bias_spacing 0.02\nbias_sigma 0.1\n"
+    )
+    tspec = GridSpec.create([0.0], [3.0], [0.02], [False])
+    r_pts = np.arange(tspec.nbins[0]) * tspec.dx[0] + tspec.min[0]
+    tvals = -2.0 * np.log(np.maximum(r_pts, 0.5))
+    target = Grid(
+        values=jnp.asarray(tvals, jnp.float32), derivs=None, spec=tspec,
+        interpolate=False,
+    )
+    params, bias_state = B.subdivide(
+        cfg, 1.0, 1.0, [0], [3.0], [0], [3.0], [False], [0],
+        dtype=jnp.float32, target=target,
+    )
+    side, a = 10, 1.26
+    pts = (
+        np.stack(
+            np.meshgrid(*[np.arange(side)] * 3, indexing="ij"), -1
+        ).reshape(-1, 3) * a + 0.5 * a
+    )
+    box = [side * a] * 3
+    lp = LangevinParams(dt=0.002, friction=1.0, kT=0.8)  # bench kT
+    lj = LJParams(epsilon=1.0, sigma=1.0, rcut=2.5)
+    core = pair_edm.init_state(
+        bias_state, jnp.asarray(pts, jnp.float32), jax.random.PRNGKey(0),
+        n_est=len(pts) * 40, pair_lookup="interp",
+    )
+    spec = CellSpec.create(box, cutoff=3.05, n_atoms=len(pts))
+    state = init_cell_state(spec, core, with_ids=False)
+    kw = dict(
+        hill_stride=10, rebuild_stride=10, hill_capacity=512,
+        cell_chunk=81, use_pallas=False, energy_stride=10,
+    )
+    step_d = make_cell_step(params, lp, lj, spec, **kw)
+    step_0 = make_cell_step(
+        params, lp, lj, spec, static_do_hills=True, static_do_energy=True,
+        static_do_rebuild=False, **kw
+    )
+    step_m = make_cell_step(
+        params, lp, lj, spec, static_do_hills=False, static_do_energy=False,
+        static_do_rebuild=False, **kw
+    )
+    step_9 = make_cell_step(
+        params, lp, lj, spec, static_do_hills=False, static_do_energy=False,
+        static_do_rebuild=True, **kw
+    )
+
+    n = 150  # 15 hill rounds
+    st, es = state, []
+    step_j = jax.jit(step_d)
+    for _ in range(n):
+        st, e = step_j(st, None)
+        es.append(e)
+    es = np.asarray(jnp.stack(es))
+
+    ss, ys = jax.jit(
+        pattern_segment([(step_0, 1), (step_m, 8), (step_9, 1)], n)
+    )(state)
+    ys = np.asarray(ys)
+
+    assert np.isfinite(es).all() and np.isfinite(ys).all()
+    cum_d = float(st.core.bias.cum_bias)
+    cum_s = float(ss.core.bias.cum_bias)
+    assert cum_d > 0.5  # hills really landed at bench-like load
+    assert abs(cum_d - cum_s) < 1e-2 * cum_d, (cum_d, cum_s)
+    # energy trace statistics over the energy-evaluated steps
+    ed, esg = es[::10], ys[::10]
+    assert abs(ed.mean() - esg.mean()) < 2e-2 * abs(ed.mean())
+    assert abs(ed.std() - esg.std()) < 0.2 * ed.std() + 1e-6
+    gd = np.asarray(st.core.bias.bias.grid.values)
+    gs = np.asarray(ss.core.bias.bias.grid.values)
+    assert np.linalg.norm(gd - gs) < 2e-2 * np.linalg.norm(gd)
+    hd = np.asarray(st.core.bias.cv_hist.values)
+    hs = np.asarray(ss.core.bias.cv_hist.values)
+    # total CV-histogram mass counts hill-round bookkeeping events: a
+    # phase bug changes it by whole rounds
+    assert abs(hd.sum() - hs.sum()) < 5e-3 * hd.sum() + 1.0
+    assert not bool(ss.core.hills_truncated)
+    assert not bool(st.core.hills_truncated)
+
+
 def test_spatial_static_do_hills_matches_dynamic():
     """Sharded spatial host: static_do_hills phase variants reproduce the
     dynamic-cond step on the 8-device CPU mesh (per-call jit on both sides,
