@@ -343,6 +343,18 @@ def atom_positions(spec: CellSpec, state: CellPairState) -> jax.Array:
     )
 
 
+def _local_planar_gate(loc_cols: int, nx: int) -> bool:
+    """True -> the sharded hill collection builds its planar candidate
+    views LOCALLY (owned x-columns + halo; see collect_hills_half).  Cost
+    model: the local build pays one full-array origin-roll per input
+    (~1 D-write) to shrink the 13-roll + 14-wide concat to the window
+    fraction f (~27 f D-writes vs 27 global), a win when 1 + 27 f < 27;
+    gate at f <= 3/4 for noise margin — at toy CPU-mesh widths the window
+    is nearly the whole dim and the roll is pure loss.  Module-level so
+    tests can monkeypatch it to pin the local path on toy lattices."""
+    return 4 * loc_cols <= 3 * nx
+
+
 def _extract_first_m(acc, rvals, uvals, m_per_row: int, dtype):
     """First ``m_per_row`` accepted candidates per row, ascending column
     order: (hills_rows, runif_rows, valid_rows), each (R, m_per_row).
@@ -1263,8 +1275,39 @@ def make_cell_step(
             n_chunks_loc = n_chunks_h
             pad_extra = 0
         rows_pad = Cp_h + pad_extra  # sharded slices never clamp
-        sent = rows_pad * cap
+        sent = rows_pad * cap  # GLOBAL slot-row sentinel (keys/draws/order)
         n_rows_loc = n_chunks_loc * cell_chunk * cap
+
+        # Sharded modes build the planar candidate views LOCALLY over the
+        # owned x-columns + one +x halo column (+ chunk-overrun slack): the
+        # 3x13 full-array roll / 14-wide concat planar build was the
+        # dominant REPLICATED hill-round term.  One full-array roll brings
+        # the window to the local origin; the in-window x-roll's wrap only
+        # corrupts the halo column's own planar row, which is never an
+        # owned row.  Global slot-row ids still key the RNG, the sort keys
+        # and the sentinel, so the merged round stays bitwise the
+        # replicated one (the existing slab/brick parity pins cover this).
+        if slab:
+            x_lo = x0c
+            own_cols = q_s + (1 if rem_s else 0)
+        elif brick:
+            x_lo = x0c
+            own_cols = wxm_h + 1  # chunk spans cross into the next x-row
+        else:
+            x_lo = None
+        if x_lo is not None:
+            loc_cols = min(own_cols + 1, nx)
+            if not _local_planar_gate(loc_cols, nx):
+                x_lo = None
+        if x_lo is not None:
+            if slab:
+                pad_extra = 2 * cell_chunk  # local slices never clamp
+            C_loc = loc_cols * ny * nz
+            base_cell = x_lo * (ny * nz)
+        else:
+            C_loc = C
+            base_cell = jnp.zeros((), jnp.int32)
+        rows_pad_loc = C_loc + pad_extra
 
         def chunk_range(hi):
             """(first cell id, per-cell ownership mask) of scan chunk hi."""
@@ -1294,18 +1337,47 @@ def make_cell_step(
             return c0, (c0 + jnp.arange(cell_chunk)) < c_end
 
         def pad_rows(a):
-            if rows_pad > C:
+            tgt = rows_pad_loc if x_lo is not None else rows_pad
+            if tgt > a.shape[0]:
                 return jnp.concatenate(
-                    [a, jnp.zeros((rows_pad - C, a.shape[1]), a.dtype)], 0
+                    [a, jnp.zeros((tgt - a.shape[0], a.shape[1]), a.dtype)], 0
                 )
             return a
 
-        cand = [pad_rows(build_planar(g[..., c])) for c in range(3)]
-        candm = pad_rows(
-            jnp.concatenate([state.mc[:C], state.mnf[:C]], axis=1)
-            if state.mnf is not None
-            else build_planar(gm)
-        )
+        if x_lo is not None:
+            def localize4(a4):  # (nx, ny, nz, ...) -> (loc_cols, ny, nz, ...)
+                return jnp.roll(a4, -x_lo, axis=0)[:loc_cols]
+
+            def build_planar_loc(gp):  # gp (loc_cols, ny, nz, cap)
+                return jnp.concatenate(
+                    [gp.reshape(C_loc, cap)]
+                    + [
+                        jnp.roll(gp, (-di, -dj, -dk), (0, 1, 2)).reshape(
+                            C_loc, cap
+                        )
+                        for (di, dj, dk) in HALF_OFFSETS
+                    ],
+                    axis=1,
+                )
+
+            g_l = localize4(g)
+            cand = [pad_rows(build_planar_loc(g_l[..., c])) for c in range(3)]
+            candm = pad_rows(
+                localize4(
+                    jnp.concatenate(
+                        [state.mc[:C], state.mnf[:C]], axis=1
+                    ).reshape(nx, ny, nz, width)
+                ).reshape(C_loc, width)
+                if state.mnf is not None
+                else build_planar_loc(localize4(gm))
+            )
+        else:
+            cand = [pad_rows(build_planar(g[..., c])) for c in range(3)]
+            candm = pad_rows(
+                jnp.concatenate([state.mc[:C], state.mnf[:C]], axis=1)
+                if state.mnf is not None
+                else build_planar(gm)
+            )
         bb = box_arr.astype(dtype)
         bmax2 = bmax_cv * bmax_cv
 
@@ -1331,8 +1403,8 @@ def make_cell_step(
 
         def p1_chunk(carry, hi):
             row_counts, ncalls = carry
-            c0, own = chunk_range(hi)
-            _, cand_ok = half_tile(c0, cell_chunk)
+            c0, own = chunk_range(hi)  # global cell ids (RNG/order keys)
+            _, cand_ok = half_tile(c0 - base_cell, cell_chunk)
             cand_ok = cand_ok & own[:, None, None]
             rows = (c0 * cap + jnp.arange(cell_chunk * cap)).astype(jnp.int32)
             u = draws(rows, cell_chunk)
@@ -1381,9 +1453,13 @@ def make_cell_step(
         )
         n_rows = jnp.sum(has.astype(jnp.int32)).astype(jnp.int32)
 
-        # pass 2 on selected slot-rows: row gather of the planar views
+        # pass 2 on selected slot-rows: row gather of the planar views.
+        # rows_c stays GLOBAL (RNG keys); gathers index the LOCAL views
         rows_c = jnp.clip(rows_sel, 0, sent - 1)
-        cells_c = rows_c // cap
+        loc_rows = jnp.clip(
+            rows_sel - base_cell * cap, 0, rows_pad_loc * cap - 1
+        ) if x_lo is not None else rows_c
+        cells_c = loc_rows // cap
         slot_c = rows_c % cap
         r2 = None
         ms = candm[cells_c]  # (row_cap, width)

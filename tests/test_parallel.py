@@ -583,3 +583,55 @@ def test_brick_cell_host_small_lattice_fallback(grid):
         np.asarray(s1.core.bias.bias.grid.values),
     )
     assert float(sN.core.bias.cum_bias) > 0
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", ["slab", "brick"])
+def test_local_planar_collection_matches_global(mode, monkeypatch):
+    """The sharded hill collection's LOCAL planar candidate build (owned
+    x-columns + one +x halo column, rolled to local origin; engaged by
+    models.pair_edm_cells._local_planar_gate at production widths) is
+    bitwise the GLOBAL planar build: same draws (keyed by global slot-row
+    ids), same candidate tiles, same merged round — so whole trajectories
+    at kT > 0 match exactly.  Toy lattices disengage the cost-model gate,
+    so both settings are forced here."""
+    import edm_tpu.models.pair_edm_cells as PC
+    from edm_tpu.models.cells import CellSpec
+    from edm_tpu.models.pair_edm_cells import init_cell_state
+    from edm_tpu.parallel import make_brick_mesh
+    from edm_tpu.parallel.cells import make_brick_cell_step, make_slab_cell_step
+
+    params, bias_state, x0, box = _setup(10)
+    lp = LangevinParams(dt=0.002, friction=1.0, kT=0.8)
+    spec = CellSpec.create(box, cutoff=3.0, n_atoms=x0.shape[0])
+    core = pair_edm.init_state(
+        bias_state, x0, jax.random.PRNGKey(0), pair_lookup="chebyshev",
+        cheb_deg=16, cheb_panels=4,
+    )
+    st0 = init_cell_state(spec, core, with_ids=False)
+
+    def build():
+        if mode == "slab":
+            return make_slab_cell_step(
+                params, lp, LJParams(), spec, hill_stride=2,
+                mesh=make_mesh(4), hill_capacity=512,
+            )
+        return make_brick_cell_step(
+            params, lp, LJParams(), spec, hill_stride=2,
+            mesh=make_brick_mesh(2, 2), hill_capacity=512,
+        )
+
+    monkeypatch.setattr(PC, "_local_planar_gate", lambda loc, nx: True)
+    step_loc = build()
+    monkeypatch.setattr(PC, "_local_planar_gate", lambda loc, nx: False)
+    step_glob = build()
+
+    s_l, s_g = st0, st0
+    for _ in range(4):
+        s_l, _ = step_loc(s_l)
+        s_g, _ = step_glob(s_g)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_l), jax.tree_util.tree_leaves(s_g)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(s_l.core.bias.cum_bias) > 0  # hills actually landed
