@@ -550,7 +550,7 @@ def dense_tables_mcgdp(gg: GaussGrid, centers: jax.Array) -> McGDPTables:
     s = (s + sv) * vol
     return McGDPTables(
         sep_value=sep_value, sep_grads=tuple(sep_grads),
-        strip_cache=dict(per=per, dstar=dstar, hill_okf=hill_okf), s=s,
+        strip_cache=dict(per=per, dstar=dstar, hill_okf=hill_okf, x=x), s=s,
     )
 
 
@@ -762,9 +762,65 @@ def _mcgdp_strip_grad(gg, per, gdim, hill_okf, heights):
     return acc
 
 
+# Hill-compaction capacity for the deposit's strip passes (floor of
+# max(this, H // 8)).  The dense (hills, G_others..., S) strip fields are
+# the dominant cost of a McGDP deposit at production hill loads, yet a
+# hill contributes to dim d's strip ONLY if it sits within
+# (BC_MAR + sqrt(GAUSS_SUPPORT)) * sigma'_d of a boundary (the spherical
+# mask `valid` is exactly zero otherwise) — typically a few % of the
+# batch.  deposit_from_mcgdp rank-compacts contributing hills to this
+# capacity (recomputing their per-dim fields from the compacted centers:
+# gathers touch only (H,)-scalars, never (H, G) rows) and falls back
+# in-graph to the dense full-batch pass if more hills reach the strip.
+_STRIP_COMPACT_CAP = 256
+
+
+def _strip_field_compact(gg, tabs, heights, d_strip, kind):
+    """(G_others..., S) strip field of dim ``d_strip`` (value or grad),
+    summed over hills — via near-boundary hill compaction with a dense
+    fallback (see _STRIP_COMPACT_CAP)."""
+    spec = gg.spec
+    per = tabs.strip_cache["per"]
+    hill_okf = tabs.strip_cache["hill_okf"]
+    x = tabs.strip_cache["x"]
+    fn = _mcgdp_strip_value if kind == "value" else _mcgdp_strip_grad
+    H = heights.shape[0]
+    cap_s = max(_STRIP_COMPACT_CAP, H // 8)
+    if cap_s >= H:
+        return fn(gg, per, d_strip, hill_okf, heights)
+
+    sig = spec.sigma[d_strip]
+    reach = (BC_MAR + math.sqrt(GAUSS_SUPPORT)) * sig + float(
+        spec.grid.dx[d_strip]
+    )
+    bmin = spec.boundary_min[d_strip]
+    bmax = spec.boundary_max[d_strip]
+    xd = x[:, d_strip]
+    near = (jnp.abs(xd - bmin) < reach) | (jnp.abs(xd - bmax) < reach)
+    near = near & (heights != 0)
+    ranks = jnp.cumsum(near.astype(jnp.int32)) - 1
+    count = jnp.sum(near.astype(jnp.int32))
+    tgt = jnp.where(near & (ranks < cap_s), ranks, cap_s)
+    hidx = jnp.arange(H, dtype=jnp.int32)
+    idx = jnp.zeros((cap_s,), jnp.int32).at[tgt].set(hidx, mode="drop")
+    keep = jnp.arange(cap_s) < count
+    xc = x[idx]  # (cap_s, D) — scalar-row gather only
+    hc = jnp.where(keep, heights[idx], 0)
+
+    def compacted(_):
+        _, okf_c, per_c = _mcgdp_base(gg, xc)
+        return fn(gg, per_c, d_strip, okf_c, hc)
+
+    def dense(_):
+        return fn(gg, per, d_strip, hill_okf, heights)
+
+    return jax.lax.cond(count <= cap_s, compacted, dense, None)
+
+
 def deposit_from_mcgdp(gg: GaussGrid, tabs: McGDPTables, heights):
     """Commit a 2-D/3-D McGDP deposit: separable einsum terms + strip
-    fields, then boundary-row duplication."""
+    fields (near-boundary hill compaction, _strip_field_compact), then
+    boundary-row duplication."""
     spec = gg.spec
     D = spec.dim
     heights = jnp.asarray(heights, gg.dtype)
@@ -792,7 +848,7 @@ def deposit_from_mcgdp(gg: GaussGrid, tabs: McGDPTables, heights):
 
     values = gg.grid.values + contract(tabs.sep_value)
     values = values + place(
-        _mcgdp_strip_value(gg, per, dstar, hill_okf, heights), dstar
+        _strip_field_compact(gg, tabs, heights, dstar, "value"), dstar
     )
     derivs = gg.grid.derivs
     for d in range(D):
@@ -801,7 +857,7 @@ def deposit_from_mcgdp(gg: GaussGrid, tabs: McGDPTables, heights):
             dd = dd + contract(fs)
         if not spec.boundary_periodic[d]:
             dd = dd + place(
-                _mcgdp_strip_grad(gg, per, d, hill_okf, heights), d
+                _strip_field_compact(gg, tabs, heights, d, "grad"), d
             )
         derivs = derivs.at[..., d].add(dd)
     grid = dataclasses.replace(gg.grid, values=values, derivs=derivs)

@@ -136,3 +136,61 @@ def test_mcgdp2d_engine_round_capped():
         np.asarray(gw.grid.values) - np.asarray(st2.bias.grid.values)
     )
     assert dv[~amb].max() < 1e-12
+
+
+def test_strip_compaction_matches_dense(monkeypatch):
+    """The deposit's strip passes rank-compact hills that actually reach a
+    boundary strip (|x_d - wall| < (BC_MAR + sqrt(8)) sigma'_d; everything
+    else is EXACTLY zeroed by the spherical mask) and fall back in-graph
+    to the dense full-batch pass when the capacity overflows.  Both
+    branches must reproduce the uncompacted deposit: zeros contribute
+    nothing to the hill tensordot, so only chunk-boundary regrouping
+    (f64 ~1e-15) separates them."""
+    import edm_tpu.ops.deposit as DEP
+
+    g0 = GaussGrid.create(
+        [0, 0], [4.0, 3.0], [0.02, 0.024], [False, False], [0.05, 0.06],
+        dtype=jnp.float64,
+    )
+    rng = np.random.default_rng(5)
+    H = 96
+    # spread batch: a handful of hills near each wall, the rest interior;
+    # a few zero-height rows (the cap/inactive pattern)
+    centers = np.stack(
+        [rng.uniform(0.5, 3.5, H), rng.uniform(0.5, 2.5, H)], -1
+    )
+    centers[:6, 0] = rng.uniform(0.0, 0.2, 6)       # near x-low wall
+    centers[6:12, 1] = rng.uniform(2.8, 3.0, 6)     # near y-high wall
+    heights = rng.uniform(0.05, 0.3, H)
+    heights[::11] = 0.0
+    cj = jnp.asarray(centers)
+    hj = jnp.asarray(heights)
+    # self-check branch selection: the near-wall population must fit the
+    # forced cap 24 (compacted branch) but overflow cap 2 (dense fallback)
+    import math as _m
+    from edm_tpu.gauss import BC_MAR as _BCM, GAUSS_SUPPORT as _GS
+    for d, (lo, hi) in enumerate(((0.0, 4.0), (0.0, 3.0))):
+        sig = [0.05, 0.06][d] * _m.sqrt(2)
+        reach = (_BCM + _m.sqrt(_GS)) * sig + [0.02, 0.024][d]
+        near = (
+            (np.abs(centers[:, d] - lo) < reach)
+            | (np.abs(centers[:, d] - hi) < reach)
+        ) & (heights != 0)
+        assert 2 < near.sum() <= 24, (d, near.sum())
+
+    def run():
+        tabs = dense_tables_mcgdp_2d(g0, cj)
+        return np.asarray(deposit_from_mcgdp_2d(g0, tabs, hj).grid.values), \
+            np.asarray(deposit_from_mcgdp_2d(g0, tabs, hj).grid.derivs)
+
+    ref_v, ref_d = run()  # cap 256 >= H: plain uncompacted pass
+
+    monkeypatch.setattr(DEP, "_STRIP_COMPACT_CAP", 24)
+    cmp_v, cmp_d = run()  # ~12 near-wall hills < 24: compacted branch
+    np.testing.assert_allclose(cmp_v, ref_v, rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(cmp_d, ref_d, rtol=1e-12, atol=1e-13)
+
+    monkeypatch.setattr(DEP, "_STRIP_COMPACT_CAP", 2)
+    ovf_v, ovf_d = run()  # capacity overflows: dense in-graph fallback
+    np.testing.assert_allclose(ovf_v, ref_v, rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(ovf_d, ref_d, rtol=1e-12, atol=1e-13)
