@@ -837,14 +837,29 @@ def deposit_from_mcgdp(gg: GaussGrid, tabs: McGDPTables, heights):
 
     def place(field, d_strip):
         """(G_others..., S) strip field -> full-grid array (grid dim
-        order restored by moving the strip axis into place)."""
-        strip = per[d_strip]["strip"]
+        order restored by moving the strip axis into place).  The strip
+        is a union of CONTIGUOUS row runs (one per boundary), so the
+        placement is static slice-adds — an integer-array index here
+        would lower to an XLA scatter (~0.4 ms per pass at 1e6 grids
+        at the measured scatter rate)."""
+        strip = per[d_strip]["strip"]  # numpy, trace-time
+        segs = np.split(
+            np.arange(len(strip)), np.where(np.diff(strip) > 1)[0] + 1
+        )
         out = jnp.zeros(spec.grid.nbins, gg.dtype)
         f = jnp.moveaxis(field, -1, d_strip)
-        idx = tuple(
-            strip if k == d_strip else slice(None) for k in range(D)
-        )
-        return out.at[idx].add(f)
+        for seg in segs:
+            a = int(strip[seg[0]])
+            b = int(strip[seg[-1]]) + 1
+            fsl = jax.lax.slice_in_dim(
+                f, int(seg[0]), int(seg[-1]) + 1, axis=d_strip
+            )
+            idx = tuple(
+                slice(a, b) if k == d_strip else slice(None)
+                for k in range(D)
+            )
+            out = out.at[idx].add(fsl)
+        return out
 
     values = gg.grid.values + contract(tabs.sep_value)
     values = values + place(
