@@ -27,7 +27,7 @@ REF_STEPS_2D = 231.6  # 2-D coord EDM, 10k atoms, 1e6-pt grid (ref_bench2d.cpp)
 
 
 def bench_pairwise(n_atoms=10000, block=500, steps=900, hill_stride=10, dtype=None,
-                   pair_lookup="interp"):
+                   pair_lookup="interp", kernel_cap=24, overflow_cap=128):
     # pair_lookup="interp" (the default since round 4) is the REFERENCE's
     # exact production semantics (INTERPOLATE=1, edm_bias.h:18) — and since
     # the per-lane dynamic-gather Hermite fetch (ops/cellforce_pallas) it is
@@ -100,7 +100,19 @@ def bench_pairwise(n_atoms=10000, block=500, steps=900, hill_stride=10, dtype=No
     if min(spec.ncells) >= 3:
         from edm_tpu.models.driver import pattern_segment
 
-        state = init_cell_state(spec, core, with_ids=False)
+        # kernel_cap=24 (r04): the Newton kernel runs at 24 slot rows /
+        # candidates (0.64x the cap-32 pair-slot volume at ~14.6 mean
+        # occupancy) and the few tail-slot atoms (sum of max(0, occ-24),
+        # ~0.1% at this density) are swept by the dense overflow side
+        # pass (ops/cellforce_pallas.overflow_forces_pallas); forces match
+        # the full-cap kernel to f32 reduction order, residency/RNG/hill
+        # order unchanged.  table_overflow (asserted below) also covers
+        # overflow_cap exhaustion.
+        if kernel_cap is not None and kernel_cap < spec.cap:
+            kcap_kw = dict(kernel_cap=kernel_cap, overflow_cap=overflow_cap)
+        else:
+            kcap_kw = {}
+        state = init_cell_state(spec, core, with_ids=False, **kcap_kw)
         # deg 16 x 4 panels / chunk 81 tuned on-chip (see docs/algorithms.md
         # for the accuracy budget; profile in git history); the exact-interp
         # path runs the same Newton kernel with the in-kernel HermiteTable
@@ -112,7 +124,7 @@ def bench_pairwise(n_atoms=10000, block=500, steps=900, hill_stride=10, dtype=No
         # pass-through branches would copy the slot planes every step
         kw = dict(
             hill_stride=hill_stride, rebuild_stride=10, hill_capacity=2048,
-            cell_chunk=81, use_pallas=True, energy_stride=10,
+            cell_chunk=81, use_pallas=True, energy_stride=10, **kcap_kw,
         )
         assert hill_stride == 10 and steps % 10 == 0
         step0 = make_cell_step(

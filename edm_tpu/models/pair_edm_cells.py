@@ -95,6 +95,14 @@ class CellPairState:
     # HBM bandwidth on the hot force path
     tnf: Optional[jax.Array] = None  # (Cg, 13cap) rolled half-stencil type
     # plane, cached alongside ``ts`` for type-filtered Pallas runs
+    mkf: Optional[jax.Array] = None  # (Cg, 13*kernel_cap) rolled candidate
+    # mask of the LOW slots only — the reduced-cap Newton kernel's
+    # candidate plane (make_cell_step(kernel_cap=...)); cached per
+    # rebuild/rebin alongside ``mnf`` (hills keep the full-cap plane)
+    ovl: Optional[jax.Array] = None  # (overflow_cap,) int32 flat slot ids
+    # of occupied TAIL slots (slot >= kernel_cap; sentinel = Cg*cap),
+    # compacted per rebuild/rebin — the dense overflow side pass's row
+    # list (ops/cellforce_pallas.overflow_forces_pallas)
 
 
 def _padded_cells(spec: CellSpec) -> int:
@@ -110,8 +118,32 @@ def _stencil_padded(spec: CellSpec, Cg: int) -> jnp.ndarray:
     )
 
 
+def _tail_list(aid2, n: int, cap: int, kcap: int, ocap: int):
+    """Compact flat slot ids of occupied TAIL slots (slot >= kcap).
+
+    Returns ((ocap,) int32 ids, sentinel Cg*cap for empties; bool overflow
+    when more than ``ocap`` tail slots are occupied).  The tail population
+    is the sum over cells of max(0, occupancy - kcap) after a full
+    (argsort-packed) rebuild, and can only change at rebins — movers fill
+    the LOWEST holes first (models/cells.plan_incremental_rebin's hrank),
+    so slots >= kcap fill only when a cell's low slots are all taken."""
+    Cg = aid2.shape[0]
+    S = Cg * cap
+    occ = (aid2[:, kcap:] < n).reshape(-1)
+    sids = (
+        jnp.arange(Cg, dtype=jnp.int32)[:, None] * cap
+        + jnp.arange(kcap, cap, dtype=jnp.int32)[None, :]
+    ).reshape(-1)
+    ranks = jnp.cumsum(occ.astype(jnp.int32)) - 1
+    tgt = jnp.where(occ, ranks, ocap)
+    ovl = jnp.full((ocap,), S, jnp.int32).at[tgt].set(sids, mode="drop")
+    count = jnp.sum(occ.astype(jnp.int32))
+    return ovl, count > ocap
+
+
 def _slots_from_atoms(spec: CellSpec, Cg: int, sten_g, x, v, f, aid_g,
-                      with_ids: bool = True, types_arr=None):
+                      with_ids: bool = True, types_arr=None,
+                      kernel_cap=None, overflow_cap: int = 128):
     """Gather atom arrays into slot layout + rebuild the cached masks.
 
     ``with_ids=False`` skips the (Cg, 27cap) stencil mask/id arrays (only
@@ -160,7 +192,12 @@ def _slots_from_atoms(spec: CellSpec, Cg: int, sten_g, x, v, f, aid_g,
     fs = fs * mc[..., None]
     mnf = _half_concat(mc, spec.ncells, cap, Cg)
     tnf = None if ts is None else _half_concat(ts, spec.ncells, cap, Cg)
-    return xs, vs, fs, mc, mn, sid, nid, ts, mnf, tnf
+    if kernel_cap is not None:
+        mkf = _half_concat(mc[:, :kernel_cap], spec.ncells, kernel_cap, Cg)
+        ovl, ovl_ovf = _tail_list(aid2, n, cap, kernel_cap, overflow_cap)
+    else:
+        mkf, ovl, ovl_ovf = None, None, jnp.zeros((), bool)
+    return xs, vs, fs, mc, mn, sid, nid, ts, mnf, tnf, mkf, ovl, ovl_ovf
 
 
 def _atoms_from_slots(spec: CellSpec, aid_g, xs, vs, fs):
@@ -386,7 +423,8 @@ def _extract_first_m(acc, rvals, uvals, m_per_row: int, dtype):
 
 
 def init_cell_state(
-    spec: CellSpec, core: PairEDMState, with_ids: bool = True, types=None
+    spec: CellSpec, core: PairEDMState, with_ids: bool = True, types=None,
+    kernel_cap=None, overflow_cap: int = 128,
 ) -> CellPairState:
     """``with_ids=False`` builds a light state without the (Cg, 27cap)
     stencil id masks — they are only consumed by ``use_pallas="full"``;
@@ -394,7 +432,11 @@ def init_cell_state(
     rebuild's largest mask build.  The step follows the state's structure
     (light in -> light rebuilds).  ``types`` (N,) caches the per-slot type
     plane for type-filtered Pallas runs (pass the same array to
-    make_cell_step)."""
+    make_cell_step).  ``kernel_cap``/``overflow_cap`` cache the reduced-cap
+    candidate mask + tail-slot list for reduced-cap kernel runs (pass the
+    same values to make_cell_step); a tail population beyond
+    ``overflow_cap`` sets ``table_overflow`` (same pairs-dropped severity
+    as a cell exceeding ``cap``)."""
     Cg = _padded_cells(spec)
     sten_g = _stencil_padded(spec, Cg)
     table = build_table(spec, core.x)
@@ -402,14 +444,18 @@ def init_cell_state(
     aid_g = jnp.concatenate(
         [table.aid, jnp.full((Cg * spec.cap - spec.n_slots,), n, jnp.int32)]
     )
-    xs, vs, fs, mc, mn, sid, nid, ts, mnf, tnf = _slots_from_atoms(
-        spec, Cg, sten_g, core.x, core.v, core.f, aid_g, with_ids=with_ids,
-        types_arr=types,
+    xs, vs, fs, mc, mn, sid, nid, ts, mnf, tnf, mkf, ovl, ovl_ovf = (
+        _slots_from_atoms(
+            spec, Cg, sten_g, core.x, core.v, core.f, aid_g,
+            with_ids=with_ids, types_arr=types,
+            kernel_cap=kernel_cap, overflow_cap=overflow_cap,
+        )
     )
     return CellPairState(
         core=core, aid=aid_g, xs=xs, vs=vs, fs=fs,
-        mc=mc, mn=mn, sid=sid, nid=nid, table_overflow=table.overflow,
-        ts=ts, mnf=mnf, tnf=tnf,
+        mc=mc, mn=mn, sid=sid, nid=nid,
+        table_overflow=table.overflow | ovl_ovf,
+        ts=ts, mnf=mnf, tnf=tnf, mkf=mkf, ovl=ovl,
     )
 
 
@@ -442,6 +488,8 @@ def make_cell_step(
     static_do_hills: Optional[bool] = None,
     static_do_energy: Optional[bool] = None,
     static_do_rebuild: Optional[bool] = None,
+    kernel_cap: Optional[int] = None,
+    overflow_cap: int = 128,
 ):
     """``slab_axis``/``slab_ndev``: run the force pass slab-sharded under
     ``shard_map`` over that mesh axis — each device evaluates the Newton
@@ -496,7 +544,40 @@ def make_cell_step(
     ``static_do_hills=True`` step deposits regardless of ``state.step``).
     ``None`` keeps the dynamic cond; the static and dynamic paths match
     to XLA loop-fusion rounding (integer leaves exactly — same RNG
-    stream; see tests/test_strided.py)."""
+    stream; see tests/test_strided.py).
+
+    ``kernel_cap``/``overflow_cap``: run the Newton force kernel at a
+    REDUCED row/candidate cap (slots 0..kernel_cap-1 only) and evaluate
+    every pair with a member in a tail slot (>= kernel_cap) in one dense
+    Pallas side pass over the compacted tail-atom list
+    (ops/cellforce_pallas.overflow_forces_pallas).  The kernel's pair-slot
+    volume scales ~kernel_cap^2 while mean occupancy is far below ``cap``
+    (cap is mean + 4 sigma; docs/perf.md "cap slack"), so kernel_cap=24 at
+    cap 32 cuts ~36% of the executed slots for a ~0.3 ms dense sweep.
+    Storage, residency, the RNG streams, hill collection and deposit order
+    are all UNCHANGED (hills keep the full-cap planes) — only the force
+    pair sum is split, so forces match the full-cap kernel to f32
+    reduction-order rounding.  Requires the default Newton path
+    (use_pallas=True, unsharded, untyped) and a state built with
+    ``init_cell_state(..., kernel_cap=..., overflow_cap=...)``.  A tail
+    population beyond ``overflow_cap`` (or an incremental-rebin plan that
+    would exceed it — such plans fall back to the full packing rebuild)
+    sets ``table_overflow``."""
+    if kernel_cap is not None:
+        if use_pallas is not True:
+            raise ValueError("kernel_cap requires the default Newton "
+                             "kernel path (use_pallas=True)")
+        if slab_axis is not None or brick_axes is not None:
+            raise ValueError("kernel_cap is single-device only (the "
+                             "sharded hosts run the full-cap kernel)")
+        if types is not None and type_pair is not None:
+            raise ValueError("kernel_cap does not support type-filtered "
+                             "runs")
+        if kernel_cap % 8 or not 0 < kernel_cap < spec.cap:
+            raise ValueError("kernel_cap must be a positive multiple of 8 "
+                             "below spec.cap")
+        if overflow_cap % 8:
+            raise ValueError("overflow_cap must be a multiple of 8")
     if brick_axes is not None and slab_axis is not None:
         raise ValueError("brick_axes and slab_axis are mutually exclusive")
     if brick_axes is not None and not use_pallas:
@@ -981,6 +1062,90 @@ def make_cell_step(
                 )
             return jnp.sum(eb), jnp.stack([fx, fy, fz], axis=-1)
 
+        def pallas_rc_overflow_force(xs):
+            """Reduced-cap Newton pass + dense overflow side pass
+            (kernel_cap): the resident-credit kernel runs over low slots
+            (rows AND candidates < kernel_cap); pairs touching a tail
+            slot are swept densely from the cached compacted tail list
+            (state.ovl) against all placed low slots, with Newton credits
+            added onto the low-slot force planes and tail-atom forces
+            scattered back into their slots (~overflow_cap rows — a
+            trivial scatter)."""
+            from ..ops.cellforce_pallas import (
+                cell_forces_pallas_newton_rescredit,
+                overflow_forces_pallas,
+            )
+
+            if state.mkf is None or state.ovl is None:
+                raise ValueError(
+                    "kernel_cap runs need the cached tail list: build the "
+                    "state with init_cell_state(..., kernel_cap=..., "
+                    "overflow_cap=...)"
+                )
+            kcap = kernel_cap
+            dtype = xs.dtype
+            S = Cg * cap
+            xs_k = xs[:, :kcap, :]
+            mc_k = state.mc[:, :kcap]
+            xc_f, xn_f = _planar_coord_views(xs_k, spec.ncells, kcap, Cg)
+            tbl = _table(state)
+            # compacted tail-atom planes (coords zeroed at empty rows so
+            # the dense tile's masked distances stay benign)
+            mo = (state.ovl < S).astype(dtype)
+            xo3 = xs.reshape(S, 3)[jnp.clip(state.ovl, 0, S - 1)]
+            xo3 = xo3 * mo[:, None]
+            ocap = state.ovl.shape[0]
+            xo_f = jnp.concatenate(
+                [xo3.T, mo[None, :], jnp.zeros((4, ocap), dtype)], axis=0
+            )
+            # partner planes: every placed low slot, flat slot-major
+            N_low = Cg * kcap
+            N_pad = -(-N_low // 128) * 128
+            xp_f = jnp.stack(
+                [xs_k[..., 0].reshape(-1), xs_k[..., 1].reshape(-1),
+                 xs_k[..., 2].reshape(-1), mc_k.reshape(-1)]
+            )
+            if N_pad > N_low:
+                xp_f = jnp.pad(xp_f, ((0, 0), (0, N_pad - N_low)))
+
+            def call(energy):
+                fx, fy, fz, eb = cell_forces_pallas_newton_rescredit(
+                    xc_f, xn_f, mc_k, state.mkf, tbl,
+                    cap=kcap, ncells=spec.ncells, box=spec.box,
+                    lj_eps=lj.epsilon, lj_sig=lj.sigma, lj_rcut=lj.rcut,
+                    energy=energy,
+                )
+                fo, fp = overflow_forces_pallas(
+                    xo_f, xp_f, tbl, box=spec.box,
+                    lj_eps=lj.epsilon, lj_sig=lj.sigma, lj_rcut=lj.rcut,
+                    energy=energy,
+                )
+                return fx, fy, fz, eb, fo, fp
+
+            if do_energy is None:
+                fx, fy, fz, eb, fo, fp = call(True)
+            elif isinstance(do_energy, bool):
+                fx, fy, fz, eb, fo, fp = call(do_energy)
+            else:
+                fx, fy, fz, eb, fo, fp = jax.lax.cond(
+                    do_energy, lambda _: call(True), lambda _: call(False),
+                    None,
+                )
+            ztail = jnp.zeros((Cg, cap - kcap), fx.dtype)
+            comps = []
+            for c, fc in enumerate((fx, fy, fz)):
+                fc = fc + fp[c, :N_low].reshape(Cg, kcap)
+                comps.append(jnp.concatenate([fc, ztail], axis=1))
+            f_full = jnp.stack(comps, axis=-1)
+            fo3 = jnp.stack([fo[0], fo[1], fo[2]], axis=-1)
+            f_full = (
+                f_full.reshape(S, 3)
+                .at[state.ovl]
+                .add(fo3, mode="drop")
+                .reshape(Cg, cap, 3)
+            )
+            return jnp.sum(eb) + jnp.sum(fo[3]), f_full
+
         def force_fn(xs):
             if brick_axes is not None:
                 return brick_newton_force(xs)
@@ -995,6 +1160,8 @@ def make_cell_step(
                 # "rc" default applies credits in-kernel instead)
                 return pallas_newton_force(xs)
             if use_pallas:
+                if kernel_cap is not None:
+                    return pallas_rc_overflow_force(xs)
                 return pallas_rc_force(xs)
             dtype = xs.dtype
             aid2 = state.aid.reshape(Cg, cap)
@@ -1754,14 +1921,18 @@ def make_cell_step(
             aid_g = jnp.concatenate(
                 [t.aid, jnp.full((Cg * cap - spec.n_slots,), n, jnp.int32)]
             )
-            nxs, nvs, nfs, mc, mn, sid, nid, ts, mnf, tnf = _slots_from_atoms(
+            (nxs, nvs, nfs, mc, mn, sid, nid, ts, mnf, tnf, mkf, ovl,
+             ovl_ovf) = _slots_from_atoms(
                 spec, Cg, sten_g, x_at, v_at, f_at, aid_g,
                 with_ids=state.sid is not None,
                 types_arr=types_arr if state.ts is not None else None,
+                kernel_cap=kernel_cap, overflow_cap=overflow_cap,
             )
             return (
                 aid_g, nxs, nvs, nfs, mc, mn, sid, nid, ts, mnf, tnf,
-                state.table_overflow | t.overflow, x_at, v_at, f_at,
+                mkf, ovl,
+                state.table_overflow | t.overflow | ovl_ovf,
+                x_at, v_at, f_at,
             )
 
         def rebuild(_):
@@ -1773,6 +1944,25 @@ def make_cell_step(
 
             S = Cg * cap
             plan = plan_incremental_rebin(spec, Cg, state.aid, xs, mover_cap)
+            feasible = plan.feasible
+            if kernel_cap is not None:
+                # a rebin must not grow the tail past the overflow list:
+                # count tail arrivals/departures from the plan (a mover
+                # whose source AND dest are tail slots cancels) and fall
+                # back to the packing rebuild when the post-rebin tail
+                # would exceed overflow_cap
+                cur_tail = jnp.sum((state.ovl < S).astype(jnp.int32))
+                leave = jnp.sum(
+                    ((plan.m_src < S) & (plan.m_src % cap >= kernel_cap))
+                    .astype(jnp.int32)
+                )
+                arrive = jnp.sum(
+                    ((plan.m_dest < S) & (plan.m_dest % cap >= kernel_cap))
+                    .astype(jnp.int32)
+                )
+                feasible = feasible & (
+                    cur_tail - leave + arrive <= overflow_cap
+                )
 
             def fast(_):
                 # slot-to-slot incremental rebin: only boundary-crossing
@@ -1803,19 +1993,29 @@ def make_cell_step(
                     if ts2 is not None
                     else None
                 )
+                if kernel_cap is not None:
+                    mkf2 = _half_concat(
+                        mc2[:, :kernel_cap], spec.ncells, kernel_cap, Cg
+                    )
+                    ovl2, ovf2 = _tail_list(
+                        aid2, n, cap, kernel_cap, overflow_cap
+                    )
+                else:
+                    mkf2, ovl2, ovf2 = None, None, jnp.zeros((), bool)
                 # core.x/v/f stay stale (atom_positions() is the live view)
                 return (
                     aid_new, nxs, nvs, nfs, mc2, None, None, None, ts2,
-                    mnf2, tnf2,
-                    state.table_overflow, core.x, core.v, core.f,
+                    mnf2, tnf2, mkf2, ovl2,
+                    state.table_overflow | ovf2, core.x, core.v, core.f,
                 )
 
-            return jax.lax.cond(plan.feasible, fast, full_rebuild, None)
+            return jax.lax.cond(feasible, fast, full_rebuild, None)
 
         def keep(_):
             return (
                 state.aid, xs, vs, fs, state.mc, state.mn, state.sid,
                 state.nid, state.ts, state.mnf, state.tnf,
+                state.mkf, state.ovl,
                 state.table_overflow, core.x, core.v, core.f,
             )
 
@@ -1826,8 +2026,8 @@ def make_cell_step(
         else:
             outs = keep(None)
         (
-            aid_g, nxs, nvs, nfs, mc, mn, sid, nid, ts, mnf, tnf, overflow,
-            x_at, v_at, f_at,
+            aid_g, nxs, nvs, nfs, mc, mn, sid, nid, ts, mnf, tnf, mkf, ovl,
+            overflow, x_at, v_at, f_at,
         ) = outs
 
         new_core = PairEDMState(
@@ -1839,7 +2039,7 @@ def make_cell_step(
         new_state = CellPairState(
             core=new_core, aid=aid_g, xs=nxs, vs=nvs, fs=nfs,
             mc=mc, mn=mn, sid=sid, nid=nid, table_overflow=overflow,
-            ts=ts, mnf=mnf, tnf=tnf,
+            ts=ts, mnf=mnf, tnf=tnf, mkf=mkf, ovl=ovl,
         )
         return new_state, ((e_bias, log) if collect_records else e_bias)
 

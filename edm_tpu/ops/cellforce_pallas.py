@@ -721,6 +721,152 @@ def cell_forces_pallas_newton_rescredit(
     return fx, fy, fz, eb
 
 
+def _kernel_overflow(
+    xo_ref,  # (8, OCAP)  overflow-atom rows: x, y, z, mask, zeros (resident)
+    xp_ref,  # (4, LW)    partner tile: x, y, z, mask (streamed block)
+    cv_ref,  # (NP, DEGP) chebyshev value coeffs | (4, GP) hermite table
+    cd_ref,  # (NP, DEGP) chebyshev deriv coeffs | (1, 8) unused dummy
+    fo_ref,  # (8, OCAP)  RESIDENT out: fx, fy, fz, eb rows on overflow atoms
+    fp_ref,  # (4, LW)    streamed out: Newton credits onto the partner tile
+    *,
+    params,
+):
+    """Dense overflow side pass for the reduced-cap Newton kernel.
+
+    The main half-stencil kernel runs at ``kernel_cap < cap`` slot rows —
+    pairs with BOTH members in slots < kernel_cap.  Every pair with at
+    least one member in a TAIL slot (>= kernel_cap; a super-Poisson-tail
+    few-per-10k occupancy event) is evaluated here instead, as one dense
+    (OCAP, N) distance sweep of the compacted overflow atoms against ALL
+    placed low slots — dense on purpose: a 27-stencil candidate gather for
+    ~100 atoms would cost ~10x this tile at the measured 0.12 G elem/s
+    gather rate.  Same pair math and bias-table fetch as the Newton
+    kernels; the physics (stencil = cutoff mask) is identical because the
+    cell edge >= every interaction range, so the r-masks alone select
+    exactly the pairs the stencil would.
+
+    Forces on the overflow atoms accumulate into the resident ``fo_ref``
+    rows across partner tiles; Newton credits onto the partners stream out
+    per tile (each program owns a disjoint tile).  Tail-tail pairs are
+    evaluated once, in program 0, as a full diagonal-masked (OCAP, OCAP)
+    block (both orderings present, so row sums are complete and the
+    energy is halved — the self-block convention of ``_kernel_newton``)."""
+    (table, bx, by, bz, eps, sig, rcut, energy) = params
+    preload = _table_preload(cv_ref, table)
+    p = pl.program_id(0)
+
+    ox = xo_ref[0, :]
+    oy = xo_ref[1, :]
+    oz = xo_ref[2, :]
+    om = xo_ref[3, :]
+
+    def mimage(d, L):
+        return d - jnp.floor(d * (1.0 / L) + 0.5) * L
+
+    def pair_forces(nx, ny, nz, ok):
+        dx = mimage(ox[:, None] - nx[None, :], bx)
+        dy = mimage(oy[:, None] - ny[None, :], by)
+        dz = mimage(oz[:, None] - nz[None, :], bz)
+        r2 = dx * dx + dy * dy + dz * dz
+        r2s = jnp.where(ok > 0.5, jnp.maximum(r2, 1e-12), 1.0)
+        inv_r = jax.lax.rsqrt(r2s)
+        r = r2s * inv_r
+        inv_r2 = inv_r * inv_r
+        lj_on = jnp.where(r < rcut, ok, 0.0)
+        sr2 = (sig * sig) * inv_r2
+        sr6 = sr2 * sr2 * sr2
+        fmag_r = 4.0 * eps * (12.0 * sr6 * sr6 - 6.0 * sr6) * inv_r2 * lj_on
+        val, der, _ = _table_val_der(
+            cv_ref, cd_ref, r, ok, table=table, energy=energy,
+            preload=preload,
+        )
+        f_over_r = fmag_r - der * inv_r
+        return f_over_r * dx, f_over_r * dy, f_over_r * dz, val
+
+    @pl.when(p == 0)
+    def _init_and_tailtail():
+        okd = om[:, None] * om[None, :]
+        n_o = om.shape[0]
+        ri = jax.lax.broadcasted_iota(jnp.int32, (n_o, n_o), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (n_o, n_o), 1)
+        okd = jnp.where(ri == ci, 0.0, okd)
+        gx, gy, gz, val = pair_forces(ox, oy, oz, okd)
+        z = jnp.zeros_like(om)
+        fo_ref[0, :] = jnp.sum(gx, axis=1)
+        fo_ref[1, :] = jnp.sum(gy, axis=1)
+        fo_ref[2, :] = jnp.sum(gz, axis=1)
+        fo_ref[3, :] = 0.5 * jnp.sum(val, axis=1) if energy else z
+        for row in range(4, 8):
+            fo_ref[row, :] = z
+
+    okp = om[:, None] * xp_ref[3, :][None, :]
+    gx, gy, gz, val = pair_forces(
+        xp_ref[0, :], xp_ref[1, :], xp_ref[2, :], okp
+    )
+    fo_ref[0, :] = fo_ref[0, :] + jnp.sum(gx, axis=1)
+    fo_ref[1, :] = fo_ref[1, :] + jnp.sum(gy, axis=1)
+    fo_ref[2, :] = fo_ref[2, :] + jnp.sum(gz, axis=1)
+    if energy:
+        fo_ref[3, :] = fo_ref[3, :] + jnp.sum(val, axis=1)
+    fp_ref[0, :] = -jnp.sum(gx, axis=0)
+    fp_ref[1, :] = -jnp.sum(gy, axis=0)
+    fp_ref[2, :] = -jnp.sum(gz, axis=0)
+    fp_ref[3, :] = jnp.zeros_like(xp_ref[3, :])
+
+
+def overflow_forces_pallas(
+    xo_f, xp_f, table, *,
+    box, lj_eps, lj_sig, lj_rcut, energy=True, lane_tile=2048,
+):
+    """Dense overflow force pass (see ``_kernel_overflow``).
+
+    xo_f (8, OCAP): overflow-atom planes x, y, z, mask (rows 4..7 ignored);
+    xp_f (4, NP): partner planes x, y, z, mask for all placed low slots,
+    lane-padded with zero mask (NP a multiple of 128).  Returns
+    (fo (8, OCAP): force components + bias-energy rows on the overflow
+    atoms; fp (4, NP): Newton credits to subtract-free ADD onto the
+    partner slots, row 3 zero).  Output dtype f32 like the Newton kernels;
+    total bias energy of the overflow pairs is ``jnp.sum(fo[3])``."""
+    ocap = xo_f.shape[1]
+    NP_ = xp_f.shape[1]
+    assert NP_ % 128 == 0 and ocap % 8 == 0
+    LW = min(lane_tile, NP_)
+    if NP_ % LW:
+        pad = -(-NP_ // LW) * LW - NP_
+        xp_f = jnp.pad(xp_f, ((0, 0), (0, pad)))
+        NP_ += pad
+    n_prog = NP_ // LW
+    t1, t2, tspec = _table_inputs(table)
+    interpret = jax.default_backend() == "cpu"
+    params = (
+        tspec,
+        float(box[0]), float(box[1]), float(box[2]),
+        float(lj_eps), float(lj_sig), float(lj_rcut), bool(energy),
+    )
+    kernel = functools.partial(_kernel_overflow, params=params)
+    fo, fp = pl.pallas_call(
+        kernel,
+        grid=(n_prog,),
+        interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
+        in_specs=[
+            pl.BlockSpec((8, ocap), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, LW), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(t1.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(t2.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, ocap), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, LW), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((8, ocap), jnp.float32),
+            jax.ShapeDtypeStruct((4, NP_), jnp.float32),
+        ],
+    )(xo_f, xp_f, t1, t2)
+    return fo, fp
+
+
 def cell_forces_pallas_newton_planar(
     xc_f, xn_f, mc, mn, table, *,
     cap, box, lj_eps, lj_sig, lj_rcut, energy=True,
