@@ -170,7 +170,28 @@ def bench_pairwise(n_atoms=10000, block=500, steps=900, hill_stride=10, dtype=No
         assert finite, "non-finite state in bench"
         dt_s = dt if dt_s is None else min(dt_s, dt)
     if hasattr(state, "core"):
-        assert not bool(state.table_overflow), "cell table overflow in bench"
+        # table_overflow is strictly CELL-cap exhaustion (atoms dropped
+        # from the table — wrong physics); tail-list overflow is NOT an
+        # error any more: the step falls back in-graph to the full-cap
+        # kernel for that rebuild period (never-drop), counted below
+        if bool(state.table_overflow):
+            from edm_tpu.models.pair_edm_cells import cell_diag
+
+            d = cell_diag(spec, state)
+            raise AssertionError(
+                f"cell cap exhausted in bench: max occupancy "
+                f"{d['occ_max']} > cap {spec.cap} (atoms dropped)"
+            )
+        if state.tail_fallbacks is not None and int(state.tail_fallbacks):
+            import sys
+
+            print(
+                f"# kernel_cap note: {int(state.tail_fallbacks)} rebuild "
+                f"period(s) ran the full-cap fallback (tail "
+                f"{int(state.tail_count)} at last rebuild vs overflow_cap "
+                f"{overflow_cap}); forces exact, steps slower",
+                file=sys.stderr,
+            )
         assert not bool(state.core.hills_truncated), "hill truncation in bench"
     return steps / dt_s
 
@@ -272,6 +293,32 @@ def bench_deposition(grid_points=1_000_000, hills=200, dtype=None):
     return hills * REPS / dt_s
 
 
+def _emit(metric, fn, unit, baseline):
+    """Failure-isolated metric: run ``fn``, print the JSON value line — or
+    an error line — and never raise.  A crash in one secondary bench must
+    not erase the other metrics (the r04 driver capture lost every
+    pairwise number to one assert; VERDICT r04 weak #3).  Returns True on
+    success."""
+    import traceback
+
+    try:
+        v = fn()
+    except BaseException as e:  # noqa: BLE001 — isolate EVERYTHING
+        traceback.print_exc()
+        print(json.dumps({
+            "metric": metric,
+            "error": f"{type(e).__name__}: {e}",
+        }), flush=True)
+        return False
+    print(json.dumps({
+        "metric": metric,
+        "value": round(v, 2 if unit == "steps/s" else 1),
+        "unit": unit,
+        "vs_baseline": round(v / baseline, 2),
+    }), flush=True)
+    return True
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="smaller sizes")
@@ -292,63 +339,49 @@ def main():
         return
 
     # secondary metrics first; the primary (driver-parsed) line prints LAST
-    hps = bench_deposition()
-    print(json.dumps({
-        "metric": "hill depositions/sec, 1e6-point grid",
-        "value": round(hps, 1),
-        "unit": "hills/s",
-        "vs_baseline": round(hps / REF_HILLS_PER_SEC, 2),
-    }), flush=True)
+    _emit(
+        "hill depositions/sec, 1e6-point grid",
+        bench_deposition, "hills/s", REF_HILLS_PER_SEC,
+    )
 
     # NOTE r04 protocol change: the default pairwise path flipped from
     # "chebyshev" to "interp" (the reference's exact lookup semantics, now
     # also the faster path) — the headline 10k/100k metrics are therefore
     # EXACT-lookup numbers from r04 on; this line keeps the spectral
     # approximate path measurable for cross-round comparison
-    sps_cheb = bench_pairwise(steps=600, pair_lookup="chebyshev")
-    print(json.dumps({
-        "metric": "MD steps/sec, 10000-atom pairwise EDM (approx. Chebyshev lookup)",
-        "value": round(sps_cheb, 2),
-        "unit": "steps/s",
-        "vs_baseline": round(sps_cheb / REF_STEPS_PER_SEC, 2),
-    }), flush=True)
+    _emit(
+        "MD steps/sec, 10000-atom pairwise EDM (approx. Chebyshev lookup)",
+        lambda: bench_pairwise(steps=600, pair_lookup="chebyshev"),
+        "steps/s", REF_STEPS_PER_SEC,
+    )
 
-    sps_2d = bench_coord2d()
-    print(json.dumps({
-        "metric": "MD steps/sec, 2-D coord EDM, 10000 atoms, 1e6-point grid (heavy hill load)",
-        "value": round(sps_2d, 2),
-        "unit": "steps/s",
-        "vs_baseline": round(sps_2d / REF_STEPS_2D, 2),
-    }), flush=True)
+    _emit(
+        "MD steps/sec, 2-D coord EDM, 10000 atoms, 1e6-point grid (heavy hill load)",
+        bench_coord2d, "steps/s", REF_STEPS_2D,
+    )
 
-    sps_2dm = bench_coord2d(mcgdp=True)
-    print(json.dumps({
-        "metric": "MD steps/sec, 2-D coord EDM, McGDP non-periodic box (heavy hill load)",
-        "value": round(sps_2dm, 2),
-        "unit": "steps/s",
-        "vs_baseline": round(sps_2dm / REF_STEPS_2D, 2),
-    }), flush=True)
+    _emit(
+        "MD steps/sec, 2-D coord EDM, McGDP non-periodic box (heavy hill load)",
+        lambda: bench_coord2d(mcgdp=True), "steps/s", REF_STEPS_2D,
+    )
 
     # Long segments: the axon relay costs ~30 ms per dispatch, which at
     # 30 steps/segment inflates the per-step time by ~1 ms (~10% at 100k,
     # ~60% on the sub-ms 2-D steps); the metric is the steady-state step
     # rate, not dispatch latency — segment lengths are sized so dispatch
     # is <~3% of each segment
-    sps_100k = bench_pairwise(n_atoms=100000, steps=360)
-    print(json.dumps({
-        "metric": "MD steps/sec, 100000-atom pairwise EDM (full LJ+bias MD step, exact cubic-interp lookup)",
-        "value": round(sps_100k, 2),
-        "unit": "steps/s",
-        "vs_baseline": round(sps_100k / REF_STEPS_100K, 2),
-    }), flush=True)
+    _emit(
+        "MD steps/sec, 100000-atom pairwise EDM (full LJ+bias MD step, exact cubic-interp lookup)",
+        lambda: bench_pairwise(n_atoms=100000, steps=360),
+        "steps/s", REF_STEPS_100K,
+    )
 
-    sps = bench_pairwise()
-    print(json.dumps({
-        "metric": "MD steps/sec, 10000-atom pairwise EDM (full LJ+bias MD step, exact cubic-interp lookup)",
-        "value": round(sps, 2),
-        "unit": "steps/s",
-        "vs_baseline": round(sps / REF_STEPS_PER_SEC, 2),
-    }))
+    ok = _emit(
+        "MD steps/sec, 10000-atom pairwise EDM (full LJ+bias MD step, exact cubic-interp lookup)",
+        bench_pairwise, "steps/s", REF_STEPS_PER_SEC,
+    )
+    if not ok:
+        raise SystemExit(1)  # the primary metric itself failed
 
 
 if __name__ == "__main__":

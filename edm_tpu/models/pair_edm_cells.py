@@ -103,6 +103,16 @@ class CellPairState:
     # of occupied TAIL slots (slot >= kernel_cap; sentinel = Cg*cap),
     # compacted per rebuild/rebin — the dense overflow side pass's row
     # list (ops/cellforce_pallas.overflow_forces_pallas)
+    tail_count: Optional[jax.Array] = None  # int32 current tail population
+    # (sum over cells of max(0, occupancy - kernel_cap)); telemetry +
+    # fallback input, refreshed at every rebuild/rebin
+    tail_ovf: Optional[jax.Array] = None  # bool: tail_count > overflow_cap
+    # for the CURRENT rebuild period -> the force pass runs the FULL-CAP
+    # kernel this period (never-drop fallback; the reference evaluates
+    # every neighbor pair unconditionally, fix_edm_pair.cpp:177-227).
+    # NOT an error and NOT sticky: forces stay exact, only slower.
+    tail_fallbacks: Optional[jax.Array] = None  # int32 cumulative count of
+    # rebuild periods (incl. init) that ran at full cap (telemetry)
 
 
 def _padded_cells(spec: CellSpec) -> int:
@@ -121,12 +131,14 @@ def _stencil_padded(spec: CellSpec, Cg: int) -> jnp.ndarray:
 def _tail_list(aid2, n: int, cap: int, kcap: int, ocap: int):
     """Compact flat slot ids of occupied TAIL slots (slot >= kcap).
 
-    Returns ((ocap,) int32 ids, sentinel Cg*cap for empties; bool overflow
-    when more than ``ocap`` tail slots are occupied).  The tail population
-    is the sum over cells of max(0, occupancy - kcap) after a full
-    (argsort-packed) rebuild, and can only change at rebins — movers fill
-    the LOWEST holes first (models/cells.plan_incremental_rebin's hrank),
-    so slots >= kcap fill only when a cell's low slots are all taken."""
+    Returns ((ocap,) int32 ids, sentinel Cg*cap for empties; int32 tail
+    population — when it exceeds ``ocap`` the list is incomplete and the
+    step falls back to the full-cap kernel for the period, see
+    CellPairState.tail_ovf).  The tail population is the sum over cells of
+    max(0, occupancy - kcap) after a full (argsort-packed) rebuild, and can
+    only change at rebins — movers fill the LOWEST holes first
+    (models/cells.plan_incremental_rebin's hrank), so slots >= kcap fill
+    only when a cell's low slots are all taken."""
     Cg = aid2.shape[0]
     S = Cg * cap
     occ = (aid2[:, kcap:] < n).reshape(-1)
@@ -138,7 +150,7 @@ def _tail_list(aid2, n: int, cap: int, kcap: int, ocap: int):
     tgt = jnp.where(occ, ranks, ocap)
     ovl = jnp.full((ocap,), S, jnp.int32).at[tgt].set(sids, mode="drop")
     count = jnp.sum(occ.astype(jnp.int32))
-    return ovl, count > ocap
+    return ovl, count
 
 
 def _slots_from_atoms(spec: CellSpec, Cg: int, sten_g, x, v, f, aid_g,
@@ -194,10 +206,10 @@ def _slots_from_atoms(spec: CellSpec, Cg: int, sten_g, x, v, f, aid_g,
     tnf = None if ts is None else _half_concat(ts, spec.ncells, cap, Cg)
     if kernel_cap is not None:
         mkf = _half_concat(mc[:, :kernel_cap], spec.ncells, kernel_cap, Cg)
-        ovl, ovl_ovf = _tail_list(aid2, n, cap, kernel_cap, overflow_cap)
+        ovl, tail_count = _tail_list(aid2, n, cap, kernel_cap, overflow_cap)
     else:
-        mkf, ovl, ovl_ovf = None, None, jnp.zeros((), bool)
-    return xs, vs, fs, mc, mn, sid, nid, ts, mnf, tnf, mkf, ovl, ovl_ovf
+        mkf, ovl, tail_count = None, None, None
+    return xs, vs, fs, mc, mn, sid, nid, ts, mnf, tnf, mkf, ovl, tail_count
 
 
 def _atoms_from_slots(spec: CellSpec, aid_g, xs, vs, fs):
@@ -380,6 +392,39 @@ def atom_positions(spec: CellSpec, state: CellPairState) -> jax.Array:
     )
 
 
+def cell_diag(spec: CellSpec, state: CellPairState, kernel_caps=(16, 24)):
+    """Host-side occupancy telemetry (one device fetch of ``state.aid``).
+
+    Returns a dict: per-cell occupancy stats, the tail population
+    ``sum_cells max(0, occ - K)`` for each K in ``kernel_caps`` (the cost
+    driver of the reduced-cap kernel's overflow list — size overflow_cap
+    off this), and the state's carried tail/overflow flags.  Use it to
+    SIZE kernel_cap/overflow_cap from measured distributions instead of
+    Poisson guesses (docs/perf.md "tail occupancy")."""
+    aid2 = np.asarray(jax.device_get(state.aid)).reshape(-1, spec.cap)
+    occ = (aid2 < spec.n_atoms).sum(1)
+    occ_real = occ[: spec.n_cells]
+    d = {
+        "n_cells": spec.n_cells,
+        "cap": spec.cap,
+        "occ_max": int(occ_real.max()),
+        "occ_mean": float(occ_real.mean()),
+        "occ_p99": float(np.percentile(occ_real, 99)),
+        "occ_hist": np.bincount(occ_real, minlength=spec.cap + 1).tolist(),
+        "tail_population": {
+            int(k): int(np.maximum(0, occ_real - k).sum())
+            for k in kernel_caps
+        },
+        "cell_overflow": bool(state.table_overflow),
+    }
+    if state.tail_count is not None:
+        d["state_tail_count"] = int(state.tail_count)
+        d["state_tail_ovf"] = bool(state.tail_ovf)
+        d["state_tail_fallbacks"] = int(state.tail_fallbacks)
+        d["overflow_cap"] = int(state.ovl.shape[0])
+    return d
+
+
 def _local_planar_gate(loc_cols: int, nx: int) -> bool:
     """True -> the sharded hill collection builds its planar candidate
     views LOCALLY (owned x-columns + halo; see collect_hills_half).  Cost
@@ -435,8 +480,12 @@ def init_cell_state(
     make_cell_step).  ``kernel_cap``/``overflow_cap`` cache the reduced-cap
     candidate mask + tail-slot list for reduced-cap kernel runs (pass the
     same values to make_cell_step); a tail population beyond
-    ``overflow_cap`` sets ``table_overflow`` (same pairs-dropped severity
-    as a cell exceeding ``cap``)."""
+    ``overflow_cap`` sets ``tail_ovf`` and the step runs the FULL-CAP
+    kernel for that rebuild period (never-drop fallback — e.g. a cubic
+    initial lattice commensurate with the cell grid can start many cells
+    above kernel_cap; forces stay exact, the period is just slower).
+    ``table_overflow`` is strictly CELL-cap exhaustion (atoms dropped from
+    the table — catastrophic, sticky)."""
     Cg = _padded_cells(spec)
     sten_g = _stencil_padded(spec, Cg)
     table = build_table(spec, core.x)
@@ -444,18 +493,25 @@ def init_cell_state(
     aid_g = jnp.concatenate(
         [table.aid, jnp.full((Cg * spec.cap - spec.n_slots,), n, jnp.int32)]
     )
-    xs, vs, fs, mc, mn, sid, nid, ts, mnf, tnf, mkf, ovl, ovl_ovf = (
+    xs, vs, fs, mc, mn, sid, nid, ts, mnf, tnf, mkf, ovl, tail_count = (
         _slots_from_atoms(
             spec, Cg, sten_g, core.x, core.v, core.f, aid_g,
             with_ids=with_ids, types_arr=types,
             kernel_cap=kernel_cap, overflow_cap=overflow_cap,
         )
     )
+    if kernel_cap is not None:
+        tail_ovf = tail_count > overflow_cap
+        tail_fallbacks = tail_ovf.astype(jnp.int32)
+    else:
+        tail_ovf = tail_fallbacks = None
     return CellPairState(
         core=core, aid=aid_g, xs=xs, vs=vs, fs=fs,
         mc=mc, mn=mn, sid=sid, nid=nid,
-        table_overflow=table.overflow | ovl_ovf,
+        table_overflow=table.overflow,
         ts=ts, mnf=mnf, tnf=tnf, mkf=mkf, ovl=ovl,
+        tail_count=tail_count, tail_ovf=tail_ovf,
+        tail_fallbacks=tail_fallbacks,
     )
 
 
@@ -558,18 +614,31 @@ def make_cell_step(
     are all UNCHANGED (hills keep the full-cap planes) — only the force
     pair sum is split, so forces match the full-cap kernel to f32
     reduction-order rounding.  Requires the default Newton path
-    (use_pallas=True, unsharded, untyped) and a state built with
-    ``init_cell_state(..., kernel_cap=..., overflow_cap=...)``.  A tail
-    population beyond ``overflow_cap`` (or an incremental-rebin plan that
-    would exceed it — such plans fall back to the full packing rebuild)
-    sets ``table_overflow``."""
+    (use_pallas=True, untyped) and a state built with
+    ``init_cell_state(..., kernel_cap=..., overflow_cap=...)``.  Composes
+    with the slab/brick decompositions (the reference's subdivision
+    composes with everything, edm_bias.cpp:98-222): each device runs the
+    reduced sub-lattice kernel over its owned columns/brick, and the
+    dense overflow sweep is ownership-masked — device d's partners are
+    the low slots of its OWNED cells and its tail-tail rows the tail
+    atoms whose cell it owns — so the step's one force psum counts every
+    tail pair exactly once.
+
+    NEVER-DROP fallback: a tail population beyond ``overflow_cap`` (e.g.
+    the initial lattice commensurate with the cell grid — the r04 bench
+    started 64 cells at 27 atoms, tail 192 > 128) sets ``tail_ovf`` and
+    the force pass runs the FULL-CAP kernel for that rebuild period —
+    bitwise the kernel_cap=None step — instead of dropping tail pairs;
+    ``tail_fallbacks`` counts such periods.  An incremental-rebin plan
+    that would push the tail past ``overflow_cap`` falls back to the full
+    packing rebuild (which minimizes the tail) first.  The reference
+    evaluates every neighbor pair unconditionally
+    (fix_edm_pair.cpp:177-227); this keeps that contract under any
+    transient."""
     if kernel_cap is not None:
         if use_pallas is not True:
             raise ValueError("kernel_cap requires the default Newton "
                              "kernel path (use_pallas=True)")
-        if slab_axis is not None or brick_axes is not None:
-            raise ValueError("kernel_cap is single-device only (the "
-                             "sharded hosts run the full-cap kernel)")
         if types is not None and type_pair is not None:
             raise ValueError("kernel_cap does not support type-filtered "
                              "runs")
@@ -578,6 +647,21 @@ def make_cell_step(
                              "below spec.cap")
         if overflow_cap % 8:
             raise ValueError("overflow_cap must be a multiple of 8")
+        # the dense overflow pass selects pairs by r-mask + min-image over
+        # the WHOLE box while the stencil kernels see 27-stencil pairs
+        # only; they agree on the pair set iff every interaction range
+        # fits one cell edge (the stencil-capture precondition) — except
+        # along dims of exactly 3 cells, where the stencil IS global
+        _rng = max(float(lj.rcut), float(params.cfg.box_high[0]))
+        for _d in range(3):
+            if spec.ncells[_d] > 3 and spec.edge[_d] + 1e-9 < _rng:
+                raise ValueError(
+                    f"kernel_cap: cell edge {spec.edge[_d]:.4f} along dim "
+                    f"{_d} is below the interaction range {_rng:.4f} "
+                    "(max of lj.rcut and the bias CV domain) — the dense "
+                    "overflow pass would see pairs the stencil kernel "
+                    "misses; build the CellSpec with cutoff >= that range"
+                )
     if brick_axes is not None and slab_axis is not None:
         raise ValueError("brick_axes and slab_axis are mutually exclusive")
     if brick_axes is not None and not use_pallas:
@@ -777,6 +861,155 @@ def make_cell_step(
                 )
             return state.ts, tpair
 
+        def _check_kcap_state():
+            if state.mkf is None or state.ovl is None:
+                raise ValueError(
+                    "kernel_cap runs need the cached tail list: build the "
+                    "state with init_cell_state(..., kernel_cap=..., "
+                    "overflow_cap=...)"
+                )
+            if state.mkf.shape[1] != 13 * kernel_cap:
+                raise ValueError(
+                    f"state was built with kernel_cap="
+                    f"{state.mkf.shape[1] // 13} but the step expects "
+                    f"kernel_cap={kernel_cap}; pass the same value to "
+                    "init_cell_state and make_cell_step"
+                )
+            if state.ovl.shape[0] != overflow_cap:
+                raise ValueError(
+                    f"state was built with overflow_cap="
+                    f"{state.ovl.shape[0]} but the step expects "
+                    f"overflow_cap={overflow_cap}; pass the same value to "
+                    "init_cell_state and make_cell_step"
+                )
+
+        def _owned_cell_mask(dtype):
+            """(Cg,) 1.0 at cells this device OWNS (disjoint across the
+            mesh).  The overflow sweep masks partner low slots and
+            tail-tail rows by it, so the force psum counts each tail pair
+            exactly once — the owner of the low slot (tail x low) or of
+            the row atom's cell (tail x tail)."""
+            cidx = jnp.arange(C, dtype=jnp.int32)
+            if slab_axis is not None:
+                dev = jax.lax.axis_index(slab_axis)
+                q, rem = nx // slab_ndev, nx % slab_ndev
+                x0 = (dev * q + jnp.minimum(dev, rem)).astype(jnp.int32)
+                wd = (q + (dev < rem)).astype(jnp.int32)
+                colx = cidx // (ny * nz)
+                mine = (colx >= x0) & (colx < x0 + wd)
+            else:
+                parts = [
+                    _brick_part((nx, ny, nz)[d], brick_p3[d], brick_ax3[d])
+                    for d in range(3)
+                ]
+                cco = (cidx // (ny * nz), (cidx // nz) % ny, cidx % nz)
+                mine = jnp.ones((C,), bool)
+                for d in range(3):
+                    if brick_p3[d] > 1:
+                        mine = (
+                            mine
+                            & (cco[d] >= parts[d][0])
+                            & (cco[d] < parts[d][0] + parts[d][1])
+                        )
+            m = mine.astype(dtype)
+            if Cg > C:
+                m = jnp.concatenate([m, jnp.zeros((Cg - C,), dtype)], 0)
+            return m
+
+        def _overflow_pass(xs, owncell, tbl, energy):
+            """Dense tail sweep (see ops/cellforce_pallas._kernel_overflow)
+            with ownership masking for the sharded hosts: partner low
+            slots and tail-tail rows restricted to ``owncell`` (None =
+            single device, everything owned)."""
+            from ..ops.cellforce_pallas import overflow_forces_pallas
+
+            dtype = xs.dtype
+            S = Cg * cap
+            kcap = kernel_cap
+            mo = (state.ovl < S).astype(dtype)
+            sid_c = jnp.clip(state.ovl, 0, S - 1)
+            xo3 = xs.reshape(S, 3)[sid_c] * mo[:, None]
+            own_t = mo if owncell is None else mo * owncell[sid_c // cap]
+            ocap = state.ovl.shape[0]
+            xo_f = jnp.concatenate(
+                [xo3.T, mo[None, :], own_t[None, :],
+                 jnp.zeros((3, ocap), dtype)], axis=0
+            )
+            xs_k = xs[:, :kcap, :]
+            mc_k = state.mc[:, :kcap]
+            mc_p = mc_k if owncell is None else mc_k * owncell[:, None]
+            N_low = Cg * kcap
+            N_pad = -(-N_low // 128) * 128
+            xp_f = jnp.stack(
+                [xs_k[..., 0].reshape(-1), xs_k[..., 1].reshape(-1),
+                 xs_k[..., 2].reshape(-1), mc_p.reshape(-1)]
+            )
+            if N_pad > N_low:
+                xp_f = jnp.pad(xp_f, ((0, 0), (0, N_pad - N_low)))
+            return overflow_forces_pallas(
+                xo_f, xp_f, tbl, box=spec.box,
+                lj_eps=lj.epsilon, lj_sig=lj.sigma, lj_rcut=lj.rcut,
+                energy=energy,
+            )
+
+        def _run_overflow(xs, owncell, tbl):
+            """_overflow_pass with the step's do_energy treatment."""
+            if do_energy is None:
+                return _overflow_pass(xs, owncell, tbl, True)
+            if isinstance(do_energy, bool):
+                return _overflow_pass(xs, owncell, tbl, do_energy)
+            return jax.lax.cond(
+                do_energy,
+                lambda _: _overflow_pass(xs, owncell, tbl, True),
+                lambda _: _overflow_pass(xs, owncell, tbl, False),
+                None,
+            )
+
+        def _assemble_kcap(f_low, fo, fp):
+            """Embed the (Cg, kcap, 3) low-slot forces + partner credits
+            into the (Cg, cap, 3) plane and scatter the tail-atom forces
+            into their slots."""
+            S = Cg * cap
+            N_low = Cg * kernel_cap
+            ztail = jnp.zeros((Cg, cap - kernel_cap), jnp.float32)
+            comps = []
+            for c in range(3):
+                fc = f_low[..., c] + fp[c, :N_low].reshape(Cg, kernel_cap)
+                comps.append(jnp.concatenate([fc, ztail], axis=1))
+            f_full = jnp.stack(comps, axis=-1)
+            fo3 = jnp.stack([fo[0], fo[1], fo[2]], axis=-1)
+            return (
+                f_full.reshape(S, 3)
+                .at[state.ovl]
+                .add(fo3, mode="drop")
+                .reshape(Cg, cap, 3)
+            )
+
+        def _sharded_kcap_force(xs, lowlow, tbl, axes):
+            """Reduced-cap force pass under slab/brick sharding: the
+            device's low-low sub-lattice kernel at kernel_cap + the
+            ownership-masked dense overflow sweep, combined by the same
+            one psum the full-cap pass uses.  tail_ovf falls back to the
+            full-cap pass (never-drop), like the single-device host."""
+            _check_kcap_state()
+
+            def reduced(_):
+                e_low, f_low = lowlow(
+                    xs[:, :kernel_cap], state.mc[:, :kernel_cap],
+                    kernel_cap, None,
+                )
+                owncell = _owned_cell_mask(xs.dtype)
+                fo, fp = _run_overflow(xs, owncell, tbl)
+                f_full = _assemble_kcap(f_low, fo, fp)
+                e = e_low + jnp.sum(fo[3])
+                return jax.lax.psum(e, axes), jax.lax.psum(f_full, axes)
+
+            def fullcap(_):
+                e, f_full = lowlow(xs, state.mc, cap, None)
+                return jax.lax.psum(e, axes), jax.lax.psum(f_full, axes)
+
+            return jax.lax.cond(state.tail_ovf, fullcap, reduced, None)
+
         def pallas_newton_force(xs):
             ts_k, tp_k = _kernel_types(state)
             return newton_lattice_force(
@@ -794,77 +1027,95 @@ def make_cell_step(
             wd = q + (dev < rem).astype(jnp.int32)  # my column count
             tbl = _table(state)
             ts_k, tp_k = _kernel_types(state)
-            if nxd_slab + 2 <= nx:
-                # sub-lattice: my columns + one halo column per side.  The
-                # sub-lattice's own periodic x-wrap joins columns >= 2
-                # apart globally (or exactly the real wrap when it spans
-                # the lattice), so wrapped pairs are either correct or
-                # beyond the cutoff (cell edge >= interaction range).
-                w = nxd_slab + 2
-                gx = xs[:C].reshape(nx, ny, nz, cap, 3)
-                gm = state.mc[:C].reshape(nx, ny, nz, cap)
-                sub = jnp.roll(gx, 1 - x0, axis=0)[:w]
-                subm = jnp.roll(gm, 1 - x0, axis=0)[:w]
-                jj = jnp.arange(w)
-                # halo columns are candidates, not rows; the window is
-                # ceil-width, so remainder devices mask the surplus column
-                row_ok = (jj >= 1) & (jj <= wd)
-                rows = subm * row_ok[:, None, None, None].astype(subm.dtype)
-                C_sub = w * ny * nz
-                Cg_sub = -(-C_sub // CELLS_PER_PROGRAM) * CELLS_PER_PROGRAM
 
-                def flat(a, extra):
-                    a = a.reshape((C_sub,) + extra)
-                    if Cg_sub > C_sub:
-                        a = jnp.concatenate(
-                            [a, jnp.zeros((Cg_sub - C_sub,) + extra, a.dtype)], 0
+            def lowlow(xs_c, mc_c, cap_c, ts_c):
+                """LOCAL slab force pass at slot cap ``cap_c`` (pre-psum):
+                returns (e, f (Cg, cap_c, 3)) of this device's owned
+                rows.  cap_c == cap is the full-cap pass; cap_c ==
+                kernel_cap the reduced low-low pass (the tail pairs run
+                in the overflow sweep instead)."""
+                if nxd_slab + 2 <= nx:
+                    # sub-lattice: my columns + one halo column per side.
+                    # The sub-lattice's own periodic x-wrap joins columns
+                    # >= 2 apart globally (or exactly the real wrap when
+                    # it spans the lattice), so wrapped pairs are either
+                    # correct or beyond the cutoff (cell edge >=
+                    # interaction range).
+                    w = nxd_slab + 2
+                    gx = xs_c[:C].reshape(nx, ny, nz, cap_c, 3)
+                    gm = mc_c[:C].reshape(nx, ny, nz, cap_c)
+                    sub = jnp.roll(gx, 1 - x0, axis=0)[:w]
+                    subm = jnp.roll(gm, 1 - x0, axis=0)[:w]
+                    jj = jnp.arange(w)
+                    # halo columns are candidates, not rows; the window is
+                    # ceil-width, so remainder devices mask the surplus
+                    # column
+                    row_ok = (jj >= 1) & (jj <= wd)
+                    rows = subm * row_ok[:, None, None, None].astype(subm.dtype)
+                    C_sub = w * ny * nz
+                    Cg_sub = -(-C_sub // CELLS_PER_PROGRAM) * CELLS_PER_PROGRAM
+
+                    def flat(a, extra):
+                        a = a.reshape((C_sub,) + extra)
+                        if Cg_sub > C_sub:
+                            a = jnp.concatenate(
+                                [a, jnp.zeros((Cg_sub - C_sub,) + extra, a.dtype)], 0
+                            )
+                        return a
+
+                    ts_sub = (
+                        None
+                        if ts_c is None
+                        else flat(
+                            jnp.roll(
+                                ts_c[:C].reshape(nx, ny, nz, cap_c), 1 - x0,
+                                axis=0,
+                            )[:w],
+                            (cap_c,),
                         )
-                    return a
-
-                ts_sub = (
-                    None
-                    if ts_k is None
-                    else flat(
-                        jnp.roll(
-                            ts_k[:C].reshape(nx, ny, nz, cap), 1 - x0, axis=0
-                        )[:w],
-                        (cap,),
                     )
-                )
-                e, f_sub = newton_lattice_force(
-                    flat(sub, (cap, 3)), flat(rows, (cap,)), flat(subm, (cap,)),
-                    (w, ny, nz), cap, spec.box, lj, tbl, do_energy,
-                    ts=ts_sub, type_pair=tp_k,
-                )
-                fsg = f_sub[:C_sub].reshape(w, ny, nz, cap, 3)
-                if nx > w:
-                    fsg = jnp.concatenate(
-                        [fsg, jnp.zeros((nx - w, ny, nz, cap, 3), xs.dtype)], 0
+                    e, f_sub = newton_lattice_force(
+                        flat(sub, (cap_c, 3)), flat(rows, (cap_c,)),
+                        flat(subm, (cap_c,)),
+                        (w, ny, nz), cap_c, spec.box, lj, tbl, do_energy,
+                        ts=ts_sub, type_pair=tp_k,
                     )
-                f_full = jnp.roll(fsg, x0 - 1, axis=0).reshape(C, cap, 3)
-            else:
-                # lattice too small to slice a slab+halo: run the full
-                # kernel with rows restricted to my columns (correct, no
-                # compute saving — only reached at test-scale lattices)
-                colx = (jnp.arange(C, dtype=jnp.int32) // (ny * nz))
-                mine = (colx >= x0) & (colx < x0 + wd)
-                mine = mine.astype(xs.dtype)[:, None]
+                    fsg = f_sub[:C_sub].reshape(w, ny, nz, cap_c, 3)
+                    if nx > w:
+                        fsg = jnp.concatenate(
+                            [fsg, jnp.zeros((nx - w, ny, nz, cap_c, 3), xs.dtype)], 0
+                        )
+                    f_full = jnp.roll(fsg, x0 - 1, axis=0).reshape(C, cap_c, 3)
+                else:
+                    # lattice too small to slice a slab+halo: run the full
+                    # kernel with rows restricted to my columns (correct,
+                    # no compute saving — only reached at test-scale
+                    # lattices)
+                    colx = (jnp.arange(C, dtype=jnp.int32) // (ny * nz))
+                    mine = (colx >= x0) & (colx < x0 + wd)
+                    mine = mine.astype(xs.dtype)[:, None]
+                    if Cg > C:
+                        mine = jnp.concatenate(
+                            [mine, jnp.zeros((Cg - C, 1), xs.dtype)], 0
+                        )
+                    e, f_rows_g = newton_lattice_force(
+                        xs_c, mc_c * mine, mc_c, spec.ncells, cap_c,
+                        spec.box, lj, tbl, do_energy, ts=ts_c,
+                        type_pair=tp_k,
+                    )
+                    f_full = f_rows_g[:C]
                 if Cg > C:
-                    mine = jnp.concatenate(
-                        [mine, jnp.zeros((Cg - C, 1), xs.dtype)], 0
+                    f_full = jnp.concatenate(
+                        [f_full, jnp.zeros((Cg - C, cap_c, 3), xs.dtype)], 0
                     )
-                e, f_rows_g = newton_lattice_force(
-                    xs, state.mc * mine, state.mc, spec.ncells, cap,
-                    spec.box, lj, tbl, do_energy, ts=ts_k, type_pair=tp_k,
-                )
-                f_full = f_rows_g[:C]
-            if Cg > C:
-                f_full = jnp.concatenate(
-                    [f_full, jnp.zeros((Cg - C, cap, 3), xs.dtype)], 0
-                )
-            f_rows = jax.lax.psum(f_full, slab_axis)
-            e = jax.lax.psum(e, slab_axis)
-            return e, f_rows
+                return e, f_full
+
+            if kernel_cap is None:
+                e, f_full = lowlow(xs, state.mc, cap, ts_k)
+                f_rows = jax.lax.psum(f_full, slab_axis)
+                e = jax.lax.psum(e, slab_axis)
+                return e, f_rows
+            return _sharded_kcap_force(xs, lowlow, tbl, slab_axis)
 
         def brick_newton_force(xs):
             """Brick decomposition (2-D or 3-D): each device owns an
@@ -892,106 +1143,122 @@ def make_cell_step(
                 brick_p3[d] == 1 or parts[d][2] + 2 <= ncd[d]
                 for d in range(3)
             )
-            if sliceable:
-                wdims = tuple(
-                    parts[d][2] + 2 if halo[d] else ncd[d] for d in range(3)
-                )
-                gx_ = xs[:C].reshape(nx, ny, nz, cap, 3)
-                gm_ = state.mc[:C].reshape(nx, ny, nz, cap)
-                shifts = tuple(halo[d] - starts[d] for d in range(3))
 
-                def subgrid(a):
-                    return jnp.roll(a, shifts, axis=(0, 1, 2))[
-                        : wdims[0], : wdims[1], : wdims[2]
+            def lowlow(xs_c, mc_c, cap_c, ts_c):
+                """LOCAL brick force pass at slot cap ``cap_c`` (pre-psum);
+                see the slab counterpart."""
+                if sliceable:
+                    wdims = tuple(
+                        parts[d][2] + 2 if halo[d] else ncd[d]
+                        for d in range(3)
+                    )
+                    gx_ = xs_c[:C].reshape(nx, ny, nz, cap_c, 3)
+                    gm_ = mc_c[:C].reshape(nx, ny, nz, cap_c)
+                    shifts = tuple(halo[d] - starts[d] for d in range(3))
+
+                    def subgrid(a):
+                        return jnp.roll(a, shifts, axis=(0, 1, 2))[
+                            : wdims[0], : wdims[1], : wdims[2]
+                        ]
+
+                    sub = subgrid(gx_)
+                    subm = subgrid(gm_)
+                    ok1 = [
+                        (
+                            (jnp.arange(wdims[d]) >= 1)
+                            & (jnp.arange(wdims[d]) <= widths[d])
+                            if halo[d]
+                            else jnp.ones((wdims[d],), bool)
+                        )
+                        for d in range(3)
                     ]
-
-                sub = subgrid(gx_)
-                subm = subgrid(gm_)
-                ok1 = [
-                    (
-                        (jnp.arange(wdims[d]) >= 1)
-                        & (jnp.arange(wdims[d]) <= widths[d])
-                        if halo[d]
-                        else jnp.ones((wdims[d],), bool)
+                    row_ok = (
+                        ok1[0][:, None, None]
+                        & ok1[1][None, :, None]
+                        & ok1[2][None, None, :]
                     )
-                    for d in range(3)
-                ]
-                row_ok = (
-                    ok1[0][:, None, None]
-                    & ok1[1][None, :, None]
-                    & ok1[2][None, None, :]
-                )
-                rows = subm * row_ok[..., None].astype(subm.dtype)
-                C_sub = wdims[0] * wdims[1] * wdims[2]
-                Cg_sub = -(-C_sub // CELLS_PER_PROGRAM) * CELLS_PER_PROGRAM
+                    rows = subm * row_ok[..., None].astype(subm.dtype)
+                    C_sub = wdims[0] * wdims[1] * wdims[2]
+                    Cg_sub = -(-C_sub // CELLS_PER_PROGRAM) * CELLS_PER_PROGRAM
 
-                def flat(a, extra):
-                    a = a.reshape((C_sub,) + extra)
-                    if Cg_sub > C_sub:
-                        a = jnp.concatenate(
-                            [a, jnp.zeros((Cg_sub - C_sub,) + extra, a.dtype)], 0
+                    def flat(a, extra):
+                        a = a.reshape((C_sub,) + extra)
+                        if Cg_sub > C_sub:
+                            a = jnp.concatenate(
+                                [a, jnp.zeros((Cg_sub - C_sub,) + extra, a.dtype)], 0
+                            )
+                        return a
+
+                    ts_sub = (
+                        None
+                        if ts_c is None
+                        else flat(
+                            subgrid(ts_c[:C].reshape(nx, ny, nz, cap_c)),
+                            (cap_c,),
                         )
-                    return a
-
-                ts_sub = (
-                    None
-                    if ts_k is None
-                    else flat(
-                        subgrid(ts_k[:C].reshape(nx, ny, nz, cap)), (cap,)
                     )
-                )
-                e, f_sub = newton_lattice_force(
-                    flat(sub, (cap, 3)), flat(rows, (cap,)), flat(subm, (cap,)),
-                    wdims, cap, spec.box, lj, tbl, do_energy,
-                    ts=ts_sub, type_pair=tp_k,
-                )
-                fsg = f_sub[:C_sub].reshape(wdims + (cap, 3))
-                for d in range(3):
-                    if ncd[d] > wdims[d]:
-                        padshape = (
-                            fsg.shape[:d]
-                            + (ncd[d] - wdims[d],)
-                            + fsg.shape[d + 1:]
+                    e, f_sub = newton_lattice_force(
+                        flat(sub, (cap_c, 3)), flat(rows, (cap_c,)),
+                        flat(subm, (cap_c,)),
+                        wdims, cap_c, spec.box, lj, tbl, do_energy,
+                        ts=ts_sub, type_pair=tp_k,
+                    )
+                    fsg = f_sub[:C_sub].reshape(wdims + (cap_c, 3))
+                    for d in range(3):
+                        if ncd[d] > wdims[d]:
+                            padshape = (
+                                fsg.shape[:d]
+                                + (ncd[d] - wdims[d],)
+                                + fsg.shape[d + 1:]
+                            )
+                            fsg = jnp.concatenate(
+                                [fsg, jnp.zeros(padshape, xs.dtype)], d
+                            )
+                    f_full = jnp.roll(
+                        fsg,
+                        tuple(starts[d] - halo[d] for d in range(3)),
+                        axis=(0, 1, 2),
+                    ).reshape(C, cap_c, 3)
+                else:
+                    # lattice too small to slice brick+halo: full kernel
+                    # with rows restricted to my cells (test-scale only)
+                    cidx = jnp.arange(C, dtype=jnp.int32)
+                    cco = [cidx // (ny * nz), (cidx // nz) % ny, cidx % nz]
+                    mine = jnp.ones((C,), bool)
+                    for d in range(3):
+                        if brick_p3[d] > 1:
+                            mine = (
+                                mine
+                                & (cco[d] >= starts[d])
+                                & (cco[d] < starts[d] + widths[d])
+                            )
+                    mine = mine.astype(xs.dtype)[:, None]
+                    if Cg > C:
+                        mine = jnp.concatenate(
+                            [mine, jnp.zeros((Cg - C, 1), xs.dtype)], 0
                         )
-                        fsg = jnp.concatenate(
-                            [fsg, jnp.zeros(padshape, xs.dtype)], d
-                        )
-                f_full = jnp.roll(
-                    fsg,
-                    tuple(starts[d] - halo[d] for d in range(3)),
-                    axis=(0, 1, 2),
-                ).reshape(C, cap, 3)
-            else:
-                # lattice too small to slice brick+halo: full kernel with
-                # rows restricted to my cells (test-scale only)
-                cidx = jnp.arange(C, dtype=jnp.int32)
-                cco = [cidx // (ny * nz), (cidx // nz) % ny, cidx % nz]
-                mine = jnp.ones((C,), bool)
-                for d in range(3):
-                    if brick_p3[d] > 1:
-                        mine = (
-                            mine
-                            & (cco[d] >= starts[d])
-                            & (cco[d] < starts[d] + widths[d])
-                        )
-                mine = mine.astype(xs.dtype)[:, None]
+                    # the cached rolled planes only fit the full cap; the
+                    # reduced pass rebuilds from the reduced mask in-call
+                    mn_c = state.mnf if cap_c == cap else state.mkf
+                    tn_c = state.tnf if cap_c == cap else None
+                    e, f_rows_g = newton_lattice_force(
+                        xs_c, mc_c * mine, mc_c, spec.ncells, cap_c,
+                        spec.box, lj, tbl, do_energy, ts=ts_c,
+                        type_pair=tp_k, mn_f=mn_c, tn_f=tn_c,
+                    )
+                    f_full = f_rows_g[:C]
                 if Cg > C:
-                    mine = jnp.concatenate(
-                        [mine, jnp.zeros((Cg - C, 1), xs.dtype)], 0
+                    f_full = jnp.concatenate(
+                        [f_full, jnp.zeros((Cg - C, cap_c, 3), xs.dtype)], 0
                     )
-                e, f_rows_g = newton_lattice_force(
-                    xs, state.mc * mine, state.mc, spec.ncells, cap,
-                    spec.box, lj, tbl, do_energy, ts=ts_k, type_pair=tp_k,
-                    mn_f=state.mnf, tn_f=state.tnf,
-                )
-                f_full = f_rows_g[:C]
-            if Cg > C:
-                f_full = jnp.concatenate(
-                    [f_full, jnp.zeros((Cg - C, cap, 3), xs.dtype)], 0
-                )
-            f_rows = jax.lax.psum(f_full, brick_axes)
-            e = jax.lax.psum(e, brick_axes)
-            return e, f_rows
+                return e, f_full
+
+            if kernel_cap is None:
+                e, f_full = lowlow(xs, state.mc, cap, ts_k)
+                f_rows = jax.lax.psum(f_full, brick_axes)
+                e = jax.lax.psum(e, brick_axes)
+                return e, f_rows
+            return _sharded_kcap_force(xs, lowlow, tbl, brick_axes)
 
         def pallas_force(xs):
             from ..ops.cellforce_pallas import cell_forces_pallas
@@ -1070,81 +1337,53 @@ def make_cell_step(
             (state.ovl) against all placed low slots, with Newton credits
             added onto the low-slot force planes and tail-atom forces
             scattered back into their slots (~overflow_cap rows — a
-            trivial scatter)."""
+            trivial scatter).  When the rebuild-period tail list
+            overflowed (state.tail_ovf) the WHOLE pass falls back
+            in-graph to the full-cap kernel — never-drop: forces are
+            bitwise the kernel_cap=None step's for that period."""
             from ..ops.cellforce_pallas import (
                 cell_forces_pallas_newton_rescredit,
-                overflow_forces_pallas,
             )
 
-            if state.mkf is None or state.ovl is None:
-                raise ValueError(
-                    "kernel_cap runs need the cached tail list: build the "
-                    "state with init_cell_state(..., kernel_cap=..., "
-                    "overflow_cap=...)"
-                )
+            _check_kcap_state()
             kcap = kernel_cap
-            dtype = xs.dtype
-            S = Cg * cap
-            xs_k = xs[:, :kcap, :]
-            mc_k = state.mc[:, :kcap]
-            xc_f, xn_f = _planar_coord_views(xs_k, spec.ncells, kcap, Cg)
-            tbl = _table(state)
-            # compacted tail-atom planes (coords zeroed at empty rows so
-            # the dense tile's masked distances stay benign)
-            mo = (state.ovl < S).astype(dtype)
-            xo3 = xs.reshape(S, 3)[jnp.clip(state.ovl, 0, S - 1)]
-            xo3 = xo3 * mo[:, None]
-            ocap = state.ovl.shape[0]
-            xo_f = jnp.concatenate(
-                [xo3.T, mo[None, :], jnp.zeros((4, ocap), dtype)], axis=0
-            )
-            # partner planes: every placed low slot, flat slot-major
-            N_low = Cg * kcap
-            N_pad = -(-N_low // 128) * 128
-            xp_f = jnp.stack(
-                [xs_k[..., 0].reshape(-1), xs_k[..., 1].reshape(-1),
-                 xs_k[..., 2].reshape(-1), mc_k.reshape(-1)]
-            )
-            if N_pad > N_low:
-                xp_f = jnp.pad(xp_f, ((0, 0), (0, N_pad - N_low)))
 
-            def call(energy):
-                fx, fy, fz, eb = cell_forces_pallas_newton_rescredit(
-                    xc_f, xn_f, mc_k, state.mkf, tbl,
-                    cap=kcap, ncells=spec.ncells, box=spec.box,
-                    lj_eps=lj.epsilon, lj_sig=lj.sigma, lj_rcut=lj.rcut,
-                    energy=energy,
-                )
-                fo, fp = overflow_forces_pallas(
-                    xo_f, xp_f, tbl, box=spec.box,
-                    lj_eps=lj.epsilon, lj_sig=lj.sigma, lj_rcut=lj.rcut,
-                    energy=energy,
-                )
-                return fx, fy, fz, eb, fo, fp
+            def reduced(_):
+                xs_k = xs[:, :kcap, :]
+                mc_k = state.mc[:, :kcap]
+                xc_f, xn_f = _planar_coord_views(xs_k, spec.ncells, kcap, Cg)
+                tbl = _table(state)
 
-            if do_energy is None:
-                fx, fy, fz, eb, fo, fp = call(True)
-            elif isinstance(do_energy, bool):
-                fx, fy, fz, eb, fo, fp = call(do_energy)
-            else:
-                fx, fy, fz, eb, fo, fp = jax.lax.cond(
-                    do_energy, lambda _: call(True), lambda _: call(False),
-                    None,
-                )
-            ztail = jnp.zeros((Cg, cap - kcap), fx.dtype)
-            comps = []
-            for c, fc in enumerate((fx, fy, fz)):
-                fc = fc + fp[c, :N_low].reshape(Cg, kcap)
-                comps.append(jnp.concatenate([fc, ztail], axis=1))
-            f_full = jnp.stack(comps, axis=-1)
-            fo3 = jnp.stack([fo[0], fo[1], fo[2]], axis=-1)
-            f_full = (
-                f_full.reshape(S, 3)
-                .at[state.ovl]
-                .add(fo3, mode="drop")
-                .reshape(Cg, cap, 3)
-            )
-            return jnp.sum(eb) + jnp.sum(fo[3]), f_full
+                def call(energy):
+                    fx, fy, fz, eb = cell_forces_pallas_newton_rescredit(
+                        xc_f, xn_f, mc_k, state.mkf, tbl,
+                        cap=kcap, ncells=spec.ncells, box=spec.box,
+                        lj_eps=lj.epsilon, lj_sig=lj.sigma, lj_rcut=lj.rcut,
+                        energy=energy,
+                    )
+                    fo, fp = _overflow_pass(xs, None, tbl, energy)
+                    return fx, fy, fz, eb, fo, fp
+
+                if do_energy is None:
+                    fx, fy, fz, eb, fo, fp = call(True)
+                elif isinstance(do_energy, bool):
+                    fx, fy, fz, eb, fo, fp = call(do_energy)
+                else:
+                    fx, fy, fz, eb, fo, fp = jax.lax.cond(
+                        do_energy, lambda _: call(True),
+                        lambda _: call(False), None,
+                    )
+                f_low = jnp.stack([fx, fy, fz], axis=-1)
+                f_full = _assemble_kcap(f_low, fo, fp)
+                return jnp.sum(eb) + jnp.sum(fo[3]), f_full
+
+            def fullcap(_):
+                # never-drop fallback: the tail list overflowed this
+                # rebuild period, so run the period on the full-cap
+                # kernel — bitwise the kernel_cap=None step
+                return pallas_rc_force(xs)
+
+            return jax.lax.cond(state.tail_ovf, fullcap, reduced, None)
 
         def force_fn(xs):
             if brick_axes is not None:
@@ -1915,6 +2154,16 @@ def make_cell_step(
         step_no = core.step + 1
         do_rebuild = (step_no % rebuild_stride) == 0
 
+        def _tail_fields(tail_count):
+            """(tail_count, tail_ovf, tail_fallbacks) for a fresh rebuild."""
+            if kernel_cap is None:
+                return None, None, None
+            t_ovf = tail_count > overflow_cap
+            return (
+                tail_count, t_ovf,
+                state.tail_fallbacks + t_ovf.astype(jnp.int32),
+            )
+
         def full_rebuild(_):
             x_at, v_at, f_at = _atoms_from_slots(spec, state.aid, xs, vs, fs)
             t = build_table(spec, x_at)
@@ -1922,7 +2171,7 @@ def make_cell_step(
                 [t.aid, jnp.full((Cg * cap - spec.n_slots,), n, jnp.int32)]
             )
             (nxs, nvs, nfs, mc, mn, sid, nid, ts, mnf, tnf, mkf, ovl,
-             ovl_ovf) = _slots_from_atoms(
+             tail_count) = _slots_from_atoms(
                 spec, Cg, sten_g, x_at, v_at, f_at, aid_g,
                 with_ids=state.sid is not None,
                 types_arr=types_arr if state.ts is not None else None,
@@ -1930,8 +2179,8 @@ def make_cell_step(
             )
             return (
                 aid_g, nxs, nvs, nfs, mc, mn, sid, nid, ts, mnf, tnf,
-                mkf, ovl,
-                state.table_overflow | t.overflow | ovl_ovf,
+                mkf, ovl, *_tail_fields(tail_count),
+                state.table_overflow | t.overflow,
                 x_at, v_at, f_at,
             )
 
@@ -1950,8 +2199,10 @@ def make_cell_step(
                 # count tail arrivals/departures from the plan (a mover
                 # whose source AND dest are tail slots cancels) and fall
                 # back to the packing rebuild when the post-rebin tail
-                # would exceed overflow_cap
-                cur_tail = jnp.sum((state.ovl < S).astype(jnp.int32))
+                # would exceed overflow_cap.  cur_tail is the carried TRUE
+                # population (state.ovl is incomplete when the period
+                # overflowed), so an overflowed period always repacks here
+                cur_tail = state.tail_count
                 leave = jnp.sum(
                     ((plan.m_src < S) & (plan.m_src % cap >= kernel_cap))
                     .astype(jnp.int32)
@@ -1997,16 +2248,17 @@ def make_cell_step(
                     mkf2 = _half_concat(
                         mc2[:, :kernel_cap], spec.ncells, kernel_cap, Cg
                     )
-                    ovl2, ovf2 = _tail_list(
+                    ovl2, tcount2 = _tail_list(
                         aid2, n, cap, kernel_cap, overflow_cap
                     )
                 else:
-                    mkf2, ovl2, ovf2 = None, None, jnp.zeros((), bool)
+                    mkf2, tcount2 = None, None
+                    ovl2 = None
                 # core.x/v/f stay stale (atom_positions() is the live view)
                 return (
                     aid_new, nxs, nvs, nfs, mc2, None, None, None, ts2,
-                    mnf2, tnf2, mkf2, ovl2,
-                    state.table_overflow | ovf2, core.x, core.v, core.f,
+                    mnf2, tnf2, mkf2, ovl2, *_tail_fields(tcount2),
+                    state.table_overflow, core.x, core.v, core.f,
                 )
 
             return jax.lax.cond(feasible, fast, full_rebuild, None)
@@ -2015,7 +2267,8 @@ def make_cell_step(
             return (
                 state.aid, xs, vs, fs, state.mc, state.mn, state.sid,
                 state.nid, state.ts, state.mnf, state.tnf,
-                state.mkf, state.ovl,
+                state.mkf, state.ovl, state.tail_count, state.tail_ovf,
+                state.tail_fallbacks,
                 state.table_overflow, core.x, core.v, core.f,
             )
 
@@ -2027,6 +2280,7 @@ def make_cell_step(
             outs = keep(None)
         (
             aid_g, nxs, nvs, nfs, mc, mn, sid, nid, ts, mnf, tnf, mkf, ovl,
+            tail_count, tail_ovf, tail_fallbacks,
             overflow, x_at, v_at, f_at,
         ) = outs
 
@@ -2040,6 +2294,8 @@ def make_cell_step(
             core=new_core, aid=aid_g, xs=nxs, vs=nvs, fs=nfs,
             mc=mc, mn=mn, sid=sid, nid=nid, table_overflow=overflow,
             ts=ts, mnf=mnf, tnf=tnf, mkf=mkf, ovl=ovl,
+            tail_count=tail_count, tail_ovf=tail_ovf,
+            tail_fallbacks=tail_fallbacks,
         )
         return new_state, ((e_bias, log) if collect_records else e_bias)
 

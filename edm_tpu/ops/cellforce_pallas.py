@@ -722,7 +722,7 @@ def cell_forces_pallas_newton_rescredit(
 
 
 def _kernel_overflow(
-    xo_ref,  # (8, OCAP)  overflow-atom rows: x, y, z, mask, zeros (resident)
+    xo_ref,  # (8, OCAP)  overflow-atom rows: x, y, z, mask, own, zeros
     xp_ref,  # (4, LW)    partner tile: x, y, z, mask (streamed block)
     cv_ref,  # (NP, DEGP) chebyshev value coeffs | (4, GP) hermite table
     cd_ref,  # (NP, DEGP) chebyshev deriv coeffs | (1, 8) unused dummy
@@ -750,7 +750,14 @@ def _kernel_overflow(
     per tile (each program owns a disjoint tile).  Tail-tail pairs are
     evaluated once, in program 0, as a full diagonal-masked (OCAP, OCAP)
     block (both orderings present, so row sums are complete and the
-    energy is halved — the self-block convention of ``_kernel_newton``)."""
+    energy is halved — the self-block convention of ``_kernel_newton``).
+
+    Row 4 of ``xo_ref`` (``own``) masks which tail ROWS this device owns
+    in the tail-tail block: under slab/brick sharding every device passes
+    the full tail list but owns a disjoint subset (psum then counts each
+    tail-tail ordered pair exactly once — by the owner of its row atom);
+    single-device callers pass own == mask, which reproduces the original
+    full block bitwise."""
     (table, bx, by, bz, eps, sig, rcut, energy) = params
     preload = _table_preload(cv_ref, table)
     p = pl.program_id(0)
@@ -759,6 +766,7 @@ def _kernel_overflow(
     oy = xo_ref[1, :]
     oz = xo_ref[2, :]
     om = xo_ref[3, :]
+    oown = xo_ref[4, :]
 
     def mimage(d, L):
         return d - jnp.floor(d * (1.0 / L) + 0.5) * L
@@ -785,7 +793,7 @@ def _kernel_overflow(
 
     @pl.when(p == 0)
     def _init_and_tailtail():
-        okd = om[:, None] * om[None, :]
+        okd = oown[:, None] * om[None, :]
         n_o = om.shape[0]
         ri = jax.lax.broadcasted_iota(jnp.int32, (n_o, n_o), 0)
         ci = jax.lax.broadcasted_iota(jnp.int32, (n_o, n_o), 1)
@@ -820,8 +828,10 @@ def overflow_forces_pallas(
 ):
     """Dense overflow force pass (see ``_kernel_overflow``).
 
-    xo_f (8, OCAP): overflow-atom planes x, y, z, mask (rows 4..7 ignored);
-    xp_f (4, NP): partner planes x, y, z, mask for all placed low slots,
+    xo_f (8, OCAP): overflow-atom planes x, y, z, mask, own (rows 5..7
+    ignored; ``own`` = tail-tail ROW ownership, == mask on a single
+    device); xp_f (4, NP): partner planes x, y, z, mask for all placed
+    low slots this device owns,
     lane-padded with zero mask (NP a multiple of 128).  Returns
     (fo (8, OCAP): force components + bias-energy rows on the overflow
     atoms; fp (4, NP): Newton credits to subtract-free ADD onto the
@@ -830,6 +840,13 @@ def overflow_forces_pallas(
     ocap = xo_f.shape[1]
     NP_ = xp_f.shape[1]
     assert NP_ % 128 == 0 and ocap % 8 == 0
+    # lane-pad the resident overflow block to full 128-lane tiles: Mosaic
+    # lowering of sub-128 lane tiles is untested on real TPU (CPU interpret
+    # runs can't catch lowering failures — see the round-6 scoped-vmem
+    # incident); padded rows carry zero mask so they contribute exact zeros
+    ocap_k = -(-ocap // 128) * 128
+    if ocap_k > ocap:
+        xo_f = jnp.pad(xo_f, ((0, 0), (0, ocap_k - ocap)))
     LW = min(lane_tile, NP_)
     if NP_ % LW:
         pad = -(-NP_ // LW) * LW - NP_
@@ -850,21 +867,21 @@ def overflow_forces_pallas(
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
         in_specs=[
-            pl.BlockSpec((8, ocap), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, ocap_k), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((4, LW), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(t1.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(t2.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((8, ocap), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, ocap_k), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((4, LW), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((8, ocap), jnp.float32),
+            jax.ShapeDtypeStruct((8, ocap_k), jnp.float32),
             jax.ShapeDtypeStruct((4, NP_), jnp.float32),
         ],
     )(xo_f, xp_f, t1, t2)
-    return fo, fp
+    return fo[:, :ocap], fp
 
 
 def cell_forces_pallas_newton_planar(
