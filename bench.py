@@ -27,7 +27,7 @@ REF_STEPS_2D = 231.6  # 2-D coord EDM, 10k atoms, 1e6-pt grid (ref_bench2d.cpp)
 
 
 def bench_pairwise(n_atoms=10000, block=500, steps=900, hill_stride=10, dtype=None,
-                   pair_lookup="interp", kernel_cap=24, overflow_cap=128):
+                   pair_lookup="interp", kernel_cap=24, overflow_cap=32):
     # pair_lookup="interp" (the default since round 4) is the REFERENCE's
     # exact production semantics (INTERPOLATE=1, edm_bias.h:18) — and since
     # the per-lane dynamic-gather Hermite fetch (ops/cellforce_pallas) it is
@@ -106,8 +106,13 @@ def bench_pairwise(n_atoms=10000, block=500, steps=900, hill_stride=10, dtype=No
         # ~0.1% at this density) are swept by the dense overflow side
         # pass (ops/cellforce_pallas.overflow_forces_pallas); forces match
         # the full-cap kernel to f32 reduction order, residency/RNG/hill
-        # order unchanged.  table_overflow (asserted below) also covers
-        # overflow_cap exhaustion.
+        # order unchanged.  overflow_cap=32 (r05): the dense sweep's pair
+        # tiles follow overflow_cap (sub-tile rows), so a tight cap is
+        # cheap (0.76 vs 1.26 ms at 128 rows, 100k) and the measured live
+        # tail is <= 8; a tail spike past it runs that rebuild period on
+        # the full-cap kernel (never-drop fallback), slower but exact.
+        # Same-session TPU A/B: 100k 150.4 (ocap 32) vs 139.8 (128) vs
+        # 143.2 (full cap); 10k 1254.8 vs 1169.3 vs 1191.6.
         if kernel_cap is not None and kernel_cap < spec.cap:
             kcap_kw = dict(kernel_cap=kernel_cap, overflow_cap=overflow_cap)
         else:
