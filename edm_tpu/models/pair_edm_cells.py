@@ -306,7 +306,8 @@ def _planar_half_views(xs, mc, ncells, cap, Cg):
 
 def newton_lattice_force(
     xs, mc_rows, mc_cand, ncells, cap, box, lj, table, do_energy=None,
-    ts=None, type_pair=None, mn_f=None, tn_f=None,
+    ts=None, type_pair=None, mn_f=None, tn_f=None, rescredit=False,
+    row_box=None,
 ):
     """Half-stencil Newton force pass over an (nx, ny, nz) slot lattice.
 
@@ -325,10 +326,22 @@ def newton_lattice_force(
     would otherwise rival the kernel time).  ``mn_f``/``tn_f``: optional
     precomputed rolled mask/type planes (state-cached between rebuilds;
     built here when absent).
+
+    ``rescredit=True`` runs the in-kernel credit-accumulation kernel
+    (``cell_forces_pallas_newton_rescredit``) instead of the planar
+    kernel + host-side credit rolls: no 13 x cap credit outputs, no 39
+    application rolls — the same win that made it the single-device
+    default (round-3 win, docs/perf.md).  Identical math, f32 reduction
+    order differs (in-kernel sequential-grid RMW vs rolled adds).  It is
+    exactly as correct on a halo sub-window as the roll version: credits
+    from owned rows move at most one cell and land inside the halo ring,
+    so neither version's lattice wraparound is ever exercised from a row
+    (the sharded ``lowlow`` passes mask halo cells out of ``mc_rows``).
     """
     from ..ops.cellforce_pallas import (
         HALF_OFFSETS,
         cell_forces_pallas_newton_planar,
+        cell_forces_pallas_newton_rescredit,
     )
 
     nx, ny, nz = ncells
@@ -342,6 +355,60 @@ def newton_lattice_force(
         types = (ts, tn_f if tn_f is not None else _half_concat(ts, ncells, cap, Cg))
     else:
         types = None
+
+    if rescredit:
+        if row_box is not None:
+            # Rows over the OWNED sub-box only (static origin/dims; a
+            # ragged device's surplus column stays masked via mc_rows):
+            # the kernel stops executing row programs for halo cells,
+            # which contribute nothing — the halo ring's remaining cost
+            # is its (free) presence in the candidate windows.
+            from ..ops.cellforce_pallas import CELLS_PER_PROGRAM
+
+            (ox, oy, oz), (rx_d, ry_d, rz_d) = row_box
+            R = rx_d * ry_d * rz_d
+            Rg = -(-R // CELLS_PER_PROGRAM) * CELLS_PER_PROGRAM
+
+            def rows_of(a):
+                w = a.shape[1]
+                g = a[:C].reshape(nx, ny, nz, w)[
+                    ox : ox + rx_d, oy : oy + ry_d, oz : oz + rz_d
+                ].reshape(R, w)
+                if Rg > R:
+                    g = jnp.concatenate(
+                        [g, jnp.zeros((Rg - R, w), a.dtype)], 0
+                    )
+                return g
+
+            xc_r, xn_r = rows_of(xc_f), rows_of(xn_f)
+            mc_r, mn_r = rows_of(mc_rows), rows_of(mn_f)
+            types_r = (
+                None
+                if types is None
+                else (rows_of(types[0]), rows_of(types[1]))
+            )
+        else:
+            xc_r, xn_r, mc_r, mn_r, types_r = xc_f, xn_f, mc_rows, mn_f, types
+
+        def call_rc(energy):
+            return cell_forces_pallas_newton_rescredit(
+                xc_r, xn_r, mc_r, mn_r, table,
+                cap=cap, ncells=ncells, box=box,
+                lj_eps=lj.epsilon, lj_sig=lj.sigma, lj_rcut=lj.rcut,
+                energy=energy, types=types_r, type_pair=type_pair,
+                row_box=row_box, out_cells=None if row_box is None else Cg,
+            )
+
+        if do_energy is None:
+            fx, fy, fz, eb = call_rc(True)
+        elif isinstance(do_energy, bool):
+            fx, fy, fz, eb = call_rc(do_energy)
+        else:
+            fx, fy, fz, eb = jax.lax.cond(
+                do_energy, lambda _: call_rc(True), lambda _: call_rc(False),
+                None,
+            )
+        return jnp.sum(eb), jnp.stack([fx, fy, fz], axis=-1)
 
     def call(energy):
         return cell_forces_pallas_newton_planar(
@@ -1078,7 +1145,8 @@ def make_cell_step(
                         flat(sub, (cap_c, 3)), flat(rows, (cap_c,)),
                         flat(subm, (cap_c,)),
                         (w, ny, nz), cap_c, spec.box, lj, tbl, do_energy,
-                        ts=ts_sub, type_pair=tp_k,
+                        ts=ts_sub, type_pair=tp_k, rescredit=True,
+                        row_box=((1, 0, 0), (nxd_slab, ny, nz)),
                     )
                     fsg = f_sub[:C_sub].reshape(w, ny, nz, cap_c, 3)
                     if nx > w:
@@ -1101,7 +1169,7 @@ def make_cell_step(
                     e, f_rows_g = newton_lattice_force(
                         xs_c, mc_c * mine, mc_c, spec.ncells, cap_c,
                         spec.box, lj, tbl, do_energy, ts=ts_c,
-                        type_pair=tp_k,
+                        type_pair=tp_k, rescredit=True,
                     )
                     f_full = f_rows_g[:C]
                 if Cg > C:
@@ -1201,7 +1269,14 @@ def make_cell_step(
                         flat(sub, (cap_c, 3)), flat(rows, (cap_c,)),
                         flat(subm, (cap_c,)),
                         wdims, cap_c, spec.box, lj, tbl, do_energy,
-                        ts=ts_sub, type_pair=tp_k,
+                        ts=ts_sub, type_pair=tp_k, rescredit=True,
+                        row_box=(
+                            tuple(halo),
+                            tuple(
+                                parts[d][2] if halo[d] else ncd[d]
+                                for d in range(3)
+                            ),
+                        ),
                     )
                     fsg = f_sub[:C_sub].reshape(wdims + (cap_c, 3))
                     for d in range(3):
@@ -1245,6 +1320,7 @@ def make_cell_step(
                         xs_c, mc_c * mine, mc_c, spec.ncells, cap_c,
                         spec.box, lj, tbl, do_energy, ts=ts_c,
                         type_pair=tp_k, mn_f=mn_c, tn_f=tn_c,
+                        rescredit=True,
                     )
                     f_full = f_rows_g[:C]
                 if Cg > C:

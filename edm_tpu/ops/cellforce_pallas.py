@@ -561,7 +561,7 @@ def _kernel_newton_rc(
     (Cg, 13cap) x 3 credit outputs (~34 MB at 100k atoms) and the 13
     XLA lattice rolls that applied them."""
     (cap, ncand, table, tpair, nx_c, ny_c, nz_c, bx, by, bz, eps, sig, rcut,
-     energy) = params
+     energy, row_box) = params
     width = cap + ncand
     C = nx_c * ny_c * nz_c
     preload = _table_preload(cv_ref, table)
@@ -575,6 +575,25 @@ def _kernel_newton_rc(
 
     def one_cell(b, _):
         i = p * CELLS_PER_PROGRAM + b
+        if row_box is not None:
+            # rows cover only the sub-box [origin, origin+rdims) of the
+            # lattice (a sharded host's OWNED cells inside its halo
+            # window): decompose the row id over rdims, then shift into
+            # lattice coordinates.  Wrap per axis so padded rows beyond
+            # prod(rdims) still index a valid resident row (their masks
+            # are zero, so the RMW adds nothing).
+            (ox, oy, oz), (rx_d, ry_d, rz_d) = row_box
+            rzc = jnp.int32(rz_d)
+            ryc = jnp.int32(ry_d)
+            r_z = jax.lax.rem(i, rzc)
+            r_y = jax.lax.rem(i // rzc, ryc)
+            r_x = i // (ryc * rzc)
+            i = (
+                jax.lax.rem(jnp.int32(ox) + r_x, jnp.int32(nx_c))
+                * (ny_c * nz_c)
+                + jax.lax.rem(jnp.int32(oy) + r_y, jnp.int32(ny_c)) * nz_c
+                + jax.lax.rem(jnp.int32(oz) + r_z, jnp.int32(nz_c))
+            )
         xl = xc_ref[b, :]
         xn = xn_ref[b, :]
         lx, ly, lz = xl[0:cap], xl[cap : 2 * cap], xl[2 * cap : 3 * cap]
@@ -665,20 +684,36 @@ def _kernel_newton_rc(
 def cell_forces_pallas_newton_rescredit(
     xc_f, xn_f, mc, mn, table, *,
     cap, ncells, box, lj_eps, lj_sig, lj_rcut, energy=True,
-    types=None, type_pair=None,
+    types=None, type_pair=None, row_box=None, out_cells=None,
 ):
     """Planar Newton kernel with resident in-kernel credit accumulation.
 
     Inputs as ``cell_forces_pallas_newton_planar`` plus the lattice shape;
     padded cells (beyond nx*ny*nz) must carry zero masks.  Returns
-    (fx, fy, fz (Cg, cap) — credits already applied — and eb (Cg, cap)).
+    (fx, fy, fz (Cg, cap) — credits already applied — and eb (Rg, cap)).
     The three force planes live in VMEM for the whole pass (3 x Cg x cap
-    floats), bounding the lattice at roughly 1M slots per core."""
+    floats), bounding the lattice at roughly 1M slots per core.
+
+    ``row_box=((ox, oy, oz), (rx, ry, rz))`` restricts the ROW programs to
+    the lattice sub-box [origin, origin+rdims) — a sharded host's owned
+    cells inside its halo window — so the kernel stops paying row-side
+    compute for halo cells whose row mask is zero anyway.  The planar
+    inputs must then be row-compacted to that sub-box (Rg rows), while
+    the resident force planes still span the full window: pass the padded
+    window cell count as ``out_cells``.  Credits from owned rows reach at
+    most one cell into the halo ring, which the window contains."""
     Cg = xc_f.shape[0]
     ncand = xn_f.shape[1] // 3
     assert Cg % CELLS_PER_PROGRAM == 0
     n_prog = Cg // CELLS_PER_PROGRAM
     nx_c, ny_c, nz_c = ncells
+    if row_box is not None:
+        assert out_cells is not None, "row_box needs the window out_cells"
+        origin, rdims = row_box
+        row_box = (
+            tuple(int(o) for o in origin), tuple(int(r) for r in rdims),
+        )
+    Cg_out = Cg if out_cells is None else int(out_cells)
     t1, t2, tspec = _table_inputs(table)
 
     P = CELLS_PER_PROGRAM
@@ -688,7 +723,9 @@ def cell_forces_pallas_newton_rescredit(
         return pl.BlockSpec((P, width), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
     def resident():
-        return pl.BlockSpec((Cg, cap), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        return pl.BlockSpec(
+            (Cg_out, cap), lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
 
     tc, tn, tpair, tc_spec, tn_spec = _type_inputs(
         types, type_pair, cap, ncand, row_spec, xc_f.dtype
@@ -697,6 +734,7 @@ def cell_forces_pallas_newton_rescredit(
         cap, ncand, tspec, tpair, nx_c, ny_c, nz_c,
         float(box[0]), float(box[1]), float(box[2]),
         float(lj_eps), float(lj_sig), float(lj_rcut), bool(energy),
+        row_box,
     )
     kernel = functools.partial(_kernel_newton_rc, params=params)
 
@@ -716,7 +754,8 @@ def cell_forces_pallas_newton_rescredit(
             tn_spec,
         ],
         out_specs=[resident(), resident(), resident(), row_spec(cap)],
-        out_shape=[jax.ShapeDtypeStruct((Cg, cap), jnp.float32)] * 4,
+        out_shape=[jax.ShapeDtypeStruct((Cg_out, cap), jnp.float32)] * 3
+        + [jax.ShapeDtypeStruct((Cg, cap), jnp.float32)],
     )(xc_f, xn_f, mc, mn, t1, t2, tc, tn)
     return fx, fy, fz, eb
 

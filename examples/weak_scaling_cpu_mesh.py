@@ -15,20 +15,21 @@ speedup is therefore unmeasurable here.  What IS measurable and meaningful:
    ICI bandwidth term (modeled separately in docs/perf.md).
 
 All three decompositions are measured: the 1-D slab (per-device
-x-columns, halo share ~2/w), the 2-D brick (x-range x y-range bricks,
-halo share ~2/wx + 2/wy + 4/(wx*wy)) and the 3-D brick ((2,2,2) grid —
-the v4/v5p 3-D-torus layout).  At equal toy widths a brick's halo RING
-(shell) costs more than the slab's two faces — its value is that it
-keeps scaling past n = nx devices where the slab saturates, and that its
-halo share falls faster as per-device width grows (see docs/perf.md for
-the v5e-32 model).
+x-columns), the 2-D brick (x-range x y-range bricks) and the 3-D brick
+((2,2,2) grid — the v4/v5p 3-D-torus layout).  Since the OWNED-ROW
+kernel (r05: `newton_lattice_force(..., row_box=...)` runs kernel row
+programs only over the device's owned cell sub-box) the halo ring costs
+no row-side compute — it survives only as candidate lanes (constant
+width) and psum payload — so every decomposition's aggregate overhead
+is deeply NEGATIVE at these toy widths.  The bricks' value over the
+slab: they keep scaling past n = nx devices where the slab saturates
+(see docs/perf.md for the v5e-32 model).
 
-With the sharded floor (shard_floor, default on) the slab's aggregate
-overhead goes NEGATIVE at these toy widths: the fixed-shape global
+With the sharded floor (shard_floor, default on) the fixed-shape global
 costs (the pass-2/extraction row budget, the thermostat draw) split per
-device instead of replicating, and at 512 atoms/device that saving
-outweighs the halo surcharge.  The halo term itself is unchanged — see
-docs/perf.md for the decomposition and the floor-off comparison rows.
+device instead of replicating — at 512 atoms/device that saving is what
+drives the overhead negative.  See docs/perf.md for the decomposition
+and the historical floor-off / pre-owned-row comparison rows.
 
 Run: python examples/weak_scaling_cpu_mesh.py  (forces an 8-device CPU mesh)
 Prints one JSON line per configuration.

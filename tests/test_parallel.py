@@ -635,3 +635,86 @@ def test_local_planar_collection_matches_global(mode, monkeypatch):
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert float(s_l.core.bias.cum_bias) > 0  # hills actually landed
+
+
+def test_owned_row_kernel_matches_full_window_rows():
+    """The owned-row kernel (``newton_lattice_force(..., rescredit=True,
+    row_box=...)`` — row programs over the owned sub-box only, r05) equals
+    the full-window rescredit pass with halo rows masked: halo rows
+    contribute exact zero adds, and owned cells are visited in the same
+    lexicographic order, so removing the halo programs changes no f32
+    accumulation.  This is the structural fix that removed the halo
+    ring's row-side compute from the sharded hosts (docs/perf.md)."""
+    from edm_tpu.models.cells import CellSpec, build_table
+    from edm_tpu.models.pair_edm_cells import (
+        _padded_cells,
+        newton_lattice_force,
+    )
+
+    rng = np.random.default_rng(7)
+    # a 6 x 5 x 3 "window" lattice (e.g. a 4x2-brick device's halo window)
+    box = [6 * 3.1, 5 * 3.1, 3 * 3.1]
+    n = 500
+    pts = rng.uniform(0.0, 1.0, (n, 3)) * np.asarray(box)
+    spec = CellSpec.create(box, cutoff=3.05, n_atoms=n)
+    assert spec.ncells == (6, 5, 3)
+    cfg = parse_edm_text(CFG)
+    params, bias_state = B.subdivide(
+        cfg, 1.0, 1.0, [0], [3.05], [0], [3.05], [False], [0],
+        dtype=jnp.float32,
+    )
+    core = pair_edm.init_state(
+        bias_state, jnp.asarray(pts, jnp.float32), jax.random.PRNGKey(0),
+        pair_lookup="chebyshev", cheb_deg=16, cheb_panels=4,
+    )
+    tbl = core.cheb
+
+    t = build_table(spec, jnp.asarray(pts, jnp.float32))
+    Cg = _padded_cells(spec)
+    cap = spec.cap
+    C = 6 * 5 * 3
+    aid = jnp.concatenate(
+        [t.aid, jnp.full((C * cap - spec.n_slots,), n, jnp.int32)]
+    ).reshape(C, cap)
+    if Cg > C:
+        aid = jnp.concatenate(
+            [aid, jnp.full((Cg - C, cap), n, jnp.int32)], 0
+        )
+    mc = (aid < n).astype(jnp.float32)
+    xs = jnp.where(
+        aid[..., None] < n,
+        jnp.asarray(pts, jnp.float32)[jnp.minimum(aid, n - 1)],
+        0.0,
+    )
+    # owned sub-box = [1, 4] x [1, 3] x [0, 3) (a 4x3-wide brick + halo
+    # ring in x, y; z unsharded): halo rows masked out of mc_rows
+    gx = np.arange(6)
+    gy = np.arange(5)
+    okx = (gx >= 1) & (gx <= 4)
+    oky = (gy >= 1) & (gy <= 3)
+    row_ok = (
+        okx[:, None, None] & oky[None, :, None] & np.ones((1, 1, 3), bool)
+    ).reshape(C)
+    if Cg > C:
+        row_ok = np.concatenate([row_ok, np.zeros(Cg - C, bool)])
+    mc_rows = mc * jnp.asarray(row_ok, jnp.float32)[:, None]
+
+    from edm_tpu.models.lj import LJParams
+
+    lj = LJParams()
+    f = {}
+    for name, rb in (
+        ("full", None),
+        ("owned", ((1, 1, 0), (4, 3, 3))),
+    ):
+        e, fr = jax.jit(
+            lambda xs, mc_rows, mc, rb=rb: newton_lattice_force(
+                xs, mc_rows, mc, spec.ncells, cap, spec.box, lj, tbl,
+                True, rescredit=True, row_box=rb,
+            )
+        )(xs, mc_rows, mc)
+        f[name] = (float(e), np.asarray(fr))
+    assert np.isfinite(f["owned"][1]).all()
+    assert np.abs(f["owned"][1]).max() > 0  # forces actually computed
+    np.testing.assert_array_equal(f["owned"][1], f["full"][1])
+    assert f["owned"][0] == pytest.approx(f["full"][0], rel=1e-6)
